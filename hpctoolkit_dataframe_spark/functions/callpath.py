@@ -1,0 +1,62 @@
+"""Column expressions over ``callpath: array<long>`` columns.
+
+The reference materializes each CCT node's root-to-node id path as a
+Python tuple (hpctoolkit_dataframe/hpctoolkit_dataframe.py:283) and
+filters with row-at-a-time ``apply`` predicates (:79-128, :391-401).
+Here every predicate is a native Spark ``Column`` expression so it stays
+inside whole-stage codegen and is eligible for pushdown — no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def depth(callpath: Column | str = "callpath") -> Column:
+    """len(callpath) — reference _depth_filter (hpctoolkit_dataframe.py:123-128)."""
+    return F.size(callpath).cast("bigint")
+
+
+def parent_path(callpath: Column | str = "callpath") -> Column:
+    """callpath[:-1] (hpctoolkit_dataframe.py:369). Root's parent is []."""
+    c = F.col(callpath) if isinstance(callpath, str) else callpath
+    return F.slice(c, 1, F.greatest(F.size(c) - 1, F.lit(0)))
+
+
+def path_key(callpath: Column | str = "callpath") -> Column:
+    """Compact 8-byte join key for a callpath array.
+
+    Joining on ``xxhash64(array)`` instead of the raw array keeps shuffle
+    keys fixed-width at scale; callers should additionally compare the
+    arrays themselves to guard against hash collisions.
+    """
+    return F.xxhash64(callpath)
+
+
+def has_prefix(prefix: Sequence[int], callpath: Column | str = "callpath") -> Column:
+    """callpath[:len(prefix)] == prefix — reference _callpath_filter
+    (hpctoolkit_dataframe.py:88-89). Empty prefix passes everything."""
+    if not prefix:
+        return F.lit(True)
+    c = F.col(callpath) if isinstance(callpath, str) else callpath
+    lits = F.array(*[F.lit(int(p)).cast("bigint") for p in prefix])
+    return (F.size(c) >= len(prefix)) & (F.slice(c, 1, len(prefix)) == lits)
+
+
+def has_suffix(suffix: Sequence[int], callpath: Column | str = "callpath") -> Column:
+    """callpath[-len(suffix):] == suffix — reference _callpath_filter
+    (hpctoolkit_dataframe.py:90-91). Empty suffix passes everything."""
+    if not suffix:
+        return F.lit(True)
+    c = F.col(callpath) if isinstance(callpath, str) else callpath
+    lits = F.array(*[F.lit(int(s)).cast("bigint") for s in suffix])
+    return (F.size(c) >= len(suffix)) & (F.slice(c, -len(suffix), len(suffix)) == lits)
+
+
+def path_str(callpath: Column | str = "callpath", sep: str = "/") -> Column:
+    """Deterministic string rendering (for cross-engine comparisons)."""
+    c = F.col(callpath) if isinstance(callpath, str) else callpath
+    return F.array_join(F.transform(c, lambda x: x.cast("string")), sep)

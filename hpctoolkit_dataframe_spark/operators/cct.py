@@ -1,0 +1,335 @@
+"""CCT (calling-context-tree) operators, Spark-first.
+
+Every operator here re-expresses a capability of the reference
+(hpctoolkit_dataframe/hpctoolkit_dataframe.py) as declarative DataFrame
+transformations so Catalyst can prune/push/reorder, instead of the
+reference's row-at-a-time ``apply``/``iterrows`` loops.
+
+Expected input shape (the flattened CCT — the reference flattens the
+tree exactly this way at ingest, hpctoolkit_dataframe.py:233-289):
+
+- ``id: bigint``          unique node id (root = -1 by convention)
+- ``callpath: array<bigint>``  root-to-node ids, root = []
+- zero or more metric columns
+- optional partition columns (e.g. ``profile_id``) so many experiments
+  coexist in one DataFrame — everything here is per-profile when
+  ``partition_cols`` is given, which is what makes the operators scale:
+  at 100 TB the data is millions of independent ~10^4-row trees, and all
+  joins/windows key on (profile, path) so no global shuffle hotspot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import callpath as cp
+
+ROOT_ID = -1  # reference _ROOT_INDEX, hpctoolkit_dataframe.py:48
+
+
+# ---------------------------------------------------------------------------
+# filters (reference at_paths/at_depths/at_depth, :391-401)
+# ---------------------------------------------------------------------------
+
+def at_paths(
+    df: DataFrame,
+    *fragments: Sequence[int],
+    prefix: Sequence[int] = (),
+    suffix: Sequence[int] = (),
+    callpath_col: str = "callpath",
+) -> DataFrame:
+    """Rows whose callpath starts with ``prefix`` and/or ends with ``suffix``.
+
+    Reference: hpctoolkit_dataframe.py:391-393 (predicate :79-92).
+    Arbitrary ``fragments`` raise NotImplementedError exactly like the
+    reference (:82-84) — part of the behavioral surface.
+    """
+    if fragments:
+        raise NotImplementedError(
+            'filtering by arbitrary fragment "{}" not supported'.format(fragments))
+    return df.filter(
+        cp.has_prefix(prefix, callpath_col) & cp.has_suffix(suffix, callpath_col))
+
+
+def at_depths(
+    df: DataFrame,
+    min_depth: int | None = None,
+    max_depth: int | None = None,
+    callpath_col: str = "callpath",
+) -> DataFrame:
+    """min_depth <= len(callpath) <= max_depth (either bound optional).
+
+    Reference: hpctoolkit_dataframe.py:395-398 (predicate :123-128).
+    """
+    cond = F.lit(True)
+    if min_depth is not None:
+        cond = cond & (F.size(callpath_col) >= min_depth)
+    if max_depth is not None:
+        cond = cond & (F.size(callpath_col) <= max_depth)
+    return df.filter(cond)
+
+
+def at_depth(df: DataFrame, depth: int, callpath_col: str = "callpath") -> DataFrame:
+    """Reference: hpctoolkit_dataframe.py:400-401."""
+    return at_depths(df, depth, depth, callpath_col)
+
+
+# ---------------------------------------------------------------------------
+# ratio columns (reference add_ratio_column, :340-385)
+# ---------------------------------------------------------------------------
+
+def _root_values(
+    df: DataFrame, base_column: str, partition_cols: Sequence[str],
+    callpath_col: str,
+) -> DataFrame:
+    return (
+        df.filter(F.size(callpath_col) == 0)
+        .select(*partition_cols, F.col(base_column).alias("__root_value"))
+    )
+
+
+def with_ratio_of_total(
+    df: DataFrame,
+    base_column: str,
+    column_name: str | None = None,
+    partition_cols: Sequence[str] = (),
+    callpath_col: str = "callpath",
+) -> DataFrame:
+    """value / value-at-root, per partition (profile).
+
+    Reference: hpctoolkit_dataframe.py:356-359 — a scalar broadcast of the
+    root row's value.  Spark plan: broadcast join of the (one row per
+    profile) root table; no window over a global partition, so it scales
+    to any number of profiles.
+    """
+    column_name = column_name or f"{base_column} ratio of total"
+    roots = F.broadcast(_root_values(df, base_column, partition_cols, callpath_col))
+    joined = (
+        df.join(roots, on=list(partition_cols), how="left")
+        if partition_cols else df.crossJoin(roots)
+    )
+    return joined.withColumn(
+        column_name,
+        F.col(base_column).cast("double") / F.col("__root_value").cast("double"),
+    ).drop("__root_value")
+
+
+def with_ratio_of_parent(
+    df: DataFrame,
+    base_column: str,
+    column_name: str | None = None,
+    partition_cols: Sequence[str] = (),
+    callpath_col: str = "callpath",
+    walk_up: bool = True,
+) -> DataFrame:
+    """value / nearest-ancestor-value, with the reference's walk-up rule.
+
+    Reference semantics (hpctoolkit_dataframe.py:360-384): starting at the
+    parent, walk up the callpath until an ancestor's value >= own value;
+    if no ancestor qualifies the walk terminates at the root, which is
+    used regardless.  The root row itself resolves to itself (ratio 1.0).
+
+    Spark plan: explode each node into its ancestor prefixes
+    (depth d -> d prefixes), join ancestors to node values on
+    (partition, path-hash, path), keep qualifying ancestors
+    (value >= own, or root), pick the deepest with a max_by aggregate.
+    The explode factor equals tree depth (~25 max in fixtures) and the
+    join keys include the profile partition, so work stays proportional
+    and co-partitioned at scale.  With ``walk_up=False`` this reduces to
+    the plain parent join (single self-join, no explode).
+    """
+    column_name = column_name or f"{base_column} ratio of parent"
+    pc = list(partition_cols)
+
+    # right side gets renamed columns: self-joins on same-lineage frames
+    # otherwise resolve both sides to one attribute (trivially-true join)
+    nodes = df.select(
+        *[F.col(c).alias(f"__n_{c}") for c in pc],
+        F.col(callpath_col).alias("__path"),
+        F.col(base_column).alias("__value"),
+    ).withColumn("__path_key", cp.path_key("__path"))
+
+    if not walk_up:
+        child = df.withColumn("__ppath", cp.parent_path(callpath_col))
+        child = child.withColumn("__ppath_key", cp.path_key("__ppath"))
+        joined = child.join(
+            nodes,
+            on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
+            + [F.col("__ppath_key") == F.col("__path_key"),
+               F.col("__ppath") == F.col("__path")],
+            how="left",
+        )
+        return (
+            joined.select(
+                *[child[c] for c in df.columns],
+                (F.col(base_column).cast("double") / F.col("__value").cast("double")
+                 ).alias(column_name),
+            )
+        )
+
+    # ancestor prefixes: for depth d, lengths 0..d-1; for the root (d=0),
+    # itself (length 0) so root/root = 1.0 like the reference (:369-374).
+    child = df.withColumn(
+        "__anc_paths",
+        F.when(
+            F.size(callpath_col) == 0,
+            F.array(F.col(callpath_col)),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(callpath_col) - 1),
+                lambda i: F.slice(F.col(callpath_col), 1, i),
+            )
+        ),
+    )
+    exploded = child.select(
+        *df.columns, F.explode("__anc_paths").alias("__anc_path")
+    ).withColumn("__anc_key", cp.path_key("__anc_path"))
+
+    joined = exploded.join(
+        nodes,
+        on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
+        + [F.col("__anc_key") == F.col("__path_key"),
+           F.col("__anc_path") == F.col("__path")],
+        how="inner",
+    ).select(
+        *[exploded[c] for c in df.columns],
+        F.size("__anc_path").alias("__anc_depth"),
+        F.col("__value").alias("__anc_value"),
+    )
+
+    qualifying = joined.filter(
+        (F.col("__anc_value").cast("double") >= F.col(base_column).cast("double"))
+        | (F.col("__anc_depth") == 0)
+    )
+    # deepest qualifying ancestor wins (nearest in the walk-up order)
+    agg = (
+        qualifying.groupBy(*pc, "id")
+        .agg(F.max_by("__anc_value", "__anc_depth").alias("__base"))
+    )
+    out = df.join(agg, on=[*pc, "id"], how="left")
+    return out.withColumn(
+        column_name,
+        F.col(base_column).cast("double") / F.col("__base").cast("double"),
+    ).drop("__base")
+
+
+def fix_root_measurement(
+    df: DataFrame,
+    column_pairs: Sequence[tuple[str, str]],
+    callpath_col: str = "callpath",
+) -> DataFrame:
+    """Copy the root row's (I) value over its (E) value for each pair.
+
+    Reference: hpctoolkit_dataframe.py:291-305 — the root has no exclusive
+    samples, so ``X (E)`` at the root is patched from ``X (I)``.
+    ``column_pairs`` is [(exclusive_col, inclusive_col), ...].
+    """
+    out = df
+    for target, source in column_pairs:
+        out = out.withColumn(
+            target,
+            F.when(F.size(callpath_col) == 0, F.col(source)).otherwise(F.col(target)),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# hot path (reference hot_path, :403-428)
+# ---------------------------------------------------------------------------
+
+def hot_path(
+    df: DataFrame,
+    base_column: str,
+    callpath: Sequence[int] = (),
+    threshold: float = 0.05,
+    callpath_col: str = "callpath",
+    max_iters: int = 64,
+) -> DataFrame:
+    """Greedy hottest-descendant chain.
+
+    Reference semantics (hpctoolkit_dataframe.py:403-428): starting from
+    ``callpath``, repeatedly append the current path, descend to the
+    child with the max ``base_column`` value, and stop when there are no
+    children or the hottest child's value drops below ``threshold`` (the
+    below-threshold child is NOT included; the starting path always is).
+
+    Spark plan: one slim projection (value, id, depth, parent-prefix
+    test) cached once; each descent step is a tiny ``max_by`` aggregate
+    over the current node's children.  The loop runs at most tree-depth
+    times (<= ~25 in fixtures) and each job is a narrow filter+agg on the
+    cached slim frame, so driver orchestration cost is bounded and no
+    full collect ever happens.  Ties break on smallest id (the reference
+    takes the first row in DFS preorder via ``idxmax``; by-id is the
+    deterministic analogue).
+    """
+    slim = df.select(
+        F.col("id").alias("__id"),
+        F.col(callpath_col).alias("__path"),
+        F.col(base_column).cast("double").alias("__value"),
+    ).cache()
+    try:
+        current = tuple(int(x) for x in callpath)
+        chain: list[tuple[int, ...]] = []
+        for _ in range(max_iters):
+            chain.append(current)
+            children = slim.filter(
+                (F.size("__path") == len(current) + 1)
+                & cp.has_prefix(current, "__path")
+            )
+            top = children.orderBy(
+                F.col("__value").desc(), F.col("__id").asc()
+            ).limit(1).collect()
+            if not top:
+                break
+            row = top[0]
+            if row["__value"] is None or row["__value"] < threshold:
+                break
+            current = tuple(row["__path"])
+        preds = None
+        for p in chain:
+            pred = (F.size(callpath_col) == len(p)) & cp.has_prefix(p, callpath_col)
+            preds = pred if preds is None else (preds | pred)
+        return df.filter(preds)
+    finally:
+        slim.unpersist()
+
+
+def hot_edges(
+    df: DataFrame,
+    base_column: str,
+    partition_cols: Sequence[str] = (),
+    parent_id_col: str | None = None,
+    callpath_col: str = "callpath",
+) -> DataFrame:
+    """Rank-1 child per parent — the one-job building block for computing
+    hot paths over MANY profiles at once (no driver loop per profile).
+
+    Returns df's columns plus ``__rank`` = 1 for the hottest child of each
+    parent (ties by id).  A driver- or SQL-side recursive walk over these
+    edges yields the same chain as :func:`hot_path`.
+    """
+    parent = (
+        F.col(parent_id_col)
+        if parent_id_col
+        # ANSI-safe: element_at on an empty array (the root) would throw
+        else F.when(
+            F.size(cp.parent_path(callpath_col)) > 0,
+            F.element_at(cp.parent_path(callpath_col), -1),
+        )
+    )
+    w = Window.partitionBy(*partition_cols, parent.alias("__parent")).orderBy(
+        F.col(base_column).desc(), F.col("id").asc()
+    )
+    return df.withColumn("__rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# compact projection (reference :387-389)
+# ---------------------------------------------------------------------------
+
+def compact(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Select the 'meaningful' columns (reference compact, :387-389)."""
+    return df.select(*columns)

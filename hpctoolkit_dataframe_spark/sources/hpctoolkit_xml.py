@@ -1,0 +1,322 @@
+"""Distributed ingest of HPCtoolkit experiment XML databases.
+
+Reference loader: hpctoolkit_dataframe/hpctoolkit_dataframe.py:154-216 —
+single-file, single-process, recursive DFS building a list of row dicts.
+Spark shape: ``spark.read.format("binaryFile")`` over a glob of
+experiment XMLs -> ``mapInPandas`` running a per-file parser that emits
+the flattened CCT (one row per node, callpath materialized), then
+finalize-formula application, root (E)<-(I) repair and ratio columns as
+declarative DataFrame transformations.  One experiment tree is ~10^4
+nodes, so per-file driver-side recursion inside the executor is cheap
+and the 100 TB case (millions of files) is embarrassingly parallel —
+each file parses independently in one task, no shuffle until analytics.
+
+Semantics replicated from the reference:
+- first ``SecCallPathProfile`` section only (:161)
+- callsite (``C``) splice-skip by default: children attach to the
+  grandparent, the callsite's own M values are dropped (:147-148, 266-269)
+- ``max_depth`` prunes the walk (true pushdown — subtree never parsed,
+  :256-257)
+- location fields inherit from the parent node (:271-278)
+- synthetic root row id=-1, callpath=[], type='root', line=0 (:247)
+- unknown element tags raise NotImplementedError (:260-264)
+- metric ids/names/formulas from the file's ``MetricTable`` (:164-170)
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..frame import CCTMetadata
+from ..functions import formulas as _formulas
+from ..operators import cct as _cct
+
+_MEASUREMENT_TYPES = {
+    "PF": "procedure frame",
+    "C": "callsite",
+    "Pr": "procedure",
+    "S": "statement",
+    "L": "loop",
+}
+
+LOCATION_COLUMNS = [
+    "callpath", "module path", "module", "file path", "file", "line",
+    "procedure", "id", "type",
+]
+
+
+def _parse_header(root: ET.Element) -> dict:
+    """Header tables of the FIRST SecCallPathProfile section (:161-185)."""
+    profile = root.find("./SecCallPathProfile")
+    header = {
+        "name": profile.attrib.get("n", ""),
+        "metrics_by_id": {},
+        "formulas_by_id": {},
+        "modules_by_id": {},
+        "files_by_id": {},
+        "procedures_by_id": {},
+    }
+    metrics = profile.find("./SecHeader/MetricTable")
+    if metrics is not None:
+        for m in metrics:
+            mid = int(m.attrib["i"])
+            header["metrics_by_id"][mid] = m.attrib["n"]
+            for formula in m.findall("./MetricFormula"):
+                # only t="finalize" is used; t="combine" matters only for
+                # multi-profile merging which the reference never does (:69-70)
+                if formula.attrib.get("t") == "finalize":
+                    header["formulas_by_id"][mid] = formula.attrib["frm"]
+                    break
+    for table, key in (
+        ("LoadModuleTable", "modules_by_id"),
+        ("FileTable", "files_by_id"),
+        ("ProcedureTable", "procedures_by_id"),
+    ):
+        element = profile.find(f"./SecHeader/{table}")
+        if element is not None:
+            header[key] = {int(e.attrib["i"]): e.attrib["n"] for e in element}
+    return header
+
+
+def parse_experiment_rows(
+    content: bytes,
+    profile_id: str,
+    *,
+    max_depth: int | None = None,
+    skip_callsite: bool = True,
+) -> tuple[dict, list[dict]]:
+    """Parse one experiment XML into (header, flat CCT row dicts).
+
+    Row dicts carry raw metric values keyed ``__raw_<metric_id>`` —
+    finalize formulas are applied later as Spark column expressions over
+    these raw columns (the reference evaluates formulas over the raw
+    per-node metric dict, hpctoolkit_dataframe.py:218-231).
+    """
+    root = ET.fromstring(content)
+    header = _parse_header(root)
+    modules = header["modules_by_id"]
+    files = header["files_by_id"]
+    procedures = header["procedures_by_id"]
+    profile = root.find("./SecCallPathProfile")
+    data = profile.find("./SecCallPathProfileData")
+    rows: list[dict] = []
+
+    def walk(element: ET.Element, location: dict | None, budget: int | None,
+             add_local: bool) -> None:
+        local: dict = {}
+        children = []
+        for child in element:
+            if child.tag == "M":
+                if add_local:
+                    local[f"__raw_{int(child.attrib['n'])}"] = float(
+                        child.attrib["v"])
+            else:
+                children.append(child)
+        if location is None:
+            location = {"line": 0, "id": -1, "callpath": (), "type": "root",
+                        "profile_id": profile_id}
+        if add_local:
+            row = dict(location)
+            row.update(local)
+            rows.append(row)
+        if budget is not None and budget <= 0:
+            return
+        for child in children:
+            tag = child.tag
+            if tag not in _MEASUREMENT_TYPES:
+                raise NotImplementedError(
+                    '{}: measurement type "{}" not recognized:'
+                    "\nattributes={}\nsubnodes={}".format(
+                        profile_id, tag, child.attrib, list(child)))
+            if skip_callsite and tag == "C":
+                # splice: children attach to this node's location; the
+                # callsite's own M values are dropped (:266-269)
+                walk(child, location, budget, add_local=False)
+                continue
+            new_location = dict(location)
+            attrib = child.attrib
+            if "lm" in attrib:
+                path = modules[int(attrib["lm"])]
+                new_location["module path"] = path
+                new_location["module"] = os.path.basename(path)
+            if "f" in attrib:
+                path = files[int(attrib["f"])]
+                new_location["file path"] = path
+                new_location["file"] = os.path.basename(path)
+            if "l" in attrib:
+                new_location["line"] = int(attrib["l"])
+            if "n" in attrib:
+                new_location["procedure"] = procedures[int(attrib["n"])]
+            new_location["id"] = int(attrib["i"])
+            new_location["type"] = _MEASUREMENT_TYPES[tag]
+            new_location["callpath"] = (*location["callpath"],
+                                        new_location["id"])
+            walk(child, new_location,
+                 None if budget is None else budget - 1, add_local=True)
+
+    walk(data, None, max_depth, True)
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)), f"{profile_id}: duplicate node ids"
+    return header, rows
+
+
+def _register_self_for_pickle_by_value() -> None:
+    """Ship the parser to executors by value, not by import.
+
+    Executor Python workers generally don't have this package on their
+    ``sys.path`` unless it was installed cluster-wide; registering the
+    module for cloudpickle by-value serialization makes the ingest
+    closure self-contained (the only worker-side imports left are
+    stdlib + pandas, which Spark already requires for mapInPandas).
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # best effort; repo-root launches work regardless
+        pass
+
+
+def _raw_schema(metric_ids: list[int]) -> T.StructType:
+    fields = [
+        T.StructField("profile_id", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("callpath", T.ArrayType(T.LongType())),
+        T.StructField("type", T.StringType()),
+        T.StructField("module path", T.StringType()),
+        T.StructField("module", T.StringType()),
+        T.StructField("file path", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("line", T.LongType()),
+        T.StructField("procedure", T.StringType()),
+    ]
+    fields += [T.StructField(f"__raw_{mid}", T.DoubleType())
+               for mid in metric_ids]
+    return T.StructType(fields)
+
+
+def load_experiments(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_depth: int | None = None,
+    skip_callsite: bool = True,
+    add_percentage_columns: bool = True,
+    with_imag: bool = False,
+) -> tuple[DataFrame, CCTMetadata]:
+    """Load one or many experiment XMLs into a single wide DataFrame.
+
+    ``path`` may be a file or a glob; every matched file must share the
+    first file's MetricTable ids (heterogeneous metric sets should be
+    loaded separately and unioned — same contract as the reference,
+    which is strictly one file per frame, :159).
+    """
+    first = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+    if not first:
+        raise FileNotFoundError(path)
+    _register_self_for_pickle_by_value()
+    with open(first[0], "rb") as f:
+        header = _parse_header(ET.fromstring(f.read()))
+    metric_ids = sorted(header["metrics_by_id"])
+    schema = _raw_schema(metric_ids)
+    columns = [f.name for f in schema.fields]
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            for _, file_row in batch.iterrows():
+                _, rows = parse_experiment_rows(
+                    file_row["content"], file_row["path"],
+                    max_depth=max_depth, skip_callsite=skip_callsite)
+                out = pd.DataFrame(rows)
+                for c in columns:
+                    if c not in out.columns:
+                        out[c] = None
+                out["callpath"] = out["callpath"].map(list)
+                yield out[columns]
+
+    raw = (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+        .mapInPandas(parse_files, schema=schema)
+    )
+
+    meta = CCTMetadata(
+        db_path=first[0],
+        metrics_by_id=header["metrics_by_id"],
+        metrics_formulas={
+            header["metrics_by_id"][mid]: frm
+            for mid, frm in header["formulas_by_id"].items()},
+        modules_by_id=header["modules_by_id"],
+        files_by_id=header["files_by_id"],
+        procedures_by_id=header["procedures_by_id"],
+    )
+
+    df = finalize_metrics(raw, header, with_imag=with_imag)
+
+    from ..frame import determine_percentage_column, _HOT_PATH_SUFFIX, \
+        _COMPACT_SUFFIXES, _COMPACT_LOCATION_COLUMNS
+
+    metric_names = [header["metrics_by_id"][mid] for mid in metric_ids]
+    pct = determine_percentage_column(metric_names)
+    meta.meaningful_columns = {
+        "percentage": pct,
+        "hot_path": pct + _HOT_PATH_SUFFIX,
+        "compact": [pct + s for s in _COMPACT_SUFFIXES]
+        + _COMPACT_LOCATION_COLUMNS,
+    }
+
+    if add_percentage_columns:
+        df = _cct.with_ratio_of_total(
+            df, pct, pct + " ratio of total", partition_cols=["profile_id"])
+        df = _cct.with_ratio_of_parent(
+            df, pct, pct + " ratio of parent", partition_cols=["profile_id"])
+        # reference keeps ratio columns right after their base (:354)
+        cols = [c for c in df.columns
+                if c not in (pct + " ratio of total", pct + " ratio of parent")]
+        idx = cols.index(pct) + 1
+        cols = cols[:idx] + [pct + " ratio of total",
+                             pct + " ratio of parent"] + cols[idx:]
+        df = df.select(*[F.col(f"`{c}`") for c in cols])
+    return df, meta
+
+
+def finalize_metrics(raw: DataFrame, header: dict, *,
+                     with_imag: bool = False) -> DataFrame:
+    """Apply finalize formulas + root repair, order columns like the
+    reference (metrics sorted by id, then location columns; :190-198)."""
+    metric_ids = sorted(header["metrics_by_id"])
+    resolve = lambda mid: F.col(f"__raw_{mid}")  # noqa: E731
+    exprs: list = []
+    imag_exprs: list = []
+    for mid in metric_ids:
+        name = header["metrics_by_id"][mid]
+        frm = header["formulas_by_id"].get(mid)
+        if frm is None:
+            exprs.append(F.col(f"__raw_{mid}").alias(name))
+            continue
+        re_, im_ = _formulas.compile_formula(frm, resolve)
+        exprs.append(re_.alias(name))
+        if with_imag and im_ is not None:
+            imag_exprs.append(im_.alias(f"{name} (imag)"))
+    out = raw.select(
+        *exprs, *imag_exprs,
+        *[F.col(f"`{c}`") for c in LOCATION_COLUMNS], "profile_id")
+    # root (E) <- (I) repair (:291-305)
+    pairs = []
+    names = set(header["metrics_by_id"].values())
+    for name in names:
+        if name.endswith(" (E)"):
+            sibling = name[: -len(" (E)")] + " (I)"
+            if sibling in names:
+                pairs.append((name, sibling))
+    return _cct.fix_root_measurement(out, pairs)

@@ -1,0 +1,92 @@
+"""Unit tests for CCT operators on small synthetic frames.
+
+Covers the subtle reference semantics that the XML golden tests can't
+isolate: the ratio-of-parent walk-up rule (skip ancestors with smaller
+values, hpctoolkit_dataframe.py:368-371) and per-profile isolation of
+the joins (engine extension — reference is single-profile only).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpctoolkit_dataframe_spark.operators import cct
+
+
+@pytest.fixture(scope="module")
+def tree(spark):
+    # value is NON-monotone: node 3 (value 50) > its parent 2 (value 10),
+    # so the walk-up must skip node 2 and land on node 1 (value 100).
+    rows = [
+        # (profile, id, callpath, value)
+        ("p1", -1, [], 100.0),
+        ("p1", 1, [1], 100.0),
+        ("p1", 2, [1, 2], 10.0),
+        ("p1", 3, [1, 2, 3], 50.0),
+        ("p1", 4, [1, 2, 3, 4], 5.0),
+        # p2 has the same ids but different values — must not leak into p1
+        ("p2", -1, [], 1000.0),
+        ("p2", 1, [1], 1.0),
+        ("p2", 2, [1, 2], 1.0),
+        ("p2", 3, [1, 2, 3], 1.0),
+        ("p2", 4, [1, 2, 3, 4], 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "profile_id string, id long, callpath array<long>, value double")
+
+
+def _by_id(rows, profile="p1"):
+    return {r["id"]: r for r in rows if r["profile_id"] == profile}
+
+
+def test_ratio_of_total_per_profile(tree):
+    out = cct.with_ratio_of_total(tree, "value", "r",
+                                  partition_cols=["profile_id"]).collect()
+    p1 = _by_id(out)
+    assert p1[-1]["r"] == 1.0
+    assert p1[3]["r"] == 0.5
+    p2 = _by_id(out, "p2")
+    assert p2[3]["r"] == pytest.approx(0.001)
+
+
+def test_ratio_of_parent_walk_up(tree):
+    out = cct.with_ratio_of_parent(tree, "value", "r",
+                                   partition_cols=["profile_id"]).collect()
+    p1 = _by_id(out)
+    assert p1[-1]["r"] == 1.0          # root resolves to itself (:369-374)
+    assert p1[1]["r"] == 1.0           # 100/100
+    assert p1[2]["r"] == pytest.approx(0.1)    # 10/100
+    # walk-up: parent (10) < own (50) -> skip to node 1 (100)
+    assert p1[3]["r"] == pytest.approx(0.5)
+    assert p1[4]["r"] == pytest.approx(0.1)    # 5/50 via parent 3
+    # p2 values unaffected by p1's identical ids
+    p2 = _by_id(out, "p2")
+    assert p2[2]["r"] == pytest.approx(1.0)    # 1/1 (parent qualifies)
+
+
+def test_ratio_of_parent_no_qualifying_ancestor(spark):
+    # child larger than every ancestor -> the walk terminates at the root
+    # and uses it regardless (reference loop structure :368-382)
+    rows = [("p", -1, [], 10.0), ("p", 1, [1], 5.0), ("p", 2, [1, 2], 99.0)]
+    df = spark.createDataFrame(
+        rows, "profile_id string, id long, callpath array<long>, value double")
+    out = _by_id(cct.with_ratio_of_parent(
+        df, "value", "r", partition_cols=["profile_id"]).collect(), "p")
+    assert out[2]["r"] == pytest.approx(9.9)
+
+
+def test_hot_edges_rank(tree):
+    ranked = cct.hot_edges(tree, "value", partition_cols=["profile_id"])
+    top = {(r["profile_id"], r["id"]): r["__rank"]
+           for r in ranked.collect()}
+    assert top[("p1", 2)] == 1   # only child of 1
+    assert top[("p1", 3)] == 1
+    # p2 children of same parents rank independently
+    assert top[("p2", 2)] == 1
+
+
+def test_at_paths_prefix_suffix(tree):
+    assert cct.at_paths(tree, prefix=(1, 2)).count() == 6  # 3 per profile
+    ids = sorted(r["id"] for r in
+                 cct.at_paths(tree, suffix=(2, 3)).collect())
+    assert ids == [3, 3]
+    assert cct.at_paths(tree).count() == 10

@@ -1,0 +1,108 @@
+"""Golden-value parity with the reference (FIXTURES.md §3 captures)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hpctoolkit_dataframe_spark import HPCtoolkitDataFrame
+from hpctoolkit_dataframe_spark.sources.hpctoolkit_xml import load_experiments
+
+from .conftest import EXPERIMENT1, EXPERIMENT2
+
+
+@pytest.fixture(scope="module")
+def exp1(spark):
+    h = HPCtoolkitDataFrame(path=EXPERIMENT1, spark=spark)
+    h._df = h._df.cache()
+    h._df.count()
+    yield h
+    h._df.unpersist()
+
+
+def test_shape_and_types(exp1):
+    assert exp1.count() == 3454
+    # 24 metric + 9 location + 2 ratio = 33 reference columns (+ profile_id)
+    assert len(exp1.columns) == 34
+    counts = dict(exp1.df.groupBy("type").count().collect())
+    assert counts == {"statement": 1450, "loop": 1409,
+                      "procedure frame": 594, "root": 1}
+    assert exp1.df.select(F.max(F.size("callpath"))).first()[0] == 25
+
+
+def test_percentage_election(exp1):
+    assert exp1.metadata.meaningful_columns["percentage"] == \
+        "CPUTIME (usec):Mean (I)"
+
+
+def test_root_fix(exp1):
+    root = exp1.df.filter(F.size("callpath") == 0).select(
+        F.col("`CPUTIME (usec):Sum (I)`").alias("i"),
+        F.col("`CPUTIME (usec):Sum (E)`").alias("e")).first()
+    assert root["i"] == root["e"] == 72135600.0
+
+
+def test_hot_path_golden_chain(exp1):
+    hp = exp1.hot_path()
+    rows = hp.select("id", "callpath").collect()
+    ids = [r["id"] for r in sorted(rows, key=lambda r: len(r["callpath"]))]
+    assert ids == [-1, 2, 4, 6, 797, 798, 813, 1456, 1477, 1479, 1512,
+                   1547, 1548, 1549, 1563, 1679, 1690, 1916]
+    deepest = hp.df.filter(F.col("id") == 1916).select(
+        F.round(F.col("`CPUTIME (usec):Mean (I) ratio of total`"), 6)).first()[0]
+    assert deepest == 0.228872
+
+
+def test_filters_golden(exp1):
+    assert exp1.at_depth(2).count() == 1
+    assert exp1.at_paths(prefix=(2, 4)).count() == 3452
+    assert [r["id"] for r in
+            exp1.at_paths(suffix=(813,)).select("id").collect()] == [813]
+
+
+def test_fragments_not_implemented(exp1):
+    with pytest.raises(NotImplementedError):
+        exp1.at_paths((1, 2))
+
+
+def test_metadata_propagates_through_transformations(exp1):
+    sliced = exp1.at_depth(3).compact
+    assert sliced.metadata is exp1.metadata
+    assert sliced.metadata.meaningful_columns["hot_path"] == \
+        "CPUTIME (usec):Mean (I) ratio of total"
+    filtered = exp1.filter(F.col("type") == "loop")
+    assert isinstance(filtered, HPCtoolkitDataFrame)
+    assert filtered.metadata is exp1.metadata
+
+
+def test_max_depth_pushdown(spark):
+    df, _ = load_experiments(spark, EXPERIMENT1, max_depth=4,
+                             add_percentage_columns=False)
+    hist = dict(df.groupBy(F.size("callpath").alias("d")).count().collect())
+    assert hist == {0: 1, 1: 1, 2: 1, 3: 1, 4: 3}
+
+
+def test_callsite_included(spark):
+    df, _ = load_experiments(spark, EXPERIMENT1, max_depth=5,
+                             skip_callsite=False,
+                             add_percentage_columns=False)
+    counts = dict(df.groupBy("type").count().collect())
+    assert counts == {"procedure frame": 3, "callsite": 2, "root": 1}
+
+
+def test_experiment2_fallback_election(spark):
+    h = HPCtoolkitDataFrame(path=EXPERIMENT2, spark=spark)
+    h._df = h._df.cache()
+    assert h.count() == 2854
+    assert h.metadata.meaningful_columns["percentage"] == "PAPI_MEM_WCY:Mean (I)"
+    hp = h.hot_path()
+    rows = hp.select("id", "callpath").collect()
+    ids = [r["id"] for r in sorted(rows, key=lambda r: len(r["callpath"]))]
+    assert ids == [-1, 2, 4, 497, 573, 1588, 2029, 2555, 2557, 2880, 2933,
+                   2935, 2987, 3209, 3211, 3236]
+    h._df.unpersist()
+
+
+def test_multi_file_load(spark):
+    # engine extension: many experiments in one frame via profile_id
+    df, _ = load_experiments(spark, EXPERIMENT1.replace("experiment1", "experiment[1]"),
+                             add_percentage_columns=False)
+    assert df.select("profile_id").distinct().count() == 1
