@@ -1,0 +1,51 @@
+"""Headline query registry: every entry pairs a Spark implementation with
+an equivalent DuckDB oracle SQL string (None for non-SQL-expressible ops).
+
+Cross-engine determinism rules (so value-hash comparison is exact):
+- All money/metric aggregation in scaled BIGINT (cents etc.) — integer
+  sums are order-independent, unlike float sums.
+- Ratios/averages as a SINGLE long->double division at the end — IEEE
+  division of identical inputs is bit-identical across engines.
+- Event-time arithmetic in integer microseconds (DuckDB ``epoch()``
+  rounds, Spark ``div`` truncates — avoid both).
+- Timestamps surface as epoch integers or NTZ-formatted strings, never
+  session-timezone-dependent values.
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT and window ``row_number``
+  types differ — every aggregate is explicitly CAST on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None = None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, sql, doc)
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table is written with nanosecond timestamps, which
+        # Spark's parquet reader rejects; read them as raw LONG nanos
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+from . import cct_tpch, relational, textops, vectors  # noqa: E402,F401

@@ -1,0 +1,291 @@
+"""CCT domain operators demonstrated over the testdata's natural tree.
+
+The reference's data model is a calling-context tree with per-node
+metrics (SURVEY.md §1).  The driver's synthetic star schema contains a
+natural 5-level tree — region > nation > customer > order > lineitem —
+so every CCT operator (ratio-of-total/parent, depth & path filters,
+hot-path descent; reference hpctoolkit_dataframe.py:340-428) gets a
+DuckDB-checkable oracle here, built from the same parquet inputs.
+
+The whole tree materializes from ONE pass: a 5-key ROLLUP aggregate
+(single shuffle with map-side partial aggregation) — each rollup level
+IS a CCT depth.  Node "metric" is subtree revenue in exact scaled
+integers (price-cents x discount-complement-cents), so sums are
+order-independent and cross-engine value-hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import cct as ops
+from . import load_table, register
+
+REGION_OFF = 1
+NATION_OFF = 10
+CUST_OFF = 1_000
+ORDER_OFF = 10_000_000
+LINE_OFF = 1_000_000_000
+
+# ---------------------------------------------------------------------------
+# shared CTE set for every oracle (DuckDB SQL mirror of build_cct)
+# ---------------------------------------------------------------------------
+CCT_CTES = f"""
+base AS (
+  SELECT CAST(n.n_regionkey + {REGION_OFF} AS BIGINT) AS k1,
+         CAST(n.n_nationkey + {NATION_OFF} AS BIGINT) AS k2,
+         CAST(c.c_custkey + {CUST_OFF} AS BIGINT) AS k3,
+         CAST(o.o_orderkey + {ORDER_OFF} AS BIGINT) AS k4,
+         CAST({LINE_OFF} + o.o_orderkey * 10 + l.l_linenumber AS BIGINT) AS k5,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+rolled AS (
+  SELECT k1, k2, k3, k4, k5,
+         CAST(SUM(v) AS BIGINT) AS value,
+         CAST(COUNT(*) AS BIGINT) AS leaves,
+         CAST(GROUPING(k1)*16 + GROUPING(k2)*8 + GROUPING(k3)*4
+            + GROUPING(k4)*2 + GROUPING(k5) AS BIGINT) AS gid
+  FROM base
+  GROUP BY ROLLUP (k1, k2, k3, k4, k5)
+),
+cct AS (
+  SELECT CASE gid WHEN 0 THEN 5 WHEN 1 THEN 4 WHEN 3 THEN 3
+                  WHEN 7 THEN 2 WHEN 15 THEN 1 ELSE 0 END AS depth,
+         CASE gid WHEN 0 THEN k5 WHEN 1 THEN k4 WHEN 3 THEN k3
+                  WHEN 7 THEN k2 WHEN 15 THEN k1 ELSE -1 END AS id,
+         CASE gid WHEN 0 THEN k4 WHEN 1 THEN k3 WHEN 3 THEN k2
+                  WHEN 7 THEN k1 WHEN 15 THEN -1
+                  ELSE CAST(NULL AS BIGINT) END AS parent_id,
+         CASE gid WHEN 0 THEN [k1, k2, k3, k4, k5]
+                  WHEN 1 THEN [k1, k2, k3, k4]
+                  WHEN 3 THEN [k1, k2, k3]
+                  WHEN 7 THEN [k1, k2]
+                  WHEN 15 THEN [k1]
+                  ELSE CAST([] AS BIGINT[]) END AS path,
+         CASE gid WHEN 0 THEN 'lineitem' WHEN 1 THEN 'order'
+                  WHEN 3 THEN 'customer' WHEN 7 THEN 'nation'
+                  WHEN 15 THEN 'region' ELSE 'root' END AS type,
+         value, leaves
+  FROM rolled
+)"""
+
+
+def build_cct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shuffle CCT materialization via 5-key rollup.
+
+    Scale notes: the only wide exchange is lineitem |><| orders on the
+    order key (co-partitioned, AQE-skew-handled); customer/nation are
+    broadcast-eligible; the rollup aggregates partially map-side, so the
+    shuffled volume is already collapsed per grouping set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            (F.col("n_regionkey").cast("long") + REGION_OFF).alias("k1"),
+            (F.col("n_nationkey").cast("long") + NATION_OFF).alias("k2"),
+            (F.col("c_custkey").cast("long") + CUST_OFF).alias("k3"),
+            (F.col("o_orderkey").cast("long") + ORDER_OFF).alias("k4"),
+            (F.lit(LINE_OFF) + F.col("o_orderkey") * 10
+             + F.col("l_linenumber").cast("long")).alias("k5"),
+            (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * F.round((1 - F.col("l_discount")) * 100).cast("long")).alias("v"),
+        )
+    )
+    rolled = base.rollup("k1", "k2", "k3", "k4", "k5").agg(
+        F.sum("v").alias("value"),
+        F.count(F.lit(1)).alias("leaves"),
+        F.grouping_id().alias("gid"),
+    )
+    gid = F.col("gid")
+    keys = F.array("k1", "k2", "k3", "k4", "k5")
+    depth = (
+        F.when(gid == 0, 5).when(gid == 1, 4).when(gid == 3, 3)
+        .when(gid == 7, 2).when(gid == 15, 1).otherwise(0).cast("long")
+    )
+    node_id = (
+        F.when(gid == 0, F.col("k5")).when(gid == 1, F.col("k4"))
+        .when(gid == 3, F.col("k3")).when(gid == 7, F.col("k2"))
+        .when(gid == 15, F.col("k1")).otherwise(-1).cast("long")
+    )
+    parent_id = (
+        F.when(gid == 0, F.col("k4")).when(gid == 1, F.col("k3"))
+        .when(gid == 3, F.col("k2")).when(gid == 7, F.col("k1"))
+        .when(gid == 15, -1).otherwise(F.lit(None)).cast("long")
+    )
+    path = (
+        F.when(gid == 0, keys).when(gid == 1, F.slice(keys, 1, 4))
+        .when(gid == 3, F.slice(keys, 1, 3)).when(gid == 7, F.slice(keys, 1, 2))
+        .when(gid == 15, F.slice(keys, 1, 1))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    node_type = (
+        F.when(gid == 0, "lineitem").when(gid == 1, "order")
+        .when(gid == 3, "customer").when(gid == 7, "nation")
+        .when(gid == 15, "region").otherwise("root")
+    )
+    return rolled.select(
+        node_id.alias("id"), parent_id.alias("parent_id"),
+        depth.alias("depth"), node_type.alias("type"),
+        path.alias("callpath"), F.col("value").cast("long").alias("value"),
+        F.col("leaves").cast("long").alias("leaves"),
+    )
+
+
+def _path_str(col: str = "callpath") -> F.Column:
+    return F.array_join(F.transform(F.col(col), lambda x: x.cast("string")), "/")
+
+
+# COALESCE: DuckDB's array_to_string of an empty list yields NULL,
+# Spark's array_join yields ''
+_PATH_STR_SQL = "COALESCE(array_to_string(path, '/'), '')"
+
+
+# ---------------------------------------------------------------------------
+# S2/S3-analog: the tree materialization itself
+# ---------------------------------------------------------------------------
+@register("cct_nodes", sql=f"""WITH {CCT_CTES}
+SELECT id, parent_id, depth, type, {_PATH_STR_SQL} AS path_s, value
+FROM cct""",
+          doc="flattened CCT build (reference ingest analog, SURVEY §2.1 S2/S3)")
+def cct_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_cct(spark, sf_dir).select(
+        "id", "parent_id", "depth", "type",
+        _path_str().alias("path_s"), "value")
+
+
+# ---------------------------------------------------------------------------
+# A2: ratio of total (reference add_ratio_column 'total', :356-359)
+# ---------------------------------------------------------------------------
+@register("cct_ratio_of_total", sql=f"""WITH {CCT_CTES}
+SELECT c.id, c.depth, c.value,
+       CAST(c.value AS DOUBLE) / CAST(r.value AS DOUBLE) AS ratio
+FROM cct c CROSS JOIN (SELECT value FROM cct WHERE depth = 0) r""",
+          doc="ratio-of-total column (reference A2)")
+def cct_ratio_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.with_ratio_of_total(build_cct(spark, sf_dir), "value", "ratio")
+    return df.select("id", "depth", "value", "ratio")
+
+
+# ---------------------------------------------------------------------------
+# A3: ratio of parent with walk-up (reference add_ratio_column 'parent')
+# ---------------------------------------------------------------------------
+_WALKUP_SQL = """
+anc AS (
+  SELECT x.id, x.mv, a.depth AS adepth, a.mv AS amv
+  FROM (SELECT id, mv, list_slice(path, 1, CAST(i AS BIGINT)) AS apath
+        FROM (SELECT id, mv, path, unnest(range(0, depth)) AS i
+              FROM m WHERE depth > 0)) x
+  JOIN m a ON a.path = x.apath
+  WHERE CAST(a.mv AS DOUBLE) >= CAST(x.mv AS DOUBLE) OR a.depth = 0
+),
+best AS (
+  SELECT id, CAST(mv AS DOUBLE) / CAST(arg_max(amv, adepth) AS DOUBLE) AS ratio
+  FROM anc GROUP BY id, mv
+)"""
+
+@register("cct_ratio_of_parent", sql=f"""WITH {CCT_CTES},
+m AS (SELECT id, depth, path, value AS mv FROM cct),
+{_WALKUP_SQL.lstrip()}
+SELECT c.id, c.depth, c.value, COALESCE(b.ratio, 1.0) AS ratio
+FROM cct c LEFT JOIN best b ON b.id = c.id""",
+          doc="ratio-of-parent with ancestor walk-up (reference A3, :360-384)")
+def cct_ratio_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.with_ratio_of_parent(build_cct(spark, sf_dir), "value", "ratio")
+    return df.select("id", "depth", "value", "ratio")
+
+
+@register("cct_ratio_of_parent_walkup", sql=f"""WITH {CCT_CTES},
+m AS (SELECT id, depth, path,
+             CAST(value AS DOUBLE) / CAST(leaves AS DOUBLE) AS mv FROM cct),
+{_WALKUP_SQL.lstrip()}
+SELECT c.id, c.depth,
+       CAST(c.value AS DOUBLE) / CAST(c.leaves AS DOUBLE) AS avg_leaf,
+       COALESCE(b.ratio, 1.0) AS ratio
+FROM cct c LEFT JOIN best b ON b.id = c.id""",
+          doc="walk-up on a NON-monotone metric — exercises the "
+              "skip-smaller-ancestor branch (reference :368-371)")
+def cct_ratio_of_parent_walkup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = build_cct(spark, sf_dir).withColumn(
+        "avg_leaf", F.col("value").cast("double") / F.col("leaves").cast("double"))
+    df = ops.with_ratio_of_parent(df, "avg_leaf", "ratio")
+    return df.select("id", "depth", "avg_leaf", "ratio")
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P5: path and depth filters
+# ---------------------------------------------------------------------------
+@register("cct_at_depth_3", sql=f"""WITH {CCT_CTES}
+SELECT id, value, {_PATH_STR_SQL} AS path_s FROM cct WHERE depth = 3""",
+          doc="exact-depth filter (reference P5 at_depth, :400-401)")
+def cct_at_depth_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.at_depth(build_cct(spark, sf_dir), 3).select(
+        "id", "value", _path_str().alias("path_s"))
+
+
+@register("cct_depth_range_2_3", sql=f"""WITH {CCT_CTES}
+SELECT id, depth, value FROM cct WHERE depth BETWEEN 2 AND 3""",
+          doc="depth-range filter (reference P4 at_depths, :395-398)")
+def cct_depth_range_2_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.at_depths(build_cct(spark, sf_dir), 2, 3).select(
+        "id", "depth", "value")
+
+
+@register("cct_prefix_subtree", sql=f"""WITH {CCT_CTES}
+SELECT id, depth, value FROM cct
+WHERE len(path) >= 1 AND path[1] = {REGION_OFF + 2}""",
+          doc="callpath-prefix subtree filter (reference P3 at_paths prefix)")
+def cct_prefix_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.at_paths(build_cct(spark, sf_dir),
+                        prefix=(REGION_OFF + 2,)).select("id", "depth", "value")
+
+
+@register("cct_suffix_filter", sql=f"""WITH {CCT_CTES}
+SELECT id, depth, {_PATH_STR_SQL} AS path_s, value FROM cct
+WHERE len(path) >= 1 AND path[len(path)] = {CUST_OFF + 42}""",
+          doc="callpath-suffix filter (reference P3 at_paths suffix)")
+def cct_suffix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.at_paths(build_cct(spark, sf_dir),
+                        suffix=(CUST_OFF + 42,)).select(
+        "id", "depth", _path_str().alias("path_s"), "value")
+
+
+# ---------------------------------------------------------------------------
+# O3: greedy hot-path descent (reference hot_path, :403-428)
+# ---------------------------------------------------------------------------
+HOT_THRESHOLD = 0.001
+
+@register("cct_hot_path", sql=f"""WITH RECURSIVE {CCT_CTES},
+ranked AS (
+  SELECT c.id, c.parent_id, c.depth, c.value,
+         CAST(c.value AS DOUBLE) / CAST(r.value AS DOUBLE) AS ratio,
+         row_number() OVER (PARTITION BY c.parent_id
+                            ORDER BY c.value DESC, c.id ASC) AS rk
+  FROM cct c CROSS JOIN (SELECT value FROM cct WHERE depth = 0) r
+  WHERE c.depth > 0
+),
+hot AS (
+  SELECT id, depth, value, CAST(1.0 AS DOUBLE) AS ratio
+  FROM cct WHERE depth = 0
+  UNION ALL
+  SELECT r.id, r.depth, r.value, r.ratio
+  FROM hot h JOIN ranked r
+    ON r.parent_id = h.id AND r.rk = 1 AND r.ratio >= {HOT_THRESHOLD}
+)
+SELECT id, depth, value, ratio FROM hot""",
+          doc="greedy hottest-descendant chain (reference O3 hot_path)")
+def cct_hot_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.with_ratio_of_total(build_cct(spark, sf_dir), "value", "ratio")
+    chain = ops.hot_path(df, "ratio", threshold=HOT_THRESHOLD)
+    return chain.select("id", "depth", "value", "ratio")

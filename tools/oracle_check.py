@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every entry of ``__spark_entry__.queries()`` against its
+``oracle_sql()`` DuckDB counterpart on the same parquet tables and
+compares row count, column names/types, and an order-insensitive exact
+value comparison.  Floats are compared bit-exactly first; near-misses
+(<=1e-9 rel) are reported separately so risk is visible before the
+driver runs.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    out = []
+    for row in rows:
+        out.append(tuple(None if v is None else v for v in row))
+    return sorted(out, key=lambda r: tuple(
+        (x is None, str(type(x)), str(x)) for x in r))
+
+
+def approx_equal(a, b):
+    if a == b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return False
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from hpctoolkit_dataframe_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only check: {len(s_rows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"row count: spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            s_idx = [s_cols.index(c) for c in sorted(s_cols)]
+            d_idx = [d_cols.index(c) for c in sorted(d_cols)]
+            s_sorted = canon([[r[i] for i in s_idx] for r in s_rows])
+            d_sorted = canon([[r[i] for i in d_idx] for r in d_rows])
+            exact = near = 0
+            first_diff = None
+            for sr, dr in zip(s_sorted, d_sorted):
+                if sr == dr:
+                    exact += 1
+                elif all(approx_equal(a, b) for a, b in zip(sr, dr)):
+                    near += 1
+                elif first_diff is None:
+                    first_diff = (sr, dr)
+            if first_diff:
+                problems.append(f"values differ, e.g.\n  spark={first_diff[0]}\n"
+                                f"  duck ={first_diff[1]}")
+            elif near:
+                print(f"WARN {name}: {near}/{len(s_rows)} rows only "
+                      f"approx-equal (float drift risk)")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK   {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
