@@ -1,0 +1,322 @@
+"""Relational + event-time query coverage (Spark builtins, SURVEY §2.4-2.7).
+
+The reference inherits generic relational capability from pandas
+(SURVEY.md §2.2 P7-P10, §2.4 'absent' rows); here each category is a
+first-class Spark query with a DuckDB oracle: aggregation pipelines,
+multi-way joins, top-k, window ranking, cube grouping, event-time
+bucketing and sessionization.
+
+Determinism: money in scaled BIGINT; averages as one SUM/COUNT double
+division; event time in integer microseconds (see queries/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import load_table, register
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (filter + groupBy agg; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register("q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_disc_price_e4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+              * CAST(ROUND((1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_charge_e6,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price_c,
+       CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_disc_e2,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_comp_c = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    tax_c = F.round((1 + F.col("l_tax")) * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_price_c"),
+            F.sum(price_c * disc_comp_c).alias("sum_disc_price_e4"),
+            F.sum(price_c * disc_comp_c * tax_c).alias("sum_charge_e6"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("avg_qty"),
+            (F.sum(price_c).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("avg_price_c"),
+            (F.sum(_cents(F.col("l_discount"))).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("avg_disc_e2"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3: shipping priority (3-way join + agg + deterministic top-k)
+# ---------------------------------------------------------------------------
+@register("q3_top_orders", sql="""
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+              * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 10""")
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pivot = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        li.filter(F.col("l_shipdate") > pivot)
+        .join(o.filter(F.col("o_orderdate") < pivot),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))
+                   * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+             .alias("revenue_e4"))
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("revenue_e4").cast("long"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority")
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5: local-supplier revenue (6-way join; TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register("q5_region_revenue", sql="""
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+              * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))
+                   * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+             .cast("long").alias("revenue_e4"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue (pushdown-friendly scan filter + scalar agg)
+# ---------------------------------------------------------------------------
+@register("q6_forecast_revenue", sql="""
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * CAST(ROUND(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_e4,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.07
+  AND l_quantity < 24""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(
+            F.coalesce(F.sum(_cents(F.col("l_extendedprice"))
+                             * _cents(F.col("l_discount"))), F.lit(0))
+            .cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window ranking: top customer per nation (SURVEY §2.5 analog)
+# ---------------------------------------------------------------------------
+@register("top_customer_per_nation", sql="""
+SELECT * FROM (
+  SELECT n.n_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_c,
+         CAST(row_number() OVER (
+           PARTITION BY n.n_name
+           ORDER BY CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) DESC, c.c_custkey ASC) AS BIGINT) AS rk
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, c.c_custkey
+) WHERE rk <= 3""")
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("spend_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("spend_c").desc(), F.col("c_custkey").asc())
+    return (
+        spend.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", F.col("c_custkey").cast("long").alias("c_custkey"),
+                "spend_c", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cube grouping (SURVEY §2.4 'absent' grouping sets — Spark builtin)
+# ---------------------------------------------------------------------------
+@register("cube_returnflag_status", sql="""
+SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grp,
+       COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""")
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_quantity").cast("long")).cast("long")
+             .alias("sum_qty"),
+             F.grouping_id().cast("long").alias("grp"))
+        .select("grp",
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "n", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time: tumbling hourly aggregation (streaming-compatible shape;
+# the same expression runs under readStream + watermark, see streaming/)
+# ---------------------------------------------------------------------------
+@register("events_hourly", sql="""
+SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS hour_epoch_s,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events
+GROUP BY 1, 2""")
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")  # ts is LONG nanoseconds
+    return (
+        ev.withColumn("hour_epoch_s",
+                      (F.expr("ts div 1000") / F.lit(3600000000)).cast("long")
+                      * 3600)
+        .groupBy("hour_epoch_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+             .alias("value_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time: gap-based sessionization (lag + running sum windows)
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+@register("events_sessions", sql=f"""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+y AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM x
+),
+z AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM y
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(MIN(ts_us) AS BIGINT) AS start_us,
+       CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_s
+FROM z GROUP BY user_id, session_id""")
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    x = ev.select("user_id", "event_id", ts_us.alias("ts_us"))
+    y = x.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "new_sess",
+        F.when(F.col("prev_us").isNull()
+               | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US), 1)
+        .otherwise(0))
+    z = y.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    return (
+        z.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts_us").cast("long").alias("start_us"),
+             ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long")
+             .alias("duration_s"))
+    )
