@@ -1,0 +1,327 @@
+"""Text-analysis + deduplication operators over the ``documents`` table.
+
+Scale extensions beyond the reference (task brief): exact dedup,
+MinHash signatures + LSH banding, n-gram Jaccard similarity, SimHash
+fingerprinting, token/quality statistics, language guessing.
+
+Everything is expressed with built-in JVM-side column functions — no
+Python UDFs — so the hot path stays inside whole-stage codegen:
+tokenization via ``split``, shingling via ``transform``+``slice`` over
+the token array (per-row, no explode), MinHash via ``array_min`` over
+md5 hex strings (md5 is identical in Spark and DuckDB, which is what
+makes the oracles exact).
+
+At 100 TB: per-doc signature computation is embarrassingly parallel
+(narrow); the only shuffles are the band-key / shingle-key self-joins,
+which are classic skew-prone joins — mitigated here by capping shingle
+document-frequency before the join (hot-shingle salting would be the
+next lever at larger scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import load_table, register
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+N_HASHES = 8
+N_BANDS = 4  # 2 hashes per band
+SHINGLE_DF_CAP = 50
+JACCARD_THRESHOLD = 0.5
+
+
+def _tokens(col="text"):
+    return F.split(F.col(col), r"\s+")
+
+
+_TOKENS_SQL = "string_split_regex(text, '\\s+')"
+
+
+def _shingles(tokens):
+    """Distinct 3-token shingles, computed per-row (no explode)."""
+    n = F.greatest(F.size(tokens) - 2, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda j: F.array_join(F.slice(tokens, j, 3), " ")))
+
+
+_SHINGLES_SQL = f"""list_distinct(list_transform(
+  range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1),
+  j -> array_to_string(list_slice({_TOKENS_SQL}, j, j + 2), ' ')))"""
+
+
+# ---------------------------------------------------------------------------
+# token / quality statistics
+# ---------------------------------------------------------------------------
+@register("doc_stats", sql=f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(len(list_filter({_TOKENS_SQL},
+            t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
+         / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS stop_ratio,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS avg_token_len
+FROM documents""")
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        (F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+         .cast("double") / n_tokens.cast("double")).alias("stop_ratio"),
+        (F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+         / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language guess (marker-word heuristic; deterministic CASE priority)
+# ---------------------------------------------------------------------------
+_MARKERS = {
+    "en": ["the", "a", "value", "fast"],
+    "de": ["und", "der", "nicht", "das"],
+    "fr": ["le", "la", "les", "est"],
+}
+
+
+def _hits_sql(words):
+    return f"len(list_filter({_TOKENS_SQL}, t -> list_contains({words!r}, t)))"
+
+
+@register("lang_guess", sql=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_hits_sql(_MARKERS['de'])} > {_hits_sql(_MARKERS['en'])}
+              AND {_hits_sql(_MARKERS['de'])} >= {_hits_sql(_MARKERS['fr'])}
+            THEN 'de'
+            WHEN {_hits_sql(_MARKERS['fr'])} > {_hits_sql(_MARKERS['en'])}
+            THEN 'fr'
+            WHEN {_hits_sql(_MARKERS['en'])} > 0 THEN 'en'
+            ELSE 'unknown' END AS guess
+FROM documents""")
+def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, de, fr = (hits(_MARKERS[k]) for k in ("en", "de", "fr"))
+    return docs.select(
+        "doc_id", "lang",
+        F.when((de > en) & (de >= fr), "de")
+        .when(fr > en, "fr")
+        .when(en > 0, "en")
+        .otherwise("unknown").alias("guess"))
+
+
+@register("source_token_totals", sql=f"""
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source""")
+def source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum(F.size(_tokens()).cast("long")).cast("long")
+             .alias("total_tokens"),
+             F.sum(F.length("text").cast("long")).cast("long")
+             .alias("total_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact deduplication: content-hash grouping (hash-groupBy; one shuffle)
+# ---------------------------------------------------------------------------
+@register("dedup_exact", sql="""
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").cast("long").alias("rep_doc"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (k=8) — min of md5(seed:shingle) per seed, per row
+# ---------------------------------------------------------------------------
+def _mh_cols():
+    toks = _tokens()
+    sh = _shingles(toks)
+    return [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(
+            F.lit(f"{i}:"), s)))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def _mh_sql(i):
+    return (f"list_aggregate(list_transform({_SHINGLES_SQL}, "
+            f"s -> md5('{i}:' || s)), 'min')")
+
+
+@register("minhash_signatures", sql="SELECT doc_id, "
+          + ", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(N_HASHES))
+          + " FROM documents")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_mh_cols())
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH candidate pairs: band the signature, self-join on band key
+# ---------------------------------------------------------------------------
+_BAND_SQL = ", ".join(
+    f"md5(mh{2*b} || mh{2*b+1}) AS band{b}" for b in range(N_BANDS))
+
+@register("minhash_lsh_pairs", sql=f"""
+WITH sig AS (
+  SELECT doc_id, {", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(N_HASHES))}
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, {_BAND_SQL} FROM sig
+),
+keys AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS key FROM bands"
+                      for b in range(N_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keys a JOIN keys b
+  ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id""")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        *[F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+          .alias(f"band{b}") for b in range(N_BANDS)])
+    keys = None
+    for b in range(N_BANDS):
+        part = bands.select("doc_id", F.lit(b).alias("band_idx"),
+                            F.col(f"band{b}").alias("key"))
+        keys = part if keys is None else keys.unionAll(part)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via shared-shingle candidates
+# ---------------------------------------------------------------------------
+@register("ngram_jaccard_pairs", sql=f"""
+WITH doc_sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM doc_sh GROUP BY doc_id),
+rare AS (
+  SELECT sh FROM doc_sh GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN rare r ON r.sh = a.sh
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.inter AS DOUBLE)
+         / CAST(sa.sz + sb.sz - c.inter AS DOUBLE) AS jaccard
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.inter AS DOUBLE)
+        / CAST(sa.sz + sb.sz - c.inter AS DOUBLE) >= {JACCARD_THRESHOLD}""")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = docs.select(
+        "doc_id", F.explode(_shingles(_tokens())).alias("sh"))
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (doc_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= SHINGLE_DF_CAP).select("sh"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(rare.alias("r"), F.col("r.sh") == F.col("a.sh"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+    return (
+        cand.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit) document fingerprint from token md5 nibbles
+# ---------------------------------------------------------------------------
+@register("simhash16", sql=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN
+               ((instr('0123456789abcdef',
+                       substr(md5(t), CAST(j // 4 + 1 AS BIGINT), 1)) - 1)
+                 // CAST(power(2, j % 4) AS BIGINT)) % 2 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s >= 0
+                     THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id""")
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("t"))
+    j = F.col("j")
+    nibble = (
+        F.instr(F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("t")),
+                            ((j / 4).cast("int") + 1).cast("int"), 1)) - 1)
+    # shiftright needs a literal count in PySpark; values are <= 15 so
+    # floor-divide by 2^(j%4) is exact
+    bit = (F.floor(nibble.cast("double") / F.pow(F.lit(2.0), (j % 4)))
+           .cast("long") % 2)
+    bits = (
+        tok.crossJoin(spark.range(16).select(F.col("id").cast("int").alias("j")))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("s"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") >= 0,
+                          F.pow(F.lit(2.0), F.col("j")).cast("long"))
+                   .otherwise(0)).cast("long").alias("simhash"))
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (scale extension).
+
+Brute-force cosine top-k as the correctness baseline, plus a
+random-hyperplane LSH-bucketed near-duplicate variant as the scale
+path.  All dot products and norms use quantized integer arithmetic
+(round(x*10000) per element) so sums are order-independent and the
+final cosine is a single exact-integer -> double expression — bit-
+identical between Spark and DuckDB.
+
+The hyperplane signs are derived driver-side from hashlib.md5 (pure
+Python, engine-independent) and embedded as literals in BOTH the Spark
+plan and the oracle SQL.
+
+Spark-side compute stays JVM-native: ``transform``/``zip_with``/
+``aggregate`` higher-order functions per row — no Python UDF, no
+explode.  At scale: queries are broadcast (small side), the corpus
+scan is embarrassingly parallel; the LSH variant turns the quadratic
+all-pairs problem into a per-bucket self-join keyed by an 8-bit
+signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import load_table, register
+
+QUANT = 10_000
+N_QUERIES = 5
+TOP_K = 3
+N_PLANES = 8
+DIM = 64
+NEAR_DUP_COSINE = 0.35
+
+
+def _plane(k: int) -> list[int]:
+    """Deterministic pseudo-random +-1 hyperplane from md5 (k, i)."""
+    return [1 if hashlib.md5(f"{k}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(DIM)]
+
+
+PLANES = [_plane(k) for k in range(N_PLANES)]
+
+
+def _qint(col):
+    """Quantized integer embedding: exact, order-independent sums."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT)
+                       .cast("long"))
+
+
+_QINT_SQL = ("list_transform({col}, x -> "
+             f"CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _norm2(col):
+    return F.aggregate(
+        _qint(col), F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+
+
+_NORM2_SQL = ("list_sum(list_transform(" + _QINT_SQL + ", v -> v * v))")
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (correctness baseline)
+# ---------------------------------------------------------------------------
+@register("knn_cosine", sql=f"""
+WITH e AS (
+  SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
+         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> q.qe[i] * c.qe[i])) AS BIGINT) AS dot,
+         q.n2 AS qn2, c.n2 AS cn2
+  FROM q JOIN e c ON c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE)
+             / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+           neighbor_id ASC) AS BIGINT) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rk, cos FROM scored WHERE rk <= {TOP_K}""")
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qint(F.col("embedding")).alias("qe"),
+        _norm2(F.col("embedding")).alias("n2"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"),
+        F.col("n2").alias("q_n2"))
+    pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("query_id"))
+    cos = (_dot(F.col("q_qe"), F.col("qe")).cast("double")
+           / (F.sqrt(F.col("q_n2").cast("double"))
+              * F.sqrt(F.col("n2").cast("double"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-duplicate pairs (the scale path for all-pairs)
+# ---------------------------------------------------------------------------
+def _bucket_sql() -> str:
+    parts = []
+    for k, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {DIM} + 1), "
+            f"i -> qe[i] * ({lit}::BIGINT[])[i])) >= 0 "
+            f"THEN {1 << k} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@register("lsh_near_dup_pairs", sql=f"""
+WITH e AS (
+  SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
+         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, qe, n2, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM e
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
+         a.n2 AS an2, b.n2 AS bn2
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE))) AS cos
+FROM cand
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))
+      >= {NEAR_DUP_COSINE}""")
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qint(F.col("embedding")).alias("qe"),
+        _norm2(F.col("embedding")).alias("n2"))
+    bucket = None
+    for k, plane in enumerate(PLANES):
+        lits = F.array(*[F.lit(s).cast("long") for s in plane])
+        sign = F.when(_dot(F.col("qe"), lits) >= 0, 1 << k).otherwise(0)
+        bucket = sign if bucket is None else bucket + sign
+    bucketed = emb.withColumn("bucket", bucket.cast("long"))
+    a = bucketed.select(F.col("vec_id").alias("vec_a"),
+                        F.col("qe").alias("qe_a"),
+                        F.col("n2").alias("n2_a"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"),
+                        F.col("qe").alias("qe_b"),
+                        F.col("n2").alias("n2_b"),
+                        F.col("bucket").alias("bucket_b"))
+    cos = (_dot(F.col("qe_a"), F.col("qe_b")).cast("double")
+           / (F.sqrt(F.col("n2_a").cast("double"))
+              * F.sqrt(F.col("n2_b").cast("double"))))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cos")
+    )
