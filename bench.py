@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line for the driver.
+
+Runs every registry query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, forcing full
+materialization through a noop sink (no driver-side collect cost), plus
+the reference-workload analog: HPCtoolkit XML load + hot_path on the
+reference's own experiment databases (BASELINE.md's measured workload).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hpctoolkit_dataframe_spark import get_spark  # noqa: E402
+from hpctoolkit_dataframe_spark.queries import REGISTRY  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+XML_GLOB = "/root/reference/test/data/experiment*.xml"
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_xml(spark) -> float:
+    """Reference workload analog: load + hot_path (BASELINE.md B rows)."""
+    from hpctoolkit_dataframe_spark import HPCtoolkitDataFrame
+
+    t0 = time.time()
+    for path in ("/root/reference/test/data/experiment1.xml",
+                 "/root/reference/test/data/experiment2.xml"):
+        h = HPCtoolkitDataFrame(path=path, spark=spark)
+        h._df = h._df.cache()
+        materialize(h.df)
+        materialize(h.hot_path().df)
+        h._df.unpersist()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the queries, not session startup
+    REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR).count()
+
+    for name, q in REGISTRY.items():
+        t0 = time.time()
+        materialize(q.fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    timings["xml_load_hot_path"] = round(bench_xml(spark), 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

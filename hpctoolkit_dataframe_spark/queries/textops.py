@@ -160,10 +160,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures (k=8) — min of md5(seed:shingle) per seed, per row
 # ---------------------------------------------------------------------------
 def _mh_cols():
-    toks = _tokens()
-    sh = _shingles(toks)
+    # reads a pre-materialized "sh" shingle column: tokenize+shingle once
+    # instead of once per hash seed (8x less string work per row)
     return [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(
+        F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(
             F.lit(f"{i}:"), s)))).alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
@@ -179,7 +179,11 @@ def _mh_sql(i):
           + " FROM documents")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", *_mh_cols())
+    # the documents table arrives as one parquet file -> one input split;
+    # spread the (CPU-bound) hashing across the cluster first
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    shingled = docs.select("doc_id", _shingles(_tokens()).alias("sh"))
+    return shingled.select("doc_id", *_mh_cols())
 
 
 # ---------------------------------------------------------------------------
@@ -205,15 +209,13 @@ FROM keys a JOIN keys b
   ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id""")
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
+    # posexplode instead of a 4-way union so the signature computation
+    # runs once, not once per band branch
+    keys = sig.select(
         "doc_id",
-        *[F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
-          .alias(f"band{b}") for b in range(N_BANDS)])
-    keys = None
-    for b in range(N_BANDS):
-        part = bands.select("doc_id", F.lit(b).alias("band_idx"),
-                            F.col(f"band{b}").alias("key"))
-        keys = part if keys is None else keys.unionAll(part)
+        F.posexplode(F.array(
+            *[F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+              for b in range(N_BANDS)])).alias("band_idx", "key"))
     a = keys.alias("a")
     b = keys.alias("b")
     return (

@@ -169,22 +169,11 @@ def parse_experiment_rows(
 
 
 def _register_self_for_pickle_by_value() -> None:
-    """Ship the parser to executors by value, not by import.
+    """Ship the parser to executors by value, not by import (see
+    hpctoolkit_dataframe_spark._pickle)."""
+    from .._pickle import register_module_by_value
 
-    Executor Python workers generally don't have this package on their
-    ``sys.path`` unless it was installed cluster-wide; registering the
-    module for cloudpickle by-value serialization makes the ingest
-    closure self-contained (the only worker-side imports left are
-    stdlib + pandas, which Spark already requires for mapInPandas).
-    """
-    import sys
-
-    try:
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # best effort; repo-root launches work regardless
-        pass
+    register_module_by_value(__name__)
 
 
 def _raw_schema(metric_ids: list[int]) -> T.StructType:
