@@ -124,6 +124,7 @@ def with_ratio_of_parent(
     partition_cols: Sequence[str] = (),
     callpath_col: str = "callpath",
     walk_up: bool = True,
+    persist_input: bool = True,
 ) -> DataFrame:
     """value / nearest-ancestor-value, with the reference's walk-up rule.
 
@@ -143,6 +144,17 @@ def with_ratio_of_parent(
     """
     column_name = column_name or f"{base_column} ratio of parent"
     pc = list(partition_cols)
+
+    if persist_input:
+        # the input feeds three plan branches (node table, ancestor
+        # explode, final join-back); cache() substitution does NOT
+        # survive the self-join's relation deduplication here (observed:
+        # the upstream plan ran 3x), so cut the lineage outright with an
+        # eager localCheckpoint.  Repartition first: AQE coalesces
+        # upstream aggregate output for exchange SIZE, which can leave
+        # 1-2 partitions feeding the CPU-heavy ancestor explode.
+        sc = df.sparkSession.sparkContext
+        df = df.repartition(sc.defaultParallelism).localCheckpoint(eager=True)
 
     # right side gets renamed columns: self-joins on same-lineage frames
     # otherwise resolve both sides to one attribute (trivially-true join)
@@ -172,8 +184,11 @@ def with_ratio_of_parent(
 
     # ancestor prefixes: for depth d, lengths 0..d-1; for the root (d=0),
     # itself (length 0) so root/root = 1.0 like the reference (:369-374).
-    child = df.withColumn(
-        "__anc_paths",
+    # Only (partition, id, value, ancestor-path) travel through the
+    # explode+shuffle — the wide columns join back at the very end.
+    child = df.select(
+        *pc, "id",
+        F.col(base_column).cast("double").alias("__cv"),
         F.when(
             F.size(callpath_col) == 0,
             F.array(F.col(callpath_col)),
@@ -182,10 +197,10 @@ def with_ratio_of_parent(
                 F.sequence(F.lit(0), F.size(callpath_col) - 1),
                 lambda i: F.slice(F.col(callpath_col), 1, i),
             )
-        ),
+        ).alias("__anc_paths"),
     )
     exploded = child.select(
-        *df.columns, F.explode("__anc_paths").alias("__anc_path")
+        *pc, "id", "__cv", F.explode("__anc_paths").alias("__anc_path")
     ).withColumn("__anc_key", cp.path_key("__anc_path"))
 
     joined = exploded.join(
@@ -195,13 +210,13 @@ def with_ratio_of_parent(
            F.col("__anc_path") == F.col("__path")],
         how="inner",
     ).select(
-        *[exploded[c] for c in df.columns],
+        *[exploded[c] for c in (*pc, "id", "__cv")],
         F.size("__anc_path").alias("__anc_depth"),
         F.col("__value").alias("__anc_value"),
     )
 
     qualifying = joined.filter(
-        (F.col("__anc_value").cast("double") >= F.col(base_column).cast("double"))
+        (F.col("__anc_value").cast("double") >= F.col("__cv"))
         | (F.col("__anc_depth") == 0)
     )
     # deepest qualifying ancestor wins (nearest in the walk-up order)
@@ -247,6 +262,7 @@ def hot_path(
     threshold: float = 0.05,
     callpath_col: str = "callpath",
     max_iters: int = 64,
+    collect_threshold: int = 100_000,
 ) -> DataFrame:
     """Greedy hottest-descendant chain.
 
@@ -273,6 +289,34 @@ def hot_path(
     try:
         current = tuple(int(x) for x in callpath)
         chain: list[tuple[int, ...]] = []
+        n = slim.count()
+        if n <= collect_threshold:
+            # small tree (one profile is ~10^4 nodes): one job collects
+            # the 3-column projection and the descent runs in-memory —
+            # tree-depth Spark jobs collapse into one
+            by_parent: dict[tuple, list] = {}
+            for r in slim.collect():
+                p = tuple(r["__path"])
+                by_parent.setdefault(p[:-1] if p else None, []).append(
+                    (r["__value"], r["__id"], p))
+            for _ in range(max_iters):
+                chain.append(current)
+                children = [c for c in by_parent.get(current, ())
+                            if len(c[2]) == len(current) + 1]
+                if not children:
+                    break
+                value, _, path = max(
+                    children, key=lambda c: (c[0] if c[0] is not None
+                                             else float("-inf"), -c[1]))
+                if value is None or value < threshold:
+                    break
+                current = path
+            preds = None
+            for p in chain:
+                pred = ((F.size(callpath_col) == len(p))
+                        & cp.has_prefix(p, callpath_col))
+                preds = pred if preds is None else (preds | pred)
+            return df.filter(preds)
         for _ in range(max_iters):
             chain.append(current)
             children = slim.filter(

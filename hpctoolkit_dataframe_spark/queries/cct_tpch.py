@@ -287,5 +287,8 @@ SELECT id, depth, value, ratio FROM hot""",
           doc="greedy hottest-descendant chain (reference O3 hot_path)")
 def cct_hot_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ops.with_ratio_of_total(build_cct(spark, sf_dir), "value", "ratio")
+    # the descent probes the frame repeatedly and the final chain filter
+    # re-reads it; materialize once instead of rebuilding the rollup
+    df = df.localCheckpoint(eager=True)
     chain = ops.hot_path(df, "ratio", threshold=HOT_THRESHOLD)
     return chain.select("id", "depth", "value", "ratio")
