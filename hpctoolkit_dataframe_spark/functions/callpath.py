@@ -56,6 +56,53 @@ def has_suffix(suffix: Sequence[int], callpath: Column | str = "callpath") -> Co
     return (F.size(c) >= len(suffix)) & (F.slice(c, -len(suffix), len(suffix)) == lits)
 
 
+def _fullmatch_or_eq(element: Column, item) -> Column:
+    """One item of a str-or-regex sequence pattern: compiled regexes use
+    fullmatch semantics (reference :110-111), plain strings use equality."""
+    import re as _re
+
+    if isinstance(item, _re.Pattern):
+        pattern = item.pattern
+        if not pattern.startswith("^"):
+            pattern = "^(?:" + pattern + ")$"
+        return element.rlike(pattern)
+    return element == F.lit(item)
+
+
+def sequence_matches(
+    column: Column | str,
+    *fragments,
+    prefix: Sequence = (),
+    suffix: Sequence = (),
+) -> Column:
+    """Prefix/suffix match over a sequence-valued column where items are
+    exact strings or compiled regexes.
+
+    Spark realization of the reference's latent (defined, never called)
+    ``_str_or_regex_sequence_filter`` (hpctoolkit_dataframe.py:95-120),
+    including its NotImplementedError for arbitrary fragments (:100-102).
+    """
+    if fragments:
+        raise NotImplementedError(
+            'filtering by arbitrary fragment "{}" not supported'.format(fragments))
+    c = F.col(column) if isinstance(column, str) else column
+    cond = F.lit(True)
+    # try_element_at: out-of-bounds yields NULL (-> predicate false)
+    # instead of throwing under ANSI mode; & does not short-circuit the
+    # size guard per-row
+    if prefix:
+        cond = cond & (F.size(c) >= len(prefix))
+        for i, item in enumerate(prefix):
+            cond = cond & _fullmatch_or_eq(
+                F.try_element_at(c, F.lit(i + 1)), item)
+    if suffix:
+        cond = cond & (F.size(c) >= len(suffix))
+        for i, item in enumerate(suffix):
+            cond = cond & _fullmatch_or_eq(
+                F.try_element_at(c, F.lit(-(len(suffix) - i))), item)
+    return cond
+
+
 def path_str(callpath: Column | str = "callpath", sep: str = "/") -> Column:
     """Deterministic string rendering (for cross-engine comparisons)."""
     c = F.col(callpath) if isinstance(callpath, str) else callpath

@@ -213,3 +213,25 @@ def compile_formula(
 
 def formula_may_be_complex(formula: str) -> bool:
     return "sqrt" in formula
+
+
+_COMBINE_RE = re.compile(r"\s*(sum|min|max)\s*\(\s*\$([0-9]+)\s*,\s*\$([0-9]+)\s*\)\s*")
+
+
+def parse_combine_formula(formula: str) -> tuple[str, int]:
+    """Parse a ``combine`` MetricFormula like ``sum($2, $2)`` into
+    (agg_kind, metric_id).
+
+    The reference parses but ignores combine formulas
+    (hpctoolkit_dataframe.py:69-70) — they define how a metric merges
+    across profiles (experiment1.xml:244,287,292 use sum/min/max), which
+    only matters for the multi-profile capability this engine adds
+    (operators.cct.merge_profiles).
+    """
+    m = _COMBINE_RE.fullmatch(formula)
+    if m is None:
+        raise ValueError(f"unsupported combine formula: {formula!r}")
+    kind, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+    if a != b:
+        raise ValueError(f"combine formula references two metrics: {formula!r}")
+    return kind, a

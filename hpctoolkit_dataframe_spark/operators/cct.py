@@ -377,3 +377,32 @@ def hot_edges(
 def compact(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Select the 'meaningful' columns (reference compact, :387-389)."""
     return df.select(*columns)
+
+
+# ---------------------------------------------------------------------------
+# multi-profile merge (engine extension; combine formulas, SURVEY §2.4 A1)
+# ---------------------------------------------------------------------------
+
+def merge_profiles(
+    df: DataFrame,
+    metric_combines: dict[str, str],
+    callpath_col: str = "callpath",
+    location_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge many profiles into one aggregate CCT.
+
+    ``metric_combines`` maps metric column name -> 'sum' | 'min' | 'max'
+    (from the MetricTable's combine formulas, which the reference parses
+    but never uses, hpctoolkit_dataframe.py:69-70 — it is strictly
+    single-profile).  Nodes are identified by their callpath; location
+    columns are invariant per callpath so ``any_value`` carries them.
+    One shuffle on the callpath hash; aggregation is partial map-side.
+    """
+    aggs = []
+    for metric, kind in metric_combines.items():
+        fn = {"sum": F.sum, "min": F.min, "max": F.max}[kind]
+        aggs.append(fn(F.col(f"`{metric}`")).alias(metric))
+    for c in location_cols:
+        aggs.append(F.any_value(F.col(f"`{c}`")).alias(c))
+    aggs.append(F.count(F.lit(1)).alias("n_profiles"))
+    return df.groupBy(callpath_col).agg(*aggs)

@@ -1,0 +1,62 @@
+"""Plan-quality assertions: the performance contract, as tests.
+
+Filters must reach the parquet scan, scans must prune columns,
+dimension joins must broadcast, and headline queries must not fall back
+to Python evaluation (SURVEY.md §4: Catalyst replaces all of the
+reference's hand-rolled optimizations — these tests prove it actually
+happens)."""
+
+import pytest
+
+from hpctoolkit_dataframe_spark.plans import explain
+from hpctoolkit_dataframe_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR)
+    pushed = " ".join(explain.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    # scan reads only the needed columns, not all 11
+    schemas = explain.read_schemas(df)
+    assert schemas and all(len(s) <= 5 for s in schemas)
+    assert explain.python_udf_count(df) == 0
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = REGISTRY["q5_region_revenue"].fn(spark, SF_DIR)
+    strategies = explain.join_strategies(df)
+    assert strategies["broadcast_hash"] >= 4
+    assert strategies["cartesian"] == 0
+    assert strategies["broadcast_nested_loop"] == 0
+
+
+def test_cct_build_single_shuffle_aggregate(spark):
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+
+    df = build_cct(spark, SF_DIR)
+    # rollup = one shuffle; the 3 joins upstream are all broadcast
+    assert explain.join_strategies(df)["broadcast_hash"] == 3
+    assert explain.join_strategies(df)["sort_merge"] == 0
+    assert explain.exchange_count(df) <= 1
+    assert explain.python_udf_count(df) == 0
+
+
+def test_filters_stay_jvm_side(spark):
+    from hpctoolkit_dataframe_spark.operators import cct as ops
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+
+    df = ops.at_paths(ops.at_depths(build_cct(spark, SF_DIR), 2, 4),
+                      prefix=(3,))
+    # predicates are Column expressions -> no Python eval in the plan
+    assert explain.python_udf_count(df) == 0
+    assert explain.codegen_stage_count(df) >= 1
+
+
+def test_headline_queries_no_python_udfs(spark):
+    for name in ("q1_pricing_summary", "doc_stats", "minhash_signatures",
+                 "simhash16", "knn_cosine", "events_sessions"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert explain.python_udf_count(df) == 0, name
