@@ -113,7 +113,9 @@ def with_ratio_of_total(
     )
     return joined.withColumn(
         column_name,
-        F.col(base_column).cast("double") / F.col("__root_value").cast("double"),
+        # try_divide: a zero-valued root yields NULL, not an ANSI error
+        F.try_divide(F.col(base_column).cast("double"),
+                     F.col("__root_value").cast("double")),
     ).drop("__root_value")
 
 
@@ -177,8 +179,9 @@ def with_ratio_of_parent(
         return (
             joined.select(
                 *[child[c] for c in df.columns],
-                (F.col(base_column).cast("double") / F.col("__value").cast("double")
-                 ).alias(column_name),
+                F.try_divide(F.col(base_column).cast("double"),
+                             F.col("__value").cast("double"))
+                .alias(column_name),
             )
         )
 
@@ -227,7 +230,10 @@ def with_ratio_of_parent(
     out = df.join(agg, on=[*pc, "id"], how="left")
     return out.withColumn(
         column_name,
-        F.col(base_column).cast("double") / F.col("__base").cast("double"),
+        # try_divide: zero-valued ancestors yield NULL, not an ANSI error
+        # (the reference would raise ZeroDivisionError here)
+        F.try_divide(F.col(base_column).cast("double"),
+                     F.col("__base").cast("double")),
     ).drop("__base")
 
 

@@ -262,6 +262,122 @@ def cct_suffix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A5-analog: hottest child per parent (max_by ranking; hot_edges operator)
+# ---------------------------------------------------------------------------
+@register("cct_hottest_child_per_parent", sql=f"""WITH {CCT_CTES}
+SELECT parent_id, id AS child_id, value
+FROM (SELECT parent_id, id, value,
+             row_number() OVER (PARTITION BY parent_id
+                                ORDER BY value DESC, id ASC) AS rk
+      FROM cct WHERE depth > 0)
+WHERE rk = 1""",
+          doc="argmax child per parent (reference A5 idxmax / hot_edges)")
+def cct_hottest_child_per_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = build_cct(spark, sf_dir)
+    ranked = ops.hot_edges(df.filter(F.col("depth") > 0), "value",
+                           parent_id_col="parent_id")
+    return ranked.filter(F.col("__rank") == 1).select(
+        "parent_id", F.col("id").alias("child_id"), "value")
+
+
+# ---------------------------------------------------------------------------
+# P8-analog: stride sampling (reference examples.ipynb df.compact[::200])
+# ---------------------------------------------------------------------------
+@register("cct_stride_sample", sql=f"""WITH {CCT_CTES}
+SELECT id, depth, value
+FROM (SELECT id, depth, value,
+             row_number() OVER (ORDER BY id ASC) AS rn FROM cct)
+WHERE (rn - 1) % 200 = 0""",
+          doc="every-200th-row sample (reference P8 stride slicing)")
+def cct_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = build_cct(spark, sf_dir)
+    # a global row_number needs a total order; id is unique so the window
+    # is deterministic.  (Display-style op — the reference only strides
+    # for notebook rendering, examples.ipynb cell 2.)
+    w = Window.orderBy(F.col("id").asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 200 == 0)
+        .select("id", "depth", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1-analog: flame-graph widths as a checkable query.  Width = 2*pi x
+# product of sibling-shares along the root-to-node chain; offsets are the
+# intra-parent running sum.  Multiplication/addition order is fixed
+# (root-down, id-ascending) so doubles match across engines bit-for-bit.
+# ---------------------------------------------------------------------------
+@register("cct_flame_widths", sql=f"""WITH RECURSIVE {CCT_CTES},
+shares AS (
+  SELECT c.id, c.parent_id, c.depth,
+         CAST(c.value AS DOUBLE) /
+           CAST(SUM(c.value) OVER (PARTITION BY c.parent_id) AS DOUBLE)
+           AS share,
+         SUM(CAST(c.value AS DOUBLE)) OVER (
+           PARTITION BY c.parent_id ORDER BY c.id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_v,
+         CAST(SUM(c.value) OVER (PARTITION BY c.parent_id) AS DOUBLE)
+           AS sib_total
+  FROM cct c WHERE c.depth >= 1 AND c.depth <= 3
+),
+geom AS (
+  SELECT id, parent_id, depth,
+         share * {2 * 3.141592653589793} AS width,
+         COALESCE(before_v, 0.0) / sib_total * {2 * 3.141592653589793}
+           AS x_offset
+  FROM shares WHERE depth = 1
+  UNION ALL
+  SELECT s.id, s.parent_id, s.depth,
+         s.share * g.width AS width,
+         g.x_offset + COALESCE(s.before_v, 0.0) / s.sib_total * g.width
+           AS x_offset
+  FROM shares s JOIN geom g ON s.parent_id = g.id
+)
+SELECT id, depth, width, x_offset FROM geom""",
+          doc="flame-graph geometry (reference V1 layout, :490-508)")
+def cct_flame_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = build_cct(spark, sf_dir).filter(
+        (F.col("depth") >= 1) & (F.col("depth") <= 3))
+    df = df.localCheckpoint(eager=True)
+    wp = Window.partitionBy("parent_id")
+    wo = wp.orderBy(F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    shares = df.select(
+        "id", "parent_id", "depth",
+        (F.col("value").cast("double")
+         / F.sum("value").over(wp).cast("double")).alias("share"),
+        (F.coalesce(F.sum(F.col("value").cast("double")).over(wo), F.lit(0.0))
+         / F.sum("value").over(wp).cast("double")).alias("before_frac"),
+    ).localCheckpoint(eager=True)
+
+    two_pi = 2 * 3.141592653589793
+    level = shares.filter(F.col("depth") == 1).select(
+        "id", "depth",
+        (F.col("share") * two_pi).alias("width"),
+        (F.col("before_frac") * two_pi).alias("x_offset"))
+    out = level
+    for d in (2, 3):
+        parents = level.select(F.col("id").alias("pid"),
+                               F.col("width").alias("pw"),
+                               F.col("x_offset").alias("po"))
+        level = (
+            shares.filter(F.col("depth") == d)
+            .join(F.broadcast(parents), F.col("parent_id") == F.col("pid"))
+            .select("id", "depth",
+                    (F.col("share") * F.col("pw")).alias("width"),
+                    (F.col("po") + F.col("before_frac") * F.col("pw"))
+                    .alias("x_offset"))
+        )
+        out = out.unionAll(level)
+    return out.select("id", F.col("depth"), "width", "x_offset")
+
+
+# ---------------------------------------------------------------------------
 # O3: greedy hot-path descent (reference hot_path, :403-428)
 # ---------------------------------------------------------------------------
 HOT_THRESHOLD = 0.001

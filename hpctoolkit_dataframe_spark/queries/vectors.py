@@ -121,6 +121,111 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantize into cells, probe the nearest cells only.
+# Centroids are the first N_CELLS corpus vectors (deterministic — real
+# k-means iteration would converge engine-dependently); assignment is
+# exact integer L2.  The scale story: the corpus scan partitions by cell,
+# a query touches N_PROBE cells instead of everything.
+# ---------------------------------------------------------------------------
+N_CELLS = 8
+N_PROBE = 2
+
+_L2_SQL = (f"CAST(list_sum(list_transform(range(1, {DIM} + 1), "
+           "i -> (a.qe[i] - c.qe[i]) * (a.qe[i] - c.qe[i]))) AS BIGINT)")
+
+
+@register("ivf_ann", sql=f"""
+WITH e AS (
+  SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
+         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, qe FROM e WHERE vec_id < {N_CELLS}),
+assigned AS (
+  SELECT a.vec_id, a.qe, a.n2, c.cell,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_L2_SQL} ASC, c.cell ASC) AS crk
+  FROM e a CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, qe, n2, cell FROM assigned WHERE crk = 1),
+probes AS (
+  SELECT a.vec_id AS query_id, a.qe AS qqe, a.n2 AS qn2, c.cell,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_L2_SQL} ASC, c.cell ASC) AS prk
+  FROM e a CROSS JOIN cent c
+  WHERE a.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> p.qqe[i] * v.qe[i])) AS BIGINT) AS dot,
+         p.qn2, v.n2
+  FROM probes p JOIN cells v ON v.cell = p.cell
+  WHERE p.prk <= {N_PROBE} AND v.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, rk, cos FROM (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE)
+             / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) DESC,
+           neighbor_id ASC) AS BIGINT) AS rk
+  FROM cand
+) WHERE rk <= {TOP_K}""")
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qint(F.col("embedding")).alias("qe"),
+        _norm2(F.col("embedding")).alias("n2"))
+    emb = emb.localCheckpoint(eager=True)  # feeds centroid + corpus branches
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
+
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("__d").asc(), F.col("cell").asc())
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("__d", l2)
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "qe", "n2", "cell")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__d", l2)
+        .withColumn("prk", F.row_number().over(w_assign))
+        .filter(F.col("prk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("qe").alias("qqe"), F.col("n2").alias("qn2"), "cell")
+    )
+    cand = (
+        probes.join(cells.withColumnRenamed("cell", "vcell"),
+                    (F.col("vcell") == F.col("cell"))
+                    & (F.col("vec_id") != F.col("query_id")))
+    )
+    cos = (_dot(F.col("qqe"), F.col("qe")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double"))
+              * F.sqrt(F.col("n2").cast("double"))))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed near-duplicate pairs (the scale path for all-pairs)
 # ---------------------------------------------------------------------------
 def _bucket_sql() -> str:
