@@ -127,8 +127,16 @@ def with_ratio_of_parent(
     callpath_col: str = "callpath",
     walk_up: bool = True,
     persist_input: bool = True,
+    carry_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """value / nearest-ancestor-value, with the reference's walk-up rule.
+
+    ``carry_cols``: when given, the result contains ONLY
+    (partition_cols, id, *carry_cols, ratio) — the carried columns ride
+    through the aggregation as grouping keys and the wide join-back of
+    the full input frame is skipped entirely (one fewer shuffle of the
+    wide rows; use for slim analytical outputs, including base_column in
+    carry_cols if its original-typed value is wanted).
 
     Reference semantics (hpctoolkit_dataframe.py:360-384): starting at the
     parent, walk up the callpath until an ancestor's value >= own value;
@@ -189,8 +197,9 @@ def with_ratio_of_parent(
     # itself (length 0) so root/root = 1.0 like the reference (:369-374).
     # Only (partition, id, value, ancestor-path) travel through the
     # explode+shuffle — the wide columns join back at the very end.
+    carry = list(carry_cols) if carry_cols is not None else None
     child = df.select(
-        *pc, "id",
+        *pc, "id", *(carry or ()),
         F.col(base_column).cast("double").alias("__cv"),
         F.when(
             F.size(callpath_col) == 0,
@@ -203,7 +212,8 @@ def with_ratio_of_parent(
         ).alias("__anc_paths"),
     )
     exploded = child.select(
-        *pc, "id", "__cv", F.explode("__anc_paths").alias("__anc_path")
+        *pc, "id", *(carry or ()), "__cv",
+        F.explode("__anc_paths").alias("__anc_path")
     ).withColumn("__anc_key", cp.path_key("__anc_path"))
 
     joined = exploded.join(
@@ -213,7 +223,7 @@ def with_ratio_of_parent(
            F.col("__anc_path") == F.col("__path")],
         how="inner",
     ).select(
-        *[exploded[c] for c in (*pc, "id", "__cv")],
+        *[exploded[c] for c in (*pc, "id", *(carry or ()), "__cv")],
         F.size("__anc_path").alias("__anc_depth"),
         F.col("__value").alias("__anc_value"),
     )
@@ -223,6 +233,14 @@ def with_ratio_of_parent(
         | (F.col("__anc_depth") == 0)
     )
     # deepest qualifying ancestor wins (nearest in the walk-up order)
+    ratio = F.try_divide(F.col("__cv"), F.col("__base").cast("double"))
+    if carry is not None:
+        # slim path: group keys carry the output columns, no join-back
+        agg = (
+            qualifying.groupBy(*pc, "id", *carry, "__cv")
+            .agg(F.max_by("__anc_value", "__anc_depth").alias("__base"))
+        )
+        return agg.select(*pc, "id", *carry, ratio.alias(column_name))
     agg = (
         qualifying.groupBy(*pc, "id")
         .agg(F.max_by("__anc_value", "__anc_depth").alias("__base"))

@@ -202,7 +202,8 @@ SELECT c.id, c.depth, c.value, COALESCE(b.ratio, 1.0) AS ratio
 FROM cct c LEFT JOIN best b ON b.id = c.id""",
           doc="ratio-of-parent with ancestor walk-up (reference A3, :360-384)")
 def cct_ratio_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = ops.with_ratio_of_parent(build_cct(spark, sf_dir), "value", "ratio")
+    df = ops.with_ratio_of_parent(build_cct(spark, sf_dir), "value", "ratio",
+                                  carry_cols=("depth", "value"))
     return df.select("id", "depth", "value", "ratio")
 
 
@@ -219,7 +220,8 @@ FROM cct c LEFT JOIN best b ON b.id = c.id""",
 def cct_ratio_of_parent_walkup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = build_cct(spark, sf_dir).withColumn(
         "avg_leaf", F.col("value").cast("double") / F.col("leaves").cast("double"))
-    df = ops.with_ratio_of_parent(df, "avg_leaf", "ratio")
+    df = ops.with_ratio_of_parent(df, "avg_leaf", "ratio",
+                                  carry_cols=("depth", "avg_leaf"))
     return df.select("id", "depth", "avg_leaf", "ratio")
 
 
@@ -294,13 +296,17 @@ def cct_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = build_cct(spark, sf_dir)
     # a global row_number needs a total order; id is unique so the window
-    # is deterministic.  (Display-style op — the reference only strides
-    # for notebook rendering, examples.ipynb cell 2.)
+    # is deterministic.  Project to 3 narrow columns BEFORE the window —
+    # the single-partition exchange then moves ~24 bytes/row instead of
+    # the wide rows with callpath arrays.  (Display-style op — the
+    # reference only strides for notebook rendering, examples.ipynb
+    # cell 2 — so the global window is acceptable here.)
     w = Window.orderBy(F.col("id").asc())
     return (
-        df.withColumn("rn", F.row_number().over(w))
+        df.select("id", "depth", "value")
+        .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") - 1) % 200 == 0)
-        .select("id", "depth", "value")
+        .drop("rn")
     )
 
 

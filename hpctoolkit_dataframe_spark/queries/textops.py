@@ -255,8 +255,12 @@ WHERE CAST(c.inter AS DOUBLE)
         / CAST(sa.sz + sb.sz - c.inter AS DOUBLE) >= {JACCARD_THRESHOLD}""")
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     doc_sh = docs.select(
         "doc_id", F.explode(_shingles(_tokens())).alias("sh"))
+    # feeds four branches (sizes, rarity filter, both join sides) — cut
+    # lineage so tokenize+shingle+explode runs once
+    doc_sh = doc_sh.localCheckpoint(eager=True)
     sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (doc_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= SHINGLE_DF_CAP).select("sh"))
