@@ -272,6 +272,37 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event-time: sliding windows (1 hour long, 15 min slide) — each event
+# belongs to exactly 4 windows; batch emulation explodes the 4 bucket
+# offsets (streaming twin: F.window(ts, '1 hour', '15 minutes'))
+# ---------------------------------------------------------------------------
+@register("events_sliding", sql="""
+SELECT CAST((epoch_us(e.ts) // 900000000 - k.k) * 900 AS BIGINT)
+         AS window_start_s,
+       e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+GROUP BY 1, 2""")
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("bucket", F.expr("(ts div 1000) div 900000000"))
+    exploded = ev.select(
+        "event_type", "value",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        "bucket")
+    return (
+        exploded.withColumn(
+            "window_start_s",
+            ((F.col("bucket") - F.col("k")) * 900).cast("long"))
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+             .alias("value_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # event-time: gap-based sessionization (lag + running sum windows)
 # ---------------------------------------------------------------------------
 SESSION_GAP_US = 30 * 60 * 1_000_000

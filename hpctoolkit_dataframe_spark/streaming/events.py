@@ -67,6 +67,22 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes — streaming twin of the
+    batch ``events_sliding`` query."""
+    return (
+        with_event_time(events)
+        .withWatermark("ts_t", watermark)
+        .groupBy(F.window("ts_t", "1 hour", "15 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+             .alias("value_c"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+                "event_type", "n", "value_c")
+    )
+
+
 def session_aggregate(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
     """Native session windows (gap-based) — streaming twin of
