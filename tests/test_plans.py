@@ -34,9 +34,9 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_cct_build_single_shuffle_aggregate(spark):
-    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct_plan
 
-    df = build_cct(spark, SF_DIR)
+    df = build_cct_plan(spark, SF_DIR)
     # rollup = one shuffle; the 3 joins upstream are all broadcast
     assert explain.join_strategies(df)["broadcast_hash"] == 3
     assert explain.join_strategies(df)["sort_merge"] == 0

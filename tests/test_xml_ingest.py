@@ -101,6 +101,37 @@ def test_experiment2_fallback_election(spark):
     h._df.unpersist()
 
 
+def test_unknown_element_raises(spark, tmp_path):
+    # reference contract: unrecognized measurement tags raise
+    # NotImplementedError (hpctoolkit_dataframe.py:260-264)
+    bad = tmp_path / "bad.xml"
+    bad.write_text("""<?xml version="1.0"?>
+<HPCToolkitExperiment version="2.1">
+<SecCallPathProfile i="0" n="bad">
+<SecHeader>
+  <MetricTable><Metric i="2" n="T:Mean (I)" v="raw" t="inclusive"/></MetricTable>
+  <LoadModuleTable/><FileTable/>
+  <ProcedureTable><Procedure i="1" n="main"/></ProcedureTable>
+</SecHeader>
+<SecCallPathProfileData>
+  <M n="2" v="5"/>
+  <Mystery i="7"><M n="2" v="1"/></Mystery>
+</SecCallPathProfileData>
+</SecCallPathProfile>
+</HPCToolkitExperiment>""")
+    from hpctoolkit_dataframe_spark.sources.hpctoolkit_xml import (
+        parse_experiment_rows,
+    )
+
+    with pytest.raises(NotImplementedError):
+        parse_experiment_rows(bad.read_bytes(), str(bad))
+    # and through the distributed path the task error surfaces too
+    df, _ = load_experiments(spark, str(bad),
+                             add_percentage_columns=False)
+    with pytest.raises(Exception):
+        df.collect()
+
+
 def test_multi_file_load(spark):
     # engine extension: many experiments in one frame via profile_id
     df, _ = load_experiments(spark, EXPERIMENT1.replace("experiment1", "experiment[1]"),
