@@ -365,6 +365,72 @@ def hot_path(
         slim.unpersist()
 
 
+def hot_paths(
+    df: DataFrame,
+    base_column: str,
+    partition_cols: Sequence[str] = (),
+    threshold: float = 0.05,
+    callpath_col: str = "callpath",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Greedy hot-path chains for EVERY profile in one batch job set —
+    the fleet-scale variant of :func:`hot_path` (same per-profile
+    semantics, reference hpctoolkit_dataframe.py:403-428) with no
+    per-profile driver loop.
+
+    Plan: materialize the rank-1 child per parent once (one window),
+    then descend level-by-level: the frontier starts at the roots and
+    each step joins it to the rank-1 edges of the next depth, keeping
+    children with value >= threshold.  The loop runs max-tree-depth
+    times over a checkpointed slim edge table; each step shuffles only
+    the frontier (<= one row per profile).  Output: the union of chain
+    rows (full input columns).
+    """
+    pc = list(partition_cols)
+    sc = df.sparkSession.sparkContext
+    slim = df.select(
+        *pc, F.col("id").alias("__id"),
+        F.col(callpath_col).alias("__path"),
+        F.col(base_column).cast("double").alias("__v"),
+    ).withColumn("__depth", F.size("__path"))
+    parent = F.when(F.size(cp.parent_path("__path")) > 0,
+                    F.element_at(cp.parent_path("__path"), -1)).otherwise(-1)
+    w = Window.partitionBy(*pc, parent.alias("__parent")).orderBy(
+        F.col("__v").desc(), F.col("__id").asc())
+    edges = (
+        slim.filter(F.col("__depth") > 0)
+        .withColumn("__parent", parent)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") == 1) & (F.col("__v") >= threshold))
+        .select(*pc, "__id", "__parent", "__depth")
+    )
+    edges = edges.repartition(sc.defaultParallelism).localCheckpoint(
+        eager=True)
+
+    roots = slim.filter(F.col("__depth") == 0).select(
+        *pc, "__id", "__depth").localCheckpoint(eager=True)
+    frontier = roots
+    chains = [roots]
+    for depth in range(1, max_depth + 1):
+        step = frontier.select(
+            *[F.col(c).alias(f"__f_{c}") for c in pc],
+            F.col("__id").alias("__pid"))
+        level = edges.filter(F.col("__depth") == depth)
+        cond = [F.col(f"__f_{c}") == F.col(c) for c in pc] + [
+            F.col("__parent") == F.col("__pid")]
+        nxt = step.join(level, cond, "inner").select(*pc, "__id", "__depth")
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        chains.append(nxt)
+        frontier = nxt
+    all_chain = chains[0]
+    for c in chains[1:]:
+        all_chain = all_chain.unionAll(c)
+    keys = all_chain.select(*pc, F.col("__id").alias("id"))
+    return df.join(keys, on=[*pc, "id"], how="left_semi")
+
+
 def hot_edges(
     df: DataFrame,
     base_column: str,

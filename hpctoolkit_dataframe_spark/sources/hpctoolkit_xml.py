@@ -269,12 +269,16 @@ def load_experiments(
             df, pct, pct + " ratio of total", partition_cols=["profile_id"])
         df = _cct.with_ratio_of_parent(
             df, pct, pct + " ratio of parent", partition_cols=["profile_id"])
-        # reference keeps ratio columns right after their base (:354)
-        cols = [c for c in df.columns
-                if c not in (pct + " ratio of total", pct + " ratio of parent")]
+        # reference layout (:190-198, 354): metrics sorted by metric id,
+        # ratio columns right after their base, then location columns;
+        # rebuilt explicitly because the ratio joins move their keys
+        # (profile_id, id) to the front of the natural column order
+        imag_names = [c for c in df.columns if c.endswith(" (imag)")]
+        cols = list(metric_names)
         idx = cols.index(pct) + 1
         cols = cols[:idx] + [pct + " ratio of total",
                              pct + " ratio of parent"] + cols[idx:]
+        cols += imag_names + LOCATION_COLUMNS + ["profile_id"]
         df = df.select(*[F.col(f"`{c}`") for c in cols])
     return df, meta
 

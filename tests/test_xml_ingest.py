@@ -73,6 +73,31 @@ def test_metadata_propagates_through_transformations(exp1):
     assert filtered.metadata is exp1.metadata
 
 
+def test_column_order_matches_reference(exp1):
+    # reference layout (hpctoolkit_dataframe.py:190-198, 354, 385):
+    # metrics sorted by id, both ratio columns right after the elected
+    # percentage column, then the location columns
+    meta = exp1.metadata
+    metrics = [name for _, name in sorted(meta.metrics_by_id.items())]
+    pct = meta.meaningful_columns["percentage"]
+    i = metrics.index(pct) + 1
+    expected = (metrics[:i]
+                + [pct + " ratio of total", pct + " ratio of parent"]
+                + metrics[i:]
+                + ["callpath", "module path", "module", "file path", "file",
+                   "line", "procedure", "id", "type"])
+    assert exp1.columns[:len(expected)] == expected
+    assert exp1.columns[len(expected):] == ["profile_id"]  # engine extension
+
+
+def test_max_depth_zero_root_only(spark):
+    df, _ = load_experiments(spark, EXPERIMENT1, max_depth=0,
+                             add_percentage_columns=False)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == -1 and rows[0]["type"] == "root"
+
+
 def test_max_depth_pushdown(spark):
     df, _ = load_experiments(spark, EXPERIMENT1, max_depth=4,
                              add_percentage_columns=False)
