@@ -202,6 +202,7 @@ def load_experiments(
     skip_callsite: bool = True,
     add_percentage_columns: bool = True,
     with_imag: bool = False,
+    on_error: str = "fail",
 ) -> tuple[DataFrame, CCTMetadata]:
     """Load one or many experiment XMLs into a single wide DataFrame.
 
@@ -209,13 +210,32 @@ def load_experiments(
     first file's MetricTable ids (heterogeneous metric sets should be
     loaded separately and unioned — same contract as the reference,
     which is strictly one file per frame, :159).
+
+    ``on_error``: 'fail' (reference behavior — any malformed file aborts
+    the job) or 'skip' (fleet mode: a corrupt file contributes zero rows
+    and a warning; at millions-of-files scale one bad profile must not
+    kill the ingest).
     """
+    assert on_error in ("fail", "skip"), on_error
     first = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
     if not first:
         raise FileNotFoundError(path)
     _register_self_for_pickle_by_value()
-    with open(first[0], "rb") as f:
-        header = _parse_header(ET.fromstring(f.read()))
+    header = None
+    errors: list[tuple[str, Exception]] = []
+    header_path = first[0]
+    for candidate in first:  # schema comes from the first PARSEABLE file
+        try:
+            with open(candidate, "rb") as f:
+                header = _parse_header(ET.fromstring(f.read()))
+            header_path = candidate
+            break
+        except Exception as e:
+            if on_error == "fail":
+                raise
+            errors.append((candidate, e))
+    if header is None:
+        raise ValueError(f"no parseable experiment file in {path}: {errors}")
     metric_ids = sorted(header["metrics_by_id"])
     schema = _raw_schema(metric_ids)
     columns = [f.name for f in schema.fields]
@@ -223,9 +243,19 @@ def load_experiments(
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             for _, file_row in batch.iterrows():
-                _, rows = parse_experiment_rows(
-                    file_row["content"], file_row["path"],
-                    max_depth=max_depth, skip_callsite=skip_callsite)
+                try:
+                    _, rows = parse_experiment_rows(
+                        file_row["content"], file_row["path"],
+                        max_depth=max_depth, skip_callsite=skip_callsite)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "skipping malformed experiment file %s",
+                        file_row["path"], exc_info=True)
+                    continue
                 out = pd.DataFrame(rows)
                 for c in columns:
                     if c not in out.columns:
@@ -240,7 +270,7 @@ def load_experiments(
     )
 
     meta = CCTMetadata(
-        db_path=first[0],
+        db_path=header_path,
         metrics_by_id=header["metrics_by_id"],
         metrics_formulas={
             header["metrics_by_id"][mid]: frm

@@ -126,6 +126,24 @@ def test_experiment2_fallback_election(spark):
     h._df.unpersist()
 
 
+def test_complex_metric_imag_golden(spark):
+    # SURVEY §7 hard part: cmath.sqrt in StdDev finalize formulas makes
+    # 1784/3454 experiment1 rows complex-valued (FIXTURES.md §3); the
+    # engine materializes companion "<name> (imag)" columns on request
+    df, meta = load_experiments(spark, EXPERIMENT1, with_imag=True,
+                                add_percentage_columns=False)
+    imag_cols = [c for c in df.columns if c.endswith(" (imag)")]
+    assert imag_cols  # StdDev/CfVar metrics have sqrt formulas
+    col = "CPUTIME (usec):StdDev (I) (imag)"
+    assert col in df.columns
+    assert df.filter(F.col(f"`{col}`") > 0).count() == 1784
+    # real part is 0 where imag is nonzero (pure-imaginary sqrt)
+    mixed = df.filter(
+        (F.col(f"`{col}`") > 0)
+        & (F.col("`CPUTIME (usec):StdDev (I)`") != 0.0)).count()
+    assert mixed == 0
+
+
 def test_unknown_element_raises(spark, tmp_path):
     # reference contract: unrecognized measurement tags raise
     # NotImplementedError (hpctoolkit_dataframe.py:260-264)
@@ -155,6 +173,19 @@ def test_unknown_element_raises(spark, tmp_path):
                              add_percentage_columns=False)
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_on_error_skip_fleet_mode(spark, tmp_path):
+    # a corrupt file alongside a good one: 'skip' keeps the good rows
+    import shutil
+
+    good = tmp_path / "exp_good.xml"
+    shutil.copy(EXPERIMENT1, good)
+    (tmp_path / "exp_corrupt.xml").write_text("<not-valid-xml")
+    df, _ = load_experiments(spark, str(tmp_path / "exp_*.xml"),
+                             add_percentage_columns=False, on_error="skip")
+    assert df.count() == 3454
+    assert df.select("profile_id").distinct().count() == 1
 
 
 def test_multi_file_load(spark):
