@@ -435,3 +435,19 @@ def cct_hot_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ops.with_ratio_of_total(build_cct(spark, sf_dir), "value", "ratio")
     chain = ops.hot_path(df, "ratio", threshold=HOT_THRESHOLD)
     return chain.select("id", "depth", "value", "ratio")
+
+
+# same oracle as cct_hot_path — the fleet operator (rank-1 edges + level
+# frontier joins, no per-profile driver loop) must produce the identical
+# chain when the whole frame is one profile
+@register("cct_hot_path_batch",
+          doc="fleet-scale hot_paths variant under the same oracle")
+def cct_hot_path_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ops.with_ratio_of_total(build_cct(spark, sf_dir), "value", "ratio")
+    chain = ops.hot_paths(df, "ratio", threshold=HOT_THRESHOLD)
+    return chain.select("id", "depth", "value", "ratio")
+
+
+from . import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["cct_hot_path_batch"].sql = _REGISTRY["cct_hot_path"].sql

@@ -64,6 +64,74 @@ def test_session_window_aggregate(spark):
         assert r["end_epoch_s"] >= r["start_epoch_s"]
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data handling: an event older than the watermark, arriving in
+    a later micro-batch, must not count; a fresh event must."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000  # fixed epoch micros
+    hour = 3_600_000_000
+
+    def write(path, rows):
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value", "props"])
+        table = pa.Table.from_pydict({
+            "event_id": pa.array(df["event_id"], pa.int64()),
+            "ts": pa.array([t * 1000 for t in df["ts"]], pa.int64()),
+            "user_id": pa.array(df["user_id"], pa.int64()),
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "value": pa.array(df["value"], pa.float64()),
+            "props": pa.array(df["props"], pa.string()),
+        })
+        pq.write_table(table, path)
+
+    import time
+
+    # batch 0: events at T and T+5h -> watermark becomes T+3h afterwards
+    write(tmp_path / "b1.parquet", [
+        (1, base_us, 1, "click", 1.0, ""),
+        (2, base_us + 5 * hour, 1, "click", 1.0, ""),
+    ])
+    time.sleep(1.1)  # file source orders micro-batches by modification time
+    # batch 1: fresh event; T-window state is finalized+evicted this batch
+    write(tmp_path / "b2.parquet", [
+        (3, base_us + 5 * hour + 60_000_000, 1, "click", 1.0, ""),
+    ])
+    time.sleep(1.1)
+    # batch 2: a LATE event at T — its window is long gone; must be DROPPED
+    # (watermark semantics: once state is evicted, late rows cannot
+    # resurrect a finalized window)
+    write(tmp_path / "b3.parquet", [
+        (4, base_us, 1, "click", 1.0, ""),
+    ])
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(se.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path))
+    )
+    agg = se.hourly_counts(stream, watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("late_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress)
+    rows = spark.sql("SELECT * FROM late_t").collect()
+    counts = {}
+    for r in rows:  # update mode: keep the LAST emission per window
+        counts[r["hour_epoch_s"]] = r["n"]
+    first_window = base_us // 1_000_000 // 3600 * 3600
+    fresh_window = (base_us + 5 * hour) // 1_000_000 // 3600 * 3600
+    # the late event (id 4) was dropped by the watermark, not re-counted
+    assert dropped == 1
+    assert counts[first_window] == 1
+    assert counts[fresh_window] == 2
+
+
 def test_running_user_totals_stateful(spark):
     stream = se.read_events_stream(spark, SF_DIR)
     rows = se.run_available_now(se.running_user_totals(stream), "totals_t",
