@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Training-data pipeline demo over the documents/embeddings tables:
+dedup -> quality filter -> similarity, all JVM-side.
+
+Run: python examples/pipeline_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hpctoolkit_dataframe_spark import get_spark  # noqa: E402
+from hpctoolkit_dataframe_spark.queries import REGISTRY  # noqa: E402
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
+    spark = get_spark("pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stats = REGISTRY["doc_stats"].fn(spark, sf_dir)
+    print("document quality stats:")
+    stats.show(5)
+
+    exact = REGISTRY["dedup_exact"].fn(spark, sf_dir)
+    n_groups = exact.count()
+    print(f"exact dedup: {n_groups} unique contents")
+
+    near = REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir)
+    print("n-gram near-duplicate pairs (jaccard >= 0.5):")
+    near.orderBy("doc_a").show(10)
+
+    lsh = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    print(f"MinHash-LSH candidate pairs: {lsh.count()}")
+
+    knn = REGISTRY["knn_cosine"].fn(spark, sf_dir)
+    print("cosine top-3 neighbors for the first 5 vectors:")
+    knn.orderBy("query_id", "rk").show(15)
+
+    ivf = REGISTRY["ivf_ann"].fn(spark, sf_dir)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in knn.collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    print(f"IVF ANN recall@3 vs brute force: "
+          f"{len(brute & approx) / len(brute):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,7 @@ def with_ratio_of_parent(
     walk_up: bool = True,
     persist_input: bool = True,
     carry_cols: Sequence[str] | None = None,
+    collect_threshold: int = 0,
 ) -> DataFrame:
     """value / nearest-ancestor-value, with the reference's walk-up rule.
 
@@ -154,6 +155,48 @@ def with_ratio_of_parent(
     """
     column_name = column_name or f"{base_column} ratio of parent"
     pc = list(partition_cols)
+
+    if collect_threshold and walk_up:
+        # adaptive small-input path (single profiles are ~10^4 nodes):
+        # collect the slim projection, walk up in memory, broadcast the
+        # (key, base) table back — one job + one broadcast join instead
+        # of the explode/join/agg pipeline (same semantics, verified by
+        # the property tests against both paths)
+        slim = df.select(*pc, "id", F.col(callpath_col).alias("__p"),
+                         F.col(base_column).cast("double").alias("__v"))
+        rows = slim.collect() if slim.count() <= collect_threshold else None
+        if rows is not None:
+            by_path: dict = {}
+            for r in rows:
+                by_path[(tuple(r[c] for c in pc), tuple(r["__p"]))] = r["__v"]
+            out_rows = []
+            for r in rows:
+                key = tuple(r[c] for c in pc)
+                path = tuple(r["__p"])
+                v = r["__v"]
+                anc = path
+                base = None
+                while True:
+                    anc = anc[:-1] if anc else ()
+                    base = by_path.get((key, anc))
+                    if base is None and anc == ():
+                        break
+                    if base is not None and (v is None or base >= v
+                                             or anc == ()):
+                        break
+                    if anc == ():
+                        break
+                ratio = (None if base in (None, 0) or v is None
+                         else v / base)
+                out_rows.append((*key, r["id"], ratio))
+            from pyspark.sql import types as T
+
+            fields = [df.schema[c] for c in pc] + [
+                T.StructField("id", T.LongType()),
+                T.StructField(column_name, T.DoubleType())]
+            ratios = df.sparkSession.createDataFrame(
+                out_rows, T.StructType(fields))
+            return df.join(F.broadcast(ratios), on=[*pc, "id"], how="left")
 
     if persist_input:
         # the input feeds three plan branches (node table, ancestor

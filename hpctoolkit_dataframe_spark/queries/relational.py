@@ -248,6 +248,49 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# set operations (SURVEY §2.7 — absent in the reference, Spark builtins)
+# ---------------------------------------------------------------------------
+@register("set_ops_customers", sql="""
+WITH building AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+with_orders AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
+                FROM orders)
+SELECT 'active' AS segment_class, custkey
+FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM with_orders)
+UNION ALL
+SELECT 'dormant' AS segment_class, custkey
+FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM with_orders)""")
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = (c.filter(F.col("c_mktsegment") == "BUILDING")
+                .select(F.col("c_custkey").cast("long").alias("custkey")))
+    with_orders = o.select(
+        F.col("o_custkey").cast("long").alias("custkey")).distinct()
+    active = building.intersect(with_orders).select(
+        F.lit("active").alias("segment_class"), "custkey")
+    dormant = building.exceptAll(with_orders).distinct().select(
+        F.lit("dormant").alias("segment_class"), "custkey")
+    return active.unionAll(dormant)
+
+
+@register("distinct_types_per_brand", sql="""
+SELECT p_brand,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,
+       COUNT(*) AS n_parts
+FROM part GROUP BY p_brand""")
+def distinct_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.countDistinct("p_type").cast("long").alias("n_types"),
+        F.countDistinct("p_size").cast("long").alias("n_sizes"),
+        F.count(F.lit(1)).alias("n_parts"))
+
+
+# ---------------------------------------------------------------------------
 # event-time: tumbling hourly aggregation (streaming-compatible shape;
 # the same expression runs under readStream + watermark, see streaming/)
 # ---------------------------------------------------------------------------

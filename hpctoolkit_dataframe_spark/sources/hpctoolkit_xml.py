@@ -298,7 +298,8 @@ def load_experiments(
         df = _cct.with_ratio_of_total(
             df, pct, pct + " ratio of total", partition_cols=["profile_id"])
         df = _cct.with_ratio_of_parent(
-            df, pct, pct + " ratio of parent", partition_cols=["profile_id"])
+            df, pct, pct + " ratio of parent", partition_cols=["profile_id"],
+            collect_threshold=100_000)
         # reference layout (:190-198, 354): metrics sorted by metric id,
         # ratio columns right after their base, then location columns;
         # rebuilt explicitly because the ratio joins move their keys

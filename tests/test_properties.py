@@ -49,8 +49,9 @@ def _walk_up_expected(values, path):
 
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
-@given(trees=st.lists(tree(), min_size=1, max_size=6))
-def test_walk_up_matches_python_reference(spark, trees):
+@given(trees=st.lists(tree(), min_size=1, max_size=6),
+       fast_path=st.booleans())
+def test_walk_up_matches_python_reference(spark, trees, fast_path):
     rows = []
     for i, t in enumerate(trees):
         rows.extend(_rows(f"p{i}", t))
@@ -58,7 +59,8 @@ def test_walk_up_matches_python_reference(spark, trees):
         rows, "profile_id string, id long, callpath array<long>, value double")
     out = cct.with_ratio_of_parent(
         df, "value", "ratio", partition_cols=["profile_id"],
-        persist_input=False).collect()
+        persist_input=False,
+        collect_threshold=1_000_000 if fast_path else 0).collect()
     got = {(r["profile_id"], tuple(r["callpath"])): r["ratio"] for r in out}
     for i, t in enumerate(trees):
         for path, v in t.items():
