@@ -315,6 +315,27 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semi-structured: JSON property extraction (SURVEY §2.8 'absent
+# date/json/map functions' — Spark builtins, demonstrated first-class)
+# ---------------------------------------------------------------------------
+@register("events_json_props", sql="""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+       COUNT(*) AS n
+FROM events GROUP BY event_type""")
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_total"),
+        F.min(k).cast("long").alias("k_min"),
+        F.max(k).cast("long").alias("k_max"),
+        F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
 # event-time: sliding windows (1 hour long, 15 min slide) — each event
 # belongs to exactly 4 windows; batch emulation explodes the 4 bucket
 # offsets (streaming twin: F.window(ts, '1 hour', '15 minutes'))
