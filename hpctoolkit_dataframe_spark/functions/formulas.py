@@ -158,10 +158,12 @@ def _compile(node, resolve: _Resolver) -> tuple[Column, Column | None]:
             re_, im_ = _compile(args[0], resolve)
             if im_ is not None:
                 raise ValueError("sqrt of a complex expression not supported")
-            # cmath.sqrt semantics on reals: sqrt(x<0) = i*sqrt(-x)
+            # cmath.sqrt semantics on reals: sqrt(x<0) = i*sqrt(-x).
+            # No otherwise(): a NULL input must stay NULL (absent metric),
+            # not collapse to the otherwise branch's 0.0
             return (
-                F.when(re_ >= 0, F.sqrt(re_)).otherwise(F.lit(0.0)),
-                F.when(re_ < 0, F.sqrt(-re_)).otherwise(F.lit(0.0)),
+                F.when(re_ >= 0, F.sqrt(re_)).when(re_ < 0, F.lit(0.0)),
+                F.when(re_ < 0, F.sqrt(-re_)).when(re_ >= 0, F.lit(0.0)),
             )
         if name == "pow":
             b_re, b_im = _compile(args[0], resolve)

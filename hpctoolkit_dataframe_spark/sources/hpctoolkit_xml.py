@@ -29,6 +29,7 @@ import glob as _glob
 import os
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
+from pathlib import PurePosixPath
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -144,11 +145,13 @@ def parse_experiment_rows(
             new_location = dict(location)
             attrib = child.attrib
             if "lm" in attrib:
-                path = modules[int(attrib["lm"])]
+                # PurePosixPath-normalize like the reference's pathlib
+                # storage (:174): './src/x' renders as 'src/x'
+                path = str(PurePosixPath(modules[int(attrib["lm"])]))
                 new_location["module path"] = path
                 new_location["module"] = os.path.basename(path)
             if "f" in attrib:
-                path = files[int(attrib["f"])]
+                path = str(PurePosixPath(files[int(attrib["f"])]))
                 new_location["file path"] = path
                 new_location["file"] = os.path.basename(path)
             if "l" in attrib:
