@@ -79,4 +79,6 @@ def python_udf_count(df: DataFrame) -> int:
     queries assert this is zero."""
     plan = executed_plan(df)
     return (plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
-            + plan.count("FlatMapGroupsInPandas"))
+            + plan.count("FlatMapGroupsInPandas")
+            + plan.count("MapInPandas") + plan.count("MapInArrow")
+            + plan.count("PythonMapInArrow"))

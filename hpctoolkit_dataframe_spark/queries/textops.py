@@ -264,12 +264,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (doc_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= SHINGLE_DF_CAP).select("sh"))
-    a = doc_sh.alias("a")
-    b = doc_sh.alias("b")
+    # Prune hot shingles BEFORE the self-join: one shingle with DF=10^6
+    # would otherwise emit ~10^12 intermediate pairs that the rarity cap
+    # only deletes afterwards.  DuckDB's optimizer reorders the oracle's
+    # late join itself; Spark without CBO will not, so the semi-join must
+    # be explicit (VERDICT r1 #1).  Plan shape asserted in
+    # tests/test_plans.py::test_ngram_jaccard_prunes_before_selfjoin.
+    pruned = doc_sh.join(rare, "sh", "left_semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .join(rare.alias("r"), F.col("r.sh") == F.col("a.sh"))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -309,25 +315,34 @@ SELECT doc_id,
          AS simhash
 FROM bits GROUP BY doc_id""")
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully narrow: one md5 per token, 16 per-row array aggregates, no
+    explode / crossJoin / shuffle (VERDICT r1 #2 replaced a 16x
+    crossJoin + two shuffled groupBys).  The first 4 hex chars of
+    md5(token) hold exactly the 16 bits the oracle's nibble arithmetic
+    reads, so each token folds to one small int and the bit tests become
+    literal shifts."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_tokens()).alias("t"))
-    j = F.col("j")
-    nibble = (
-        F.instr(F.lit("0123456789abcdef"),
-                F.substring(F.md5(F.col("t")),
-                            ((j / 4).cast("int") + 1).cast("int"), 1)) - 1)
-    # shiftright needs a literal count in PySpark; values are <= 15 so
-    # floor-divide by 2^(j%4) is exact
-    bit = (F.floor(nibble.cast("double") / F.pow(F.lit(2.0), (j % 4)))
-           .cast("long") % 2)
-    bits = (
-        tok.crossJoin(spark.range(16).select(F.col("id").cast("int").alias("j")))
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias("s"))
-    )
-    return (
-        bits.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("s") >= 0,
-                          F.pow(F.lit(2.0), F.col("j")).cast("long"))
-                   .otherwise(0)).cast("long").alias("simhash"))
-    )
+    # v = int value of md5's first 4 hex chars; char at 1-based position
+    # p is the nibble (v >> 4*(4-p)) & 15, matching the oracle's
+    # instr('0123456789abcdef', substr(md5(t), j//4+1, 1)) - 1
+    vs = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
+    # project first so md5 runs once per token; the 16 aggregates below
+    # then re-traverse a small int array inside one codegen stage
+    folded = docs.select("doc_id", vs.alias("vs"))
+
+    def bit_sum(j):
+        shift = 4 * (3 - j // 4) + j % 4
+        return F.aggregate(
+            "vs", F.lit(0).cast("long"),
+            lambda acc, v: acc + F.when(
+                F.shiftright(v, shift) % 2 == 1,
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
+
+    simhash = None
+    for j in range(16):
+        term = F.when(bit_sum(j) >= 0, F.lit(1 << j).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return folded.select("doc_id", simhash.cast("long").alias("simhash"))

@@ -55,6 +55,34 @@ def test_filters_stay_jvm_side(spark):
     assert explain.codegen_stage_count(df) >= 1
 
 
+def test_ngram_jaccard_prunes_before_selfjoin(spark):
+    """The rarity cap must be applied BELOW the shingle self-join (as a
+    semi-join on each input), otherwise one hot shingle with DF=10^6
+    emits ~10^12 pairs before the cap deletes them (VERDICT r1 #1)."""
+    import re
+
+    df = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    semi = plan.find("LeftSemi")
+    assert semi != -1, "rarity cap is not a semi-join"
+    # tree toString prints parents before children: the pair-generating
+    # self-join (its doc_id < doc_id condition) must appear ABOVE the
+    # semi-join, i.e. the semi-join is in its subtree
+    m = re.search(r"doc_id#\d+L? < doc_id#\d+", plan)
+    assert m is not None
+    assert m.start() < semi
+
+
+def test_simhash16_is_narrow(spark):
+    """No explode/crossJoin/shuffle: the fingerprint folds per-row
+    (VERDICT r1 #2)."""
+    df = REGISTRY["simhash16"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    assert "CartesianProduct" not in plan and "Generate" not in plan
+    assert explain.exchange_count(df) == 0
+    assert explain.python_udf_count(df) == 0
+
+
 def test_headline_queries_no_python_udfs(spark):
     for name in ("q1_pricing_summary", "doc_stats", "minhash_signatures",
                  "simhash16", "knn_cosine", "events_sessions"):
