@@ -1,0 +1,68 @@
+"""Driver-gate query for the XML ingest path (VERDICT r1 missing #1).
+
+The reference's core capability — parse experiment XML, finalize derived
+metrics (complex StdDev as re/im), elect the percentage column, repair
+the root (E) metrics, add both ratio columns — previously had golden +
+live-parity coverage only; this entry makes it visible to the driver's
+CORRECTNESS gate.  The oracle side reads a parquet fixture captured from
+the EXECUTING reference (tools/make_ingest_fixture.py), so a green hash
+here means our ingest matches the reference bit-for-bit on every
+projected cell of both experiment databases.
+
+Reference semantics mirrored: hpctoolkit_dataframe.py:154-216 (load),
+:291-305 (percentage election), :190-198 (finalize/ratio layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import register
+
+EXPERIMENTS = {
+    "experiment1": "/root/reference/test/data/experiment1.xml",
+    "experiment2": "/root/reference/test/data/experiment2.xml",
+}
+FIXTURE = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+    "ref_ingest.parquet"))
+
+_MEAN_SUFFIX = ":Mean (I)"
+
+
+@register("cct_xml_ingest", sql=f"""
+SELECT experiment, id, callpath, node_type, sum_i, mean_i,
+       stddev_re, stddev_im, ratio_total, ratio_parent
+FROM read_parquet('{FIXTURE}')""")
+def cct_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live XML ingest of both reference experiment databases, projected
+    to the elected percentage-metric family.  ``sf_dir`` is unused — the
+    input is the reference's own test data, which is what the fixture
+    was captured from."""
+    from ..sources.hpctoolkit_xml import load_experiments
+
+    out = None
+    for name, path in EXPERIMENTS.items():
+        df, meta = load_experiments(spark, path, with_imag=True)
+        pct = meta.meaningful_columns["percentage"]
+        base = pct[: -len(_MEAN_SUFFIX)]
+        sd = f"{base}:StdDev (I)"
+        sd_im = f"{sd} (imag)"
+        part = df.select(
+            F.lit(name).alias("experiment"),
+            F.col("id").cast("long").alias("id"),
+            F.array_join(
+                F.transform("callpath", lambda x: x.cast("string")), "/")
+            .alias("callpath"),
+            F.col("type").alias("node_type"),
+            F.col(f"`{base}:Sum (I)`").alias("sum_i"),
+            F.col(f"`{pct}`").alias("mean_i"),
+            F.col(f"`{sd}`").alias("stddev_re"),
+            F.col(f"`{sd_im}`").alias("stddev_im"),
+            F.col(f"`{pct} ratio of total`").alias("ratio_total"),
+            F.col(f"`{pct} ratio of parent`").alias("ratio_parent"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

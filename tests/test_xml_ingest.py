@@ -193,3 +193,19 @@ def test_multi_file_load(spark):
     df, _ = load_experiments(spark, EXPERIMENT1.replace("experiment1", "experiment[1]"),
                              add_percentage_columns=False)
     assert df.select("profile_id").distinct().count() == 1
+
+
+def test_cct_xml_ingest_gate_fixture(spark):
+    """The driver-gate ingest query must keep matching the captured
+    reference fixture (tools/make_ingest_fixture.py) row-count-wise;
+    cell-exactness is enforced by oracle_check / the driver itself."""
+    import os
+
+    from hpctoolkit_dataframe_spark.queries import REGISTRY
+    from hpctoolkit_dataframe_spark.queries.xml_ingest import FIXTURE
+
+    assert os.path.exists(FIXTURE)
+    df = REGISTRY["cct_xml_ingest"].fn(spark, "unused")
+    rows = df.groupBy("experiment").count().collect()
+    counts = {r["experiment"]: r["count"] for r in rows}
+    assert counts == {"experiment1": 3454, "experiment2": 2854}
