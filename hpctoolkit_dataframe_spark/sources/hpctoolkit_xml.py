@@ -243,34 +243,68 @@ def load_experiments(
     schema = _raw_schema(metric_ids)
     columns = [f.name for f in schema.fields]
 
+    def _rows_frame(content: bytes, file_path: str) -> pd.DataFrame | None:
+        try:
+            _, rows = parse_experiment_rows(
+                content, file_path,
+                max_depth=max_depth, skip_callsite=skip_callsite)
+        except Exception:
+            if on_error == "fail":
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping malformed experiment file %s", file_path,
+                exc_info=True)
+            return None
+        out = pd.DataFrame(rows)
+        for c in columns:
+            if c not in out.columns:
+                out[c] = None
+        out["callpath"] = out["callpath"].map(list)
+        return out[columns]
+
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlparse
+
         for batch in batches:
             for _, file_row in batch.iterrows():
-                try:
-                    _, rows = parse_experiment_rows(
-                        file_row["content"], file_row["path"],
-                        max_depth=max_depth, skip_callsite=skip_callsite)
-                except Exception:
-                    if on_error == "fail":
-                        raise
-                    import logging
+                # binaryFile reports file: URIs; normalize to the plain
+                # filesystem path so profile_id is identical to the
+                # driver-side fast path's
+                p = file_row["path"]
+                if p.startswith("file:"):
+                    p = urlparse(p).path
+                out = _rows_frame(file_row["content"], p)
+                if out is not None:
+                    yield out
 
-                    logging.getLogger(__name__).warning(
-                        "skipping malformed experiment file %s",
-                        file_row["path"], exc_info=True)
-                    continue
-                out = pd.DataFrame(rows)
-                for c in columns:
-                    if c not in out.columns:
-                        out[c] = None
-                out["callpath"] = out["callpath"].map(list)
-                yield out[columns]
-
-    raw = (
-        spark.read.format("binaryFile").load(path)
-        .select("path", "content")
-        .mapInPandas(parse_files, schema=schema)
-    )
+    # Small-input fast path: a handful of small local files is parsed
+    # driver-side and shipped via createDataFrame — one experiment tree
+    # is ~10^4 rows, and the distributed path's fixed cost (binaryFile
+    # relation, Python-worker job, module-by-value pickling) is ~4 s of
+    # pure overhead for a 230 KB file.  Fleet-scale globs (many files or
+    # large bytes) keep the embarrassingly-parallel executor path.
+    total_bytes = sum(os.path.getsize(p) for p in first
+                      if os.path.isfile(p))
+    if (len(first) <= 8 and total_bytes < 32 * 1024 * 1024
+            and all(os.path.isfile(p) for p in first)):
+        frames = []
+        for p in first:
+            with open(p, "rb") as f:
+                out = _rows_frame(f.read(), p)
+            if out is not None:
+                frames.append(out)
+        if not frames:
+            raise ValueError(f"no parseable experiment file in {path}")
+        raw = spark.createDataFrame(
+            pd.concat(frames, ignore_index=True), schema=schema)
+    else:
+        raw = (
+            spark.read.format("binaryFile").load(path)
+            .select("path", "content")
+            .mapInPandas(parse_files, schema=schema)
+        )
 
     meta = CCTMetadata(
         db_path=header_path,
@@ -298,6 +332,13 @@ def load_experiments(
     }
 
     if add_percentage_columns:
+        # the ratio steps branch the frame several times (root lookup,
+        # ancestor walk, final select) and each branch would re-run the
+        # binaryFile+mapInPandas parse; materialize the parsed rows once
+        # so every downstream pass reads them instead of re-parsing
+        # (cache() is not enough — substitution fails across self-join
+        # relation dedup, see CLAUDE.md)
+        df = df.localCheckpoint(eager=True)
         df = _cct.with_ratio_of_total(
             df, pct, pct + " ratio of total", partition_cols=["profile_id"])
         df = _cct.with_ratio_of_parent(

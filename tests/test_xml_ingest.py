@@ -168,8 +168,16 @@ def test_unknown_element_raises(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         parse_experiment_rows(bad.read_bytes(), str(bad))
-    # and through the distributed path the task error surfaces too
-    df, _ = load_experiments(spark, str(bad),
+    # small-input fast path parses driver-side -> raises eagerly at load
+    with pytest.raises(NotImplementedError):
+        load_experiments(spark, str(bad), add_percentage_columns=False)
+    # and through the distributed path (forced by exceeding the fast
+    # path's file limit) the task error surfaces at execution
+    import shutil
+
+    for i in range(9):
+        shutil.copy(bad, tmp_path / f"bad{i}.xml")
+    df, _ = load_experiments(spark, str(tmp_path / "bad*.xml"),
                              add_percentage_columns=False)
     with pytest.raises(Exception):
         df.collect()
