@@ -62,10 +62,12 @@ def _fullmatch_or_eq(element: Column, item) -> Column:
     import re as _re
 
     if isinstance(item, _re.Pattern):
-        pattern = item.pattern
-        if not pattern.startswith("^"):
-            pattern = "^(?:" + pattern + ")$"
-        return element.rlike(pattern)
+        # always wrap: a pattern like '^foo' (anchored one side only)
+        # must still get fullmatch semantics, and double anchoring is
+        # harmless (ADVICE r1).  Caveat: the pattern is evaluated by
+        # Java's regex engine; Python-only syntax ((?P<name>), \\A/\\Z
+        # differences, inline flags placement) is not translated.
+        return element.rlike("^(?:" + item.pattern + ")$")
     return element == F.lit(item)
 
 

@@ -170,6 +170,7 @@ def with_ratio_of_parent(
             for r in rows:
                 by_path[(tuple(r[c] for c in pc), tuple(r["__p"]))] = r["__v"]
             out_rows = []
+            _MISSING = object()
             for r in rows:
                 key = tuple(r[c] for c in pc)
                 path = tuple(r["__p"])
@@ -178,13 +179,21 @@ def with_ratio_of_parent(
                 base = None
                 while True:
                     anc = anc[:-1] if anc else ()
-                    base = by_path.get((key, anc))
-                    if base is None and anc == ():
+                    b = by_path.get((key, anc), _MISSING)
+                    if b is _MISSING:
+                        # no row for this prefix: keep walking
+                        if anc == ():
+                            base = None
+                            break
+                        continue
+                    if b is None:
+                        # an EXISTING ancestor without the metric stops
+                        # the reference's `base < value` loop (NaN < x is
+                        # False) and yields NaN — mirror with NULL
+                        base = None
                         break
-                    if base is not None and (v is None or base >= v
-                                             or anc == ()):
-                        break
-                    if anc == ():
+                    base = b
+                    if v is None or b >= v or anc == ():
                         break
                 ratio = (None if base in (None, 0) or v is None
                          else v / base)
@@ -271,22 +280,30 @@ def with_ratio_of_parent(
         F.col("__value").alias("__anc_value"),
     )
 
+    # an ancestor stops the walk when NOT (base < value): base >= value,
+    # base NULL (the reference's NaN: `NaN < x` is False, ratio NaN), or
+    # the root.  The first stopper in walk-up order is the DEEPEST one.
     qualifying = joined.filter(
         (F.col("__anc_value").cast("double") >= F.col("__cv"))
+        | F.col("__anc_value").isNull()
         | (F.col("__anc_depth") == 0)
     )
-    # deepest qualifying ancestor wins (nearest in the walk-up order)
+    # deepest qualifying ancestor wins (nearest in the walk-up order);
+    # struct-max instead of max_by so a NULL __anc_value at the deepest
+    # stopper propagates (max_by would skip it for a shallower non-null)
+    deepest = F.max(F.struct(F.col("__anc_depth").alias("d"),
+                             F.col("__anc_value").alias("v")))["v"]
     ratio = F.try_divide(F.col("__cv"), F.col("__base").cast("double"))
     if carry is not None:
         # slim path: group keys carry the output columns, no join-back
         agg = (
             qualifying.groupBy(*pc, "id", *carry, "__cv")
-            .agg(F.max_by("__anc_value", "__anc_depth").alias("__base"))
+            .agg(deepest.alias("__base"))
         )
         return agg.select(*pc, "id", *carry, ratio.alias(column_name))
     agg = (
         qualifying.groupBy(*pc, "id")
-        .agg(F.max_by("__anc_value", "__anc_depth").alias("__base"))
+        .agg(deepest.alias("__base"))
     )
     out = df.join(agg, on=[*pc, "id"], how="left")
     return out.withColumn(

@@ -245,9 +245,18 @@ def load_experiments(
 
     def _rows_frame(content: bytes, file_path: str) -> pd.DataFrame | None:
         try:
-            _, rows = parse_experiment_rows(
+            file_header, rows = parse_experiment_rows(
                 content, file_path,
                 max_depth=max_depth, skip_callsite=skip_callsite)
+            # enforce the documented same-metric-ids contract: padding /
+            # dropping columns for a heterogeneous fleet file would
+            # produce silently wrong rows (ADVICE r1)
+            file_ids = sorted(file_header["metrics_by_id"])
+            if file_ids != metric_ids:
+                raise ValueError(
+                    f"{file_path}: MetricTable ids {file_ids} differ from "
+                    f"the driver schema's {metric_ids}; heterogeneous "
+                    "metric sets must be loaded separately and unioned")
         except Exception:
             if on_error == "fail":
                 raise

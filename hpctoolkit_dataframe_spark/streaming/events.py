@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -118,7 +119,12 @@ def _update_user_totals(
     total, value_c = state.get if state.exists else (0, 0)
     for batch in batches:
         total += len(batch)
-        value_c += int((batch["value"] * 100).round().astype("int64").sum())
+        # HALF_UP to match Spark F.round in every batch twin — pandas
+        # .round() is half-to-even and diverges on exact .5 cents; NaN
+        # values count as 0 instead of crashing the int cast (ADVICE r1).
+        # floor(x+0.5) == HALF_UP for the non-negative values here.
+        cents = np.floor(batch["value"].fillna(0.0) * 100 + 0.5)
+        value_c += int(cents.astype("int64").sum())
     state.update((total, value_c))
     yield pd.DataFrame({"user_id": [key[0]], "events_so_far": [total],
                         "value_c_so_far": [value_c]})

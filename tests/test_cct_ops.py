@@ -90,3 +90,25 @@ def test_at_paths_prefix_suffix(tree):
                  cct.at_paths(tree, suffix=(2, 3)).collect())
     assert ids == [3, 3]
     assert cct.at_paths(tree).count() == 10
+
+
+def test_ratio_of_parent_null_ancestor_stops_walk(spark):
+    """Reference `base < value` loop: an existing ancestor whose value is
+    NaN stops the walk (NaN < x is False) and yields NaN — NOT a
+    continued walk to a shallower non-null ancestor (ADVICE r1)."""
+    rows = [
+        ("p1", -1, [], 10.0),
+        ("p1", 1, [1], None),        # no metric at this ancestor
+        ("p1", 2, [1, 2], 5.0),
+        ("p1", 3, [1, 2, 3], 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "profile_id string, id long, callpath array<long>, value double")
+    for threshold in (0, 1000):  # distributed path and collect path
+        out = {r["id"]: r["r"] for r in cct.with_ratio_of_parent(
+            df, "value", "r", partition_cols=["profile_id"],
+            collect_threshold=threshold).collect()}
+        assert out[-1] == 1.0
+        assert out[1] is None                      # own value null
+        assert out[2] is None, threshold           # parent null -> stop
+        assert out[3] == pytest.approx(0.8), threshold  # 4/5, never sees 1

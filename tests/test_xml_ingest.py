@@ -217,3 +217,32 @@ def test_cct_xml_ingest_gate_fixture(spark):
     rows = df.groupBy("experiment").count().collect()
     counts = {r["experiment"]: r["count"] for r in rows}
     assert counts == {"experiment1": 3454, "experiment2": 2854}
+
+
+def test_heterogeneous_metric_table_rejected(spark, tmp_path):
+    """A glob file whose MetricTable differs from the driver schema must
+    error (on_error='fail') or be skipped whole (on_error='skip') — not
+    silently NULL-pad / drop metric columns (ADVICE r1)."""
+    def mini_xml(metric_id):
+        return f"""<?xml version="1.0"?>
+<HPCToolkitExperiment version="2.1">
+<SecCallPathProfile i="0" n="m">
+<SecHeader>
+  <MetricTable><Metric i="{metric_id}" n="T:Mean (I)" v="raw" t="inclusive"/></MetricTable>
+  <LoadModuleTable/><FileTable/>
+  <ProcedureTable><Procedure i="1" n="main"/></ProcedureTable>
+</SecHeader>
+<SecCallPathProfileData>
+  <M n="{metric_id}" v="5"/>
+</SecCallPathProfileData>
+</SecCallPathProfile>
+</HPCToolkitExperiment>"""
+
+    (tmp_path / "h_a.xml").write_text(mini_xml(2))
+    (tmp_path / "h_b.xml").write_text(mini_xml(9))
+    glob = str(tmp_path / "h_*.xml")
+    with pytest.raises(ValueError, match="MetricTable ids"):
+        load_experiments(spark, glob, add_percentage_columns=False)
+    df, _ = load_experiments(spark, glob, add_percentage_columns=False,
+                             on_error="skip")
+    assert df.select("profile_id").distinct().count() == 1
