@@ -116,10 +116,15 @@ def flame_graph(
     show: bool = True,
     callpath_col: str = "callpath",
     label_col: str | None = "procedure",
+    highlight=None,
 ):
     """Render the layout with matplotlib (reference :430-540 semantics:
     shapes rect/wheel, styles flame/skyline/mountains, label threshold
-    pi/(depth - min_depth + 32))."""
+    pi/(depth - min_depth + 32)).
+
+    ``highlight`` is accepted for signature parity with the reference
+    (hpctoolkit_dataframe.py:433) and ignored exactly as the reference
+    ignores it — the parameter is dead there (accepted, never read)."""
     try:
         import matplotlib
     except ImportError as e:  # rendering is optional; layout always works

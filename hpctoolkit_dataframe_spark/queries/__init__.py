@@ -48,4 +48,4 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-from . import cct_tpch, relational, textops, vectors, xml_ingest  # noqa: E402,F401
+from . import cct_tpch, multimodal, relational, textops, vectors, xml_ingest  # noqa: E402,F401

@@ -334,6 +334,33 @@ def cct_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P8 at fleet scale: hash-mod sampling — the stride sample above is a
+# display-only notebook idiom (global single-partition window); this is
+# the primitive to offer when users want "~1% of rows, deterministic,
+# distributed": a narrow per-row predicate, no shuffle, no total order.
+# md5 is the hash because it is identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+_SAMPLE_MOD = 97
+_H = "md5(CAST(id AS VARCHAR))"
+_HASH8_SQL = " + ".join(
+    f"(instr('0123456789abcdef', substr({_H}, {k + 1}, 1)) - 1)"
+    f" * {16 ** (7 - k)}"
+    for k in range(8))
+
+
+@register("cct_sample_by_hash", sql=f"""WITH {CCT_CTES}
+SELECT id, depth, value FROM cct
+WHERE ({_HASH8_SQL}) % {_SAMPLE_MOD} = 0""",
+          doc="deterministic ~1% hash-mod sample (scalable P8 variant)")
+def cct_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = build_cct(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % _SAMPLE_MOD
+    return df.select("id", "depth", "value").filter(bucket == 0)
+
+
+# ---------------------------------------------------------------------------
 # V1-analog: flame-graph widths as a checkable query.  Width = 2*pi x
 # product of sibling-shares along the root-to-node chain; offsets are the
 # intra-parent running sum.  Multiplication/addition order is fixed
