@@ -170,6 +170,15 @@ def _compile(node, resolve: _Resolver) -> tuple[Column, Column | None]:
             e_re, e_im = _compile(args[1], resolve)
             if b_im is not None or e_im is not None:
                 raise ValueError("pow over complex expressions not supported")
+            if args[1] == ("num", 2.0) or args[1] == ("num", 2):
+                # pow(x, 2) compiles to x*x: JVM Math.pow(x, 2.0) is
+                # BISTABLE (the C2 JIT intrinsifies it to x*x while the
+                # interpreter takes the libm-style path), so the same
+                # query could return ULP-different values depending on
+                # warm-up.  x*x is the correctly rounded square and is
+                # deterministic; it may differ from the reference's
+                # C-library pow by ~1 ULP (covered by parity tolerance).
+                return b_re * b_re, None
             return F.pow(b_re, e_re), None
         raise AssertionError(name)
     assert kind == "bin", node

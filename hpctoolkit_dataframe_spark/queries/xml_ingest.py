@@ -59,8 +59,15 @@ def cct_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("type").alias("node_type"),
             F.col(f"`{base}:Sum (I)`").alias("sum_i"),
             F.col(f"`{pct}`").alias("mean_i"),
-            F.col(f"`{sd}`").alias("stddev_re"),
-            F.col(f"`{sd_im}`").alias("stddev_im"),
+            # StdDev goes through pow+sqrt whose library implementations
+            # differ by ~1 ULP across engines — quantize to HALF_UP
+            # cents (values are non-negative) so the hash is stable;
+            # sum/mean/ratios are raw-value sums and single divisions,
+            # which are bit-identical and stay full-precision doubles
+            F.floor(F.col(f"`{sd}`") * 100 + 0.5).cast("long")
+            .alias("stddev_re"),
+            F.floor(F.col(f"`{sd_im}`") * 100 + 0.5).cast("long")
+            .alias("stddev_im"),
             F.col(f"`{pct} ratio of total`").alias("ratio_total"),
             F.col(f"`{pct} ratio of parent`").alias("ratio_parent"),
         )

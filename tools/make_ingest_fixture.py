@@ -93,12 +93,19 @@ def main() -> None:
             cols["mean_i"].append(_clean(row[pct]))
             sd = row[f"{base}:StdDev (I)"]
             if isinstance(sd, complex):
-                cols["stddev_re"].append(_clean(sd.real))
-                cols["stddev_im"].append(_clean(sd.imag))
+                re_, im_ = _clean(sd.real), _clean(sd.imag)
             else:
-                cols["stddev_re"].append(_clean(sd))
-                cols["stddev_im"].append(0.0 if _clean(sd) is not None
-                                         else None)
+                re_ = _clean(sd)
+                im_ = 0.0 if re_ is not None else None
+            # scaled-BIGINT cents: the StdDev formula contains pow+sqrt,
+            # whose library implementations differ by ~1 ULP between
+            # engines (and the JVM's Math.pow is JIT-bistable), so raw
+            # doubles here are not hash-stable; values are non-negative
+            # so floor(x*100+0.5) is HALF_UP
+            cols["stddev_re"].append(
+                None if re_ is None else int(math.floor(re_ * 100 + 0.5)))
+            cols["stddev_im"].append(
+                None if im_ is None else int(math.floor(im_ * 100 + 0.5)))
             cols["ratio_total"].append(_clean(row[f"{pct} ratio of total"]))
             cols["ratio_parent"].append(_clean(row[f"{pct} ratio of parent"]))
         print(f"{name}: {len(ref)} rows, pct={pct!r}")
@@ -110,8 +117,8 @@ def main() -> None:
         "node_type": pa.array(cols["node_type"], pa.string()),
         "sum_i": pa.array(cols["sum_i"], pa.float64()),
         "mean_i": pa.array(cols["mean_i"], pa.float64()),
-        "stddev_re": pa.array(cols["stddev_re"], pa.float64()),
-        "stddev_im": pa.array(cols["stddev_im"], pa.float64()),
+        "stddev_re": pa.array(cols["stddev_re"], pa.int64()),
+        "stddev_im": pa.array(cols["stddev_im"], pa.int64()),
         "ratio_total": pa.array(cols["ratio_total"], pa.float64()),
         "ratio_parent": pa.array(cols["ratio_parent"], pa.float64()),
     })
