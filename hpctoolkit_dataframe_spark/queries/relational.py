@@ -367,6 +367,52 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# as-of join: last-touch attribution — for each purchase, the most
+# recent view of the same user at-or-before it.  Spark lacks ASOF JOIN;
+# operators/asof.py supplies the scalable union+window form (one key
+# shuffle, no row explosion).  The oracle is the INDEPENDENT
+# formulation: inequality join + max_by with a [ts, id] tie-break.
+# ---------------------------------------------------------------------------
+@register("events_asof_attribution", sql="""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+p AS (SELECT user_id, event_id, ts_us FROM e
+      WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'view'),
+m AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts_us,
+         MAX(v.ts_us) AS view_ts_us
+  FROM p LEFT JOIN v
+    ON v.user_id = p.user_id AND v.ts_us <= p.ts_us
+  GROUP BY 1, 2, 3
+)
+SELECT m.user_id, m.purchase_id, m.ts_us,
+       CAST(MAX(v.event_id) AS BIGINT) AS view_id,
+       CAST(m.view_ts_us AS BIGINT) AS view_ts_us,
+       CAST((m.ts_us - m.view_ts_us) // 1000000 AS BIGINT) AS lag_s
+FROM m LEFT JOIN v
+  ON v.user_id = m.user_id AND v.ts_us = m.view_ts_us
+GROUP BY m.user_id, m.purchase_id, m.ts_us, m.view_ts_us""")
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts_us")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts_us")
+    out = asof_join(purchases, views, on="user_id", left_ts="ts_us",
+                    right_cols=["view_id"])
+    return out.select(
+        "user_id", "purchase_id", "ts_us",
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("ts_us_right").alias("view_ts_us"),
+        F.expr("(ts_us - ts_us_right) div 1000000").cast("long")
+        .alias("lag_s"))
+
+
+# ---------------------------------------------------------------------------
 # event-time: gap-based sessionization (lag + running sum windows)
 # ---------------------------------------------------------------------------
 SESSION_GAP_US = 30 * 60 * 1_000_000

@@ -1,0 +1,74 @@
+"""Unit tests for the as-of join operator (semantics pandas merge_asof
+users expect; the backward path is also oracle-checked end-to-end by the
+events_asof_attribution driver query)."""
+
+import pytest
+
+from hpctoolkit_dataframe_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 205), ("a", 3, 400), ("b", 4, 50)],
+        "k string, pid long, t long")
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 11, 200), ("a", 12, 205), ("a", 13, 300),
+         ("c", 14, 1)],
+        "k string, rid long, t long")
+    return left, right
+
+
+def _by_pid(df):
+    return {r["pid"]: (r["rid"], r["t_right"]) for r in df.collect()}
+
+
+def test_backward_with_exact(sides):
+    left, right = sides
+    out = asof_join(left, right, on="k", left_ts="t",
+                    right_cols=["rid"])
+    got = _by_pid(out)
+    assert got[1] == (10, 100)    # exact match allowed
+    assert got[2] == (12, 205)    # exact beats earlier 200
+    assert got[3] == (13, 300)
+    assert got[4] == (None, None)  # key 'b' has no right rows
+
+
+def test_backward_no_exact(sides):
+    left, right = sides
+    out = asof_join(left, right, on="k", left_ts="t", right_cols=["rid"],
+                    allow_exact_matches=False)
+    got = _by_pid(out)
+    assert got[1] == (None, None)  # only an exact candidate exists
+    assert got[2] == (11, 200)     # exact 205 excluded
+    assert got[3] == (13, 300)
+
+
+def test_forward(sides):
+    left, right = sides
+    out = asof_join(left, right, on="k", left_ts="t", right_cols=["rid"],
+                    direction="forward")
+    got = _by_pid(out)
+    assert got[1] == (10, 100)
+    assert got[2] == (12, 205)
+    assert got[3] == (None, None)  # nothing at/after 400
+
+
+def test_tolerance(sides):
+    left, right = sides
+    out = asof_join(left, right, on="k", left_ts="t", right_cols=["rid"],
+                    tolerance=10)
+    got = _by_pid(out)
+    assert got[1] == (10, 100)
+    assert got[2] == (12, 205)
+    assert got[3] == (None, None)  # 400-300 > 10
+
+
+def test_right_ts_tiebreak(spark):
+    # two right rows with identical ts: the larger payload wins,
+    # deterministically (matches the oracle's max-id-at-max-ts)
+    left = spark.createDataFrame([("a", 1, 10)], "k string, pid long, t long")
+    right = spark.createDataFrame(
+        [("a", 7, 5), ("a", 9, 5), ("a", 8, 5)], "k string, rid long, t long")
+    out = asof_join(left, right, on="k", left_ts="t", right_cols=["rid"])
+    assert _by_pid(out)[1] == (9, 5)
