@@ -293,6 +293,120 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish tokenization: GPT-2-style regex classes (contractions, letter
+# runs, digit runs, punctuation runs, whitespace), minus lookahead —
+# identical leftmost-first semantics in Java regex and RE2.  The md5
+# digest of the joined token stream pins EXACT tokenizer equality.
+# ---------------------------------------------------------------------------
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+@register("bpe_token_stats", sql=f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_bpe,
+       md5(array_to_string(toks, '|')) AS tok_digest
+FROM t""")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_bpe"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique_bpe"),
+        F.md5(F.array_join("toks", "|")).alias("tok_digest"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint (Schleimer et al., MOSS): k-gram hashes, pick
+# the rightmost minimum of each w-window, dedupe (pos, hash) pairs.
+# Per-row array ops only — no explode, no shuffle.  The k-gram hash is
+# md5-derived (engine-identical) rather than Karp-Rabin; a production
+# kernel would roll the hash inside a pandas UDF, but the SELECTION
+# algorithm — the part that defines the fingerprint — is exact here.
+# ---------------------------------------------------------------------------
+K_GRAM = 8
+WINNOW_W = 16
+_POS_SCALE = 10_000  # encoded = hash32 * 10000 + position (fits BIGINT)
+
+
+def _hash8_sql(expr: str) -> str:
+    h = f"md5({expr})"
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {k + 1}, 1)) - 1)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8)) + ")"
+
+
+_WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(text) - {K_GRAM - 1}, 1) + 1),
+           i -> {_hash8_sql(f"substr(text, CAST(i AS BIGINT), {K_GRAM})")})
+           AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id, hs,
+         list_transform(
+           range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+           j -> list_aggregate(list_slice(hs, j, j + {WINNOW_W - 1}), 'min')
+                  * {_POS_SCALE}
+                + list_max(list_filter(
+                    range(j, j + {WINNOW_W}),
+                    p -> p <= len(hs) AND hs[p] = list_aggregate(
+                           list_slice(hs, j, j + {WINNOW_W - 1}), 'min')))
+         ) AS sel
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp,
+       array_to_string(list_sort(list_distinct(sel)), '/') AS fp
+FROM w"""
+
+
+@register("winnow_fingerprints", sql=_WINNOW_SQL)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (K_GRAM - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(F.col("text"), i, F.lit(K_GRAM))),
+                        1, 8), 16, 10).cast("long"))
+    g = docs.select("doc_id", hs.alias("hs"))
+    nh = F.size("hs")
+
+    def window_pick(j):
+        sl = F.slice("hs", j, WINNOW_W)
+        m = F.array_min(sl)
+        # rightmost position of the window minimum (ascending scan,
+        # last equal wins — the canonical winnowing tie-break)
+        local = F.aggregate(
+            F.sequence(F.lit(1), F.size(sl)), F.lit(0),
+            lambda acc, k: F.when(F.try_element_at(sl, k) == m, k)
+            .otherwise(acc))
+        return m * _POS_SCALE + (j - 1 + local).cast("long")
+
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(nh - (WINNOW_W - 1), F.lit(1))),
+        window_pick)
+    w = g.select("doc_id", F.array_sort(F.array_distinct(sel)).alias("fps"))
+    return w.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_join(F.transform("fps", lambda x: x.cast("string")), "/")
+        .alias("fp"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit) document fingerprint from token md5 nibbles
 # ---------------------------------------------------------------------------
 @register("simhash16", sql=f"""
