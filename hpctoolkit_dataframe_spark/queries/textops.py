@@ -20,7 +20,9 @@ next lever at larger scale).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from . import load_table, register
 
@@ -353,18 +355,24 @@ WITH g AS (
            AS hs
   FROM documents
 ),
-w AS (
+m AS (
   SELECT doc_id, hs,
          list_transform(
            range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
-           j -> list_aggregate(list_slice(hs, j, j + {WINNOW_W - 1}), 'min')
-                  * {_POS_SCALE}
+           j -> list_aggregate(list_slice(hs, j, j + {WINNOW_W - 1}), 'min'))
+           AS mins
+  FROM g
+),
+w AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(mins) + 1),
+           j -> mins[j] * {_POS_SCALE}
                 + list_max(list_filter(
                     range(j, j + {WINNOW_W}),
-                    p -> p <= len(hs) AND hs[p] = list_aggregate(
-                           list_slice(hs, j, j + {WINNOW_W - 1}), 'min')))
+                    p -> p <= len(hs) AND hs[p] = mins[j]))
          ) AS sel
-  FROM g
+  FROM m
 )
 SELECT doc_id,
        CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp,
@@ -372,9 +380,41 @@ SELECT doc_id,
 FROM w"""
 
 
+def _np_winnow(hs_list) -> "object":
+    """Rightmost-min-per-window selection over one hash array, encoded
+    hash*SCALE+pos, deduped+sorted.  Pure int64 — engine-exact."""
+    import numpy as np
+
+    a = np.asarray(hs_list, dtype=np.int64)
+    n = len(a)
+    if n == 0:
+        return []
+    w = min(WINNOW_W, n)
+    sw = np.lib.stride_tricks.sliding_window_view(a, w)
+    mins = sw.min(axis=1)
+    # np.argmin returns the FIRST minimum; on the reversed window that
+    # is the RIGHTMOST in the original — the winnowing tie-break
+    ridx = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+    pos = np.arange(len(mins), dtype=np.int64) + ridx + 1  # 1-based
+    return np.unique(mins * _POS_SCALE + pos).tolist()
+
+
+def _winnow_select_udf():
+    # created lazily: the decorator form parses its DDL type at import
+    # time, which requires an active SparkSession
+    from pyspark.sql import types as T
+
+    def sel(hs: pd.Series) -> pd.Series:
+        return hs.map(_np_winnow)
+
+    return pandas_udf(sel, T.ArrayType(T.LongType()))
+
+
 @register("winnow_fingerprints", sql=_WINNOW_SQL)
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # one input file -> one split; spread the CPU-bound hashing first
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     n = F.length("text")
     hs = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (K_GRAM - 1), F.lit(1))),
@@ -382,23 +422,16 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.substr(F.col("text"), i, F.lit(K_GRAM))),
                         1, 8), 16, 10).cast("long"))
     g = docs.select("doc_id", hs.alias("hs"))
-    nh = F.size("hs")
+    # The sliding-min selection is O(n_grams x w) per row; as Column
+    # lambdas it runs interpreted per element (60 s at sf0.1 naively,
+    # ~14 s single-pass).  This is precisely the built-ins-can't-
+    # express-it-efficiently case: a vectorized Arrow UDF does the scan
+    # in numpy (exact int64 math — same result, the oracle stays exact)
+    # in well under a second.  The md5 k-gram hashing stays JVM-side.
+    from .._pickle import register_module_by_value
 
-    def window_pick(j):
-        sl = F.slice("hs", j, WINNOW_W)
-        m = F.array_min(sl)
-        # rightmost position of the window minimum (ascending scan,
-        # last equal wins — the canonical winnowing tie-break)
-        local = F.aggregate(
-            F.sequence(F.lit(1), F.size(sl)), F.lit(0),
-            lambda acc, k: F.when(F.try_element_at(sl, k) == m, k)
-            .otherwise(acc))
-        return m * _POS_SCALE + (j - 1 + local).cast("long")
-
-    sel = F.transform(
-        F.sequence(F.lit(1), F.greatest(nh - (WINNOW_W - 1), F.lit(1))),
-        window_pick)
-    w = g.select("doc_id", F.array_sort(F.array_distinct(sel)).alias("fps"))
+    register_module_by_value(__name__)
+    w = g.select("doc_id", _winnow_select_udf()(F.col("hs")).alias("fps"))
     return w.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fp"),
