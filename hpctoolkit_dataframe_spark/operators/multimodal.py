@@ -86,11 +86,13 @@ def extract_features(df: DataFrame, *, fake: bool = False,
 
 
 def sample_frames(df: DataFrame, every_nth: int = 10, *, fake: bool = False,
-                  content_col: str = "content") -> DataFrame:
+                  content_col: str = "content",
+                  chunk_size: int = 1024) -> DataFrame:
     """video binary -> one row per sampled frame (frame_idx, frame binary).
 
-    The stub treats every 1 KiB chunk as a 'frame'; a real implementation
-    would decode containers — the row-explosion plumbing is identical.
+    The stub treats every ``chunk_size``-byte chunk as a 'frame'; a real
+    implementation would decode containers — the row-explosion plumbing
+    is identical.
     """
     if not fake:
         _require_real_codec("video")
@@ -107,8 +109,8 @@ def sample_frames(df: DataFrame, every_nth: int = 10, *, fake: bool = False,
             ids, idxs, frames = [], [], []
             for mid, content in zip(batch["media_id"], batch[content_col]):
                 content = content or b""
-                chunks = [content[i:i + 1024]
-                          for i in range(0, len(content), 1024)]
+                chunks = [content[i:i + chunk_size]
+                          for i in range(0, len(content), chunk_size)]
                 for j, chunk in enumerate(chunks):
                     if j % every_nth == 0:
                         ids.append(mid)

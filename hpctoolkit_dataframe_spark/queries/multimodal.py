@@ -47,6 +47,46 @@ SELECT media_id,
 FROM m"""
 
 
+CHUNK = 64   # 'frame' size for the sampling gate (docs are 48-553 B)
+EVERY_NTH = 2
+
+
+@register("media_frame_sample", sql=f"""
+WITH f AS (
+  SELECT doc_id AS media_id, text,
+         unnest(range(0, CAST(ceil(length(text) / {CHUNK}.0) AS BIGINT)))
+           AS frame_idx
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(frame_idx * {CHUNK} + 1 AS BIGINT), {CHUNK}))
+         AS frame_md5,
+       CAST(length(substr(text, CAST(frame_idx * {CHUNK} + 1 AS BIGINT),
+                          {CHUNK})) AS BIGINT) AS frame_bytes
+FROM f WHERE frame_idx % {EVERY_NTH} = 0""")
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing gate: every-2nd 64-byte 'frame' of each
+    blob through the REAL sample_frames mapInPandas stage.  The oracle
+    re-chunks in SQL — documents.text is ASCII, so char slices equal
+    byte slices and the frame md5s compare exactly."""
+    from ..operators.multimodal import sample_frames
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("media_id"),
+                F.encode("text", "UTF-8").alias("content"))
+    )
+    frames = sample_frames(media, every_nth=EVERY_NTH, fake=True,
+                           chunk_size=CHUNK)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("frame_bytes"))
+
+
 @register("media_fake_features", sql=_SQL)
 def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text bytes stand in for media blobs; the features flow
