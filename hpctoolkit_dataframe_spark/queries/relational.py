@@ -116,6 +116,36 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q4 shape: correlated EXISTS -> left-semi join (TPC-H Q4; adapted to
+# the synthetic lineitem's columns: shipped-after-order instead of
+# commit<receipt, same plan shape — semi join on key + range predicate)
+# ---------------------------------------------------------------------------
+@register("q4_order_priority", sql="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li.select("l_orderkey", "l_shipdate"),
+              (F.col("l_orderkey") == F.col("o_orderkey"))
+              & (F.col("l_shipdate") > F.col("o_orderdate")),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q5: local-supplier revenue (6-way join; TPC-H Q5 shape)
 # ---------------------------------------------------------------------------
 @register("q5_region_revenue", sql="""

@@ -146,6 +146,71 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming as-of attribution
+# ---------------------------------------------------------------------------
+_ASOF_STATE = "view_id BIGINT, view_ts BIGINT"
+_ASOF_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("purchase_id", T.LongType()),
+    T.StructField("ts_us", T.LongType()),
+    T.StructField("view_id", T.LongType()),
+    T.StructField("view_ts_us", T.LongType()),
+    T.StructField("lag_s", T.LongType()),
+])
+
+
+def _update_asof(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    vid, vts = state.get if state.exists else (None, None)
+    rows = pd.concat(list(batches), ignore_index=True)
+    # views sort before purchases at equal ts (exact matches count),
+    # larger event_id wins ties among views — same order the batch
+    # asof_join's (__t, __tag, payload) window ordering produces
+    rows["__p"] = (rows["event_type"] == "purchase").astype("int64")
+    rows = rows.sort_values(["ts_us", "__p", "event_id"])
+    out = []
+    for r in rows.itertuples():
+        if r.event_type == "view":
+            vid, vts = int(r.event_id), int(r.ts_us)
+        elif r.event_type == "purchase":
+            out.append((key[0], int(r.event_id), int(r.ts_us), vid, vts,
+                        None if vts is None
+                        else (int(r.ts_us) - vts) // 1_000_000))
+    state.update((vid, vts))
+    yield pd.DataFrame(out, columns=[f.name for f in _ASOF_OUTPUT.fields])
+
+
+def streaming_asof_attribution(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_asof_attribution`` query:
+    per-user state carries the latest view; each purchase emits its
+    last-touch match incrementally.
+
+    Contract: micro-batches must arrive in event-time order per user
+    (true of replay/log sources); out-of-order data would need a
+    watermark-bounded buffer, which ``transformWithState``-style
+    operators would host — the state shape here is the same.
+    """
+    from .._pickle import register_module_by_value
+
+    register_module_by_value(__name__)  # _update_asof runs worker-side
+    typed = events.select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"))
+    return (
+        typed.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_asof,
+            outputStructType=_ASOF_OUTPUT,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       output_mode: str = "complete") -> list[Any]:
     """Drain a stream with availableNow into a memory sink; return rows."""

@@ -146,3 +146,44 @@ def test_running_user_totals_stateful(spark):
         final[r["user_id"]] = max(final.get(r["user_id"], 0),
                                   r["events_so_far"])
     assert final == expected_m
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming last-touch attribution across ordered micro-batches
+    must equal the batch as-of join (events_asof_attribution)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id",
+        "event_type", "value", "props").toPandas()
+    ev = ev.sort_values("ts_us")
+    cut = len(ev) // 2
+    for i, part in enumerate((ev.iloc[:cut], ev.iloc[cut:])):
+        table = pa.Table.from_pydict({
+            "event_id": part["event_id"].astype("int64"),
+            # ts as LONG nanos, matching EVENTS_SCHEMA
+            "ts": (part["ts_us"].astype("int64") * 1000),
+            "user_id": part["user_id"].astype("int64"),
+            "event_type": part["event_type"],
+            "value": part["value"],
+            "props": part["props"],
+        })
+        p = tmp_path / f"batch{i}.parquet"
+        pq.write_table(table, p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(se.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    got = se.run_available_now(se.streaming_asof_attribution(stream),
+                               "asof_t", output_mode="append")
+    batch = REGISTRY["events_asof_attribution"].fn(spark, SF_DIR).collect()
+    to_map = lambda rows: {  # noqa: E731
+        r["purchase_id"]: (r["user_id"], r["ts_us"], r["view_id"],
+                           r["view_ts_us"], r["lag_s"]) for r in rows}
+    assert to_map(got) == to_map(batch)
