@@ -269,7 +269,11 @@ def with_ratio_of_parent(
     ).withColumn("__anc_key", cp.path_key("__anc_path"))
 
     joined = exploded.join(
-        nodes,
+        # shuffle-hash, not sort-merge: the exploded side is |df| x depth
+        # rows and sorting it dominates the join cost; the node side
+        # (the build side) is |df| slim rows — hashing it is cheap and
+        # per-partition it must fit in memory anyway for the descent
+        nodes.hint("shuffle_hash"),
         on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
         + [F.col("__anc_key") == F.col("__path_key"),
            F.col("__anc_path") == F.col("__path")],
