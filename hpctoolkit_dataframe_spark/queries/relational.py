@@ -321,6 +321,75 @@ def distinct_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact quantiles: percentile_cont over scaled cents — interpolation is
+# the same a+(b-a)*frac in Spark's percentile and DuckDB's
+# quantile_cont, so the doubles compare bit-exactly (probed incl. an
+# awkward p=0.37 before trusting it)
+# ---------------------------------------------------------------------------
+@register("price_quantiles", sql="""
+SELECT l_returnflag,
+       quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25)
+         AS p25,
+       quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+         AS p50,
+       quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.75)
+         AS p75,
+       quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.9)
+         AS p90,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag""")
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    li = li.select("l_returnflag", c.alias("c"))
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("c", F.lit(0.25)).alias("p25"),
+        F.percentile("c", F.lit(0.5)).alias("p50"),
+        F.percentile("c", F.lit(0.75)).alias("p75"),
+        F.percentile("c", F.lit(0.9)).alias("p90"),
+        F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# ntile deciles over per-customer spend (window-function breadth;
+# deterministic via the (spend, custkey) total order)
+# ---------------------------------------------------------------------------
+@register("customer_spend_deciles", sql="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_c
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, total_c,
+         ntile(10) OVER (ORDER BY total_c ASC, o_custkey ASC) AS decile
+  FROM spend
+)
+SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers,
+       CAST(SUM(total_c) AS BIGINT) AS decile_total_c,
+       CAST(MIN(total_c) AS BIGINT) AS min_c,
+       CAST(MAX(total_c) AS BIGINT) AS max_c
+FROM tiled GROUP BY decile""")
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long")
+        .alias("total_c"))
+    # ntile needs a total order -> single-partition window, but its
+    # input is the per-customer AGGREGATE (2 slim columns), already
+    # reduced by the shuffle above; at extreme customer cardinality
+    # switch to percentile-boundary bucketing instead of exact ntile
+    w = Window.orderBy(F.col("total_c").asc(), F.col("o_custkey").asc())
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("total_c").cast("long").alias("decile_total_c"),
+        F.min("total_c").cast("long").alias("min_c"),
+        F.max("total_c").cast("long").alias("max_c"))
+
+
+# ---------------------------------------------------------------------------
 # event-time: tumbling hourly aggregation (streaming-compatible shape;
 # the same expression runs under readStream + watermark, see streaming/)
 # ---------------------------------------------------------------------------
