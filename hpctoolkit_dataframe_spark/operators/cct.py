@@ -164,7 +164,11 @@ def with_ratio_of_parent(
         # the property tests against both paths)
         slim = df.select(*pc, "id", F.col(callpath_col).alias("__p"),
                          F.col(base_column).cast("double").alias("__v"))
-        rows = slim.collect() if slim.count() <= collect_threshold else None
+        # one bounded job instead of count()+collect(): fetch at most
+        # threshold+1 rows — overflow means "too big, go distributed"
+        rows = slim.limit(collect_threshold + 1).collect()
+        if len(rows) > collect_threshold:
+            rows = None
         if rows is not None:
             by_path: dict = {}
             for r in rows:
