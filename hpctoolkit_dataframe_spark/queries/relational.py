@@ -342,12 +342,17 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     c = F.round(F.col("l_extendedprice") * 100).cast("long")
     li = li.select("l_returnflag", c.alias("c"))
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("c", F.lit(0.25)).alias("p25"),
-        F.percentile("c", F.lit(0.5)).alias("p50"),
-        F.percentile("c", F.lit(0.75)).alias("p75"),
-        F.percentile("c", F.lit(0.9)).alias("p90"),
-        F.count(F.lit(1)).alias("n"))
+    # one percentile buffer per group (array form), not four
+    ps = F.percentile("c", F.array(*[F.lit(p)
+                                     for p in (0.25, 0.5, 0.75, 0.9)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"), F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag",
+                F.col("ps")[0].alias("p25"), F.col("ps")[1].alias("p50"),
+                F.col("ps")[2].alias("p75"), F.col("ps")[3].alias("p90"),
+                "n")
+    )
 
 
 # ---------------------------------------------------------------------------
