@@ -75,6 +75,8 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
+        # one input file -> one split; spread before the Python stage
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(F.col("doc_id").alias("media_id"),
                 F.encode("text", "UTF-8").alias("content"))
     )
@@ -96,6 +98,7 @@ def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(F.col("doc_id").alias("media_id"),
                 F.encode("text", "UTF-8").alias("content"))
     )

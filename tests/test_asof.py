@@ -72,3 +72,37 @@ def test_right_ts_tiebreak(spark):
         [("a", 7, 5), ("a", 9, 5), ("a", 8, 5)], "k string, rid long, t long")
     out = asof_join(left, right, on="k", left_ts="t", right_cols=["rid"])
     assert _by_pid(out)[1] == (9, 5)
+
+
+def test_asof_property_vs_pandas_merge_asof(spark):
+    """Randomized equivalence with pandas merge_asof (backward, exact
+    matches).  Right timestamps are unique per key so the tie-break
+    convention difference cannot bite."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    keys = ["a", "b", "c"]
+    left_rows = [(k, i, rng.randrange(0, 500))
+                 for i, k in enumerate(rng.choices(keys, k=60))]
+    right_ts = {k: rng.sample(range(0, 500), 40) for k in keys}
+    right_rows = [(k, 1000 * (ki + 1) + j, t)
+                  for ki, k in enumerate(keys)
+                  for j, t in enumerate(right_ts[k])]
+
+    left = spark.createDataFrame(left_rows, "k string, pid long, t long")
+    right = spark.createDataFrame(right_rows, "k string, rid long, t long")
+    got = {r["pid"]: (r["rid"], r["t_right"])
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              right_cols=["rid"]).collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["k", "pid", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "rid", "t"]).sort_values("t")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward",
+                           suffixes=("", "_r"))
+    for row in merged.itertuples():
+        rid = None if pd.isna(row.rid) else int(row.rid)
+        want = (rid, None if rid is None else
+                int(rp.loc[rp.rid == rid, "t"].iloc[0]))
+        assert got[row.pid] == want, (row.pid, got[row.pid], want)
