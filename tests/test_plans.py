@@ -88,3 +88,20 @@ def test_headline_queries_no_python_udfs(spark):
                  "simhash16", "knn_cosine", "events_sessions"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         assert explain.python_udf_count(df) == 0, name
+
+
+def test_asof_join_plan_shape(spark):
+    """Union+window form: no cartesian/nested-loop anything, and the
+    whole join costs at most the key shuffle plus input spreads."""
+    df = REGISTRY["events_asof_attribution"].fn(spark, SF_DIR)
+    s = explain.join_strategies(df)
+    assert s["cartesian"] == 0 and s["broadcast_nested_loop"] == 0
+    assert s["sort_merge"] == 0  # it is not a join at all — one window
+    assert explain.exchange_count(df) <= 2
+
+
+def test_q4_semi_join(spark):
+    df = REGISTRY["q4_order_priority"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    assert "LeftSemi" in plan
+    assert explain.join_strategies(df)["cartesian"] == 0
