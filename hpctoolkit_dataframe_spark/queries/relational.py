@@ -321,6 +321,30 @@ def distinct_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# correlated NOT EXISTS -> left-anti join: customers with no large
+# order, per nation (anti-join breadth; nation broadcast)
+# ---------------------------------------------------------------------------
+@register("customers_without_big_orders", sql="""
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+GROUP BY n.n_name""")
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact quantiles: percentile_cont over scaled cents — interpolation is
 # the same a+(b-a)*frac in Spark's percentile and DuckDB's
 # quantile_cont, so the doubles compare bit-exactly (probed incl. an

@@ -187,3 +187,25 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
         r["purchase_id"]: (r["user_id"], r["ts_us"], r["view_id"],
                            r["view_ts_us"], r["lag_s"]) for r in rows}
     assert to_map(got) == to_map(batch)
+
+
+def test_streaming_foreach_batch_parquet_sink(spark, tmp_path):
+    """Stream -> foreachBatch -> partitioned parquet -> read back equals
+    the batch twin (the production sink path for continuous ingestion)."""
+    out_dir = str(tmp_path / "hourly_out")
+    stream = se.read_events_stream(spark, SF_DIR)
+    agg = se.hourly_counts(stream)
+
+    def sink(batch_df, batch_id):
+        (batch_df.write.mode("overwrite")
+         .partitionBy("event_type").parquet(out_dir))
+
+    q = (agg.writeStream.outputMode("complete")
+         .foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    back = spark.read.parquet(out_dir).collect()
+    batch = REGISTRY["events_hourly"].fn(spark, SF_DIR).collect()
+    key = lambda r: (r["hour_epoch_s"], r["event_type"])  # noqa: E731
+    assert {key(r): (r["n"], r["value_c"]) for r in back} == \
+        {key(r): (r["n"], r["value_c"]) for r in batch}
