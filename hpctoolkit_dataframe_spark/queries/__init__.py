@@ -41,6 +41,9 @@ def register(name: str, sql: str | None = None, doc: str = ""):
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp rendering (date_format in q3 etc.) must match DuckDB's
+    # naive-UTC reading even if the HOST session uses another timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # the events table is written with nanosecond timestamps, which
         # Spark's parquet reader rejects; read them as raw LONG nanos
