@@ -218,6 +218,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(
             *[F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
               for b in range(N_BANDS)])).alias("band_idx", "key"))
+    # materialize: the whole shingle->minhash->band pipeline would
+    # otherwise run once per self-join side
+    keys = keys.localCheckpoint(eager=True)
     a = keys.alias("a")
     b = keys.alias("b")
     return (

@@ -272,7 +272,12 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lits = F.array(*[F.lit(s).cast("long") for s in plane])
         sign = F.when(_dot(F.col("qe"), lits) >= 0, 1 << k).otherwise(0)
         bucket = sign if bucket is None else bucket + sign
-    bucketed = emb.withColumn("bucket", bucket.cast("long"))
+    # spread the single input split, then materialize: quantization + 8
+    # plane dots per vector would otherwise run once PER SELF-JOIN SIDE
+    bucketed = (
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("bucket", bucket.cast("long"))
+        .localCheckpoint(eager=True))
     a = bucketed.select(F.col("vec_id").alias("vec_a"),
                         F.col("qe").alias("qe_a"),
                         F.col("n2").alias("n2_a"), "bucket")
