@@ -49,9 +49,11 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the queries, not session startup
+    # warm the JVM + parquet footers + Python workers once so per-query
+    # numbers measure the queries, not session startup
     REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR).count()
+    spark.range(64, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long").count()
 
     # measure the reference-parity XML workload first, before dozens of
     # cached/checkpointed query frames add block-manager pressure.  One

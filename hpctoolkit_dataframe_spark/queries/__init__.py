@@ -40,7 +40,8 @@ def register(name: str, sql: str | None = None, doc: str = ""):
     return deco
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
     # timestamp rendering (date_format in q3 etc.) must match DuckDB's
     # naive-UTC reading even if the HOST session uses another timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -48,7 +49,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the events table is written with nanosecond timestamps, which
         # Spark's parquet reader rejects; read them as raw LONG nanos
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        # the testdata tables are single-row-group files — physically
+        # unsplittable, so the scan (and everything fused into its
+        # stage: expands, partial aggregates) runs on ONE core.  Spread
+        # before CPU-heavy pipelines; a real deployment's many-file
+        # tables split naturally and skip this.
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par // 2:
+            df = df.repartition(par)
+    return df
 
 
 from . import cct_tpch, multimodal, relational, textops, vectors, xml_ingest  # noqa: E402,F401

@@ -104,7 +104,7 @@ def build_cct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_cct_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-materialized build plan (for plan inspection/tests)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

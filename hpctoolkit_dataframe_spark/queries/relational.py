@@ -47,7 +47,7 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""")
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     price_c = _cents(F.col("l_extendedprice"))
     disc_comp_c = F.round((1 - F.col("l_discount")) * 100).cast("long")
     tax_c = F.round((1 + F.col("l_tax")) * 100).cast("long")
@@ -93,7 +93,7 @@ LIMIT 10""")
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     pivot = F.lit("1998-01-01").cast("timestamp_ntz")
     return (
         li.filter(F.col("l_shipdate") > pivot)
@@ -165,7 +165,7 @@ GROUP BY n.n_name""")
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -263,7 +263,7 @@ SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)""")
 def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"),
