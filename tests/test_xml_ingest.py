@@ -246,3 +246,29 @@ def test_heterogeneous_metric_table_rejected(spark, tmp_path):
     df, _ = load_experiments(spark, glob, add_percentage_columns=False,
                              on_error="skip")
     assert df.select("profile_id").distinct().count() == 1
+
+
+def test_fast_and_distributed_paths_agree(spark, tmp_path):
+    """The driver-side fast path (≤8 small files) and the executor
+    mapInPandas path must produce identical rows for the same file."""
+    import shutil
+
+    for i in range(9):  # 9 files forces the distributed path
+        shutil.copy(EXPERIMENT1, tmp_path / f"same_{i}.xml")
+
+    fast, _ = load_experiments(spark, str(tmp_path / "same_0.xml"),
+                               add_percentage_columns=False)
+    dist, _ = load_experiments(spark, str(tmp_path / "same_*.xml"),
+                               add_percentage_columns=False)
+    dist0 = dist.filter(
+        F.col("profile_id") == str(tmp_path / "same_0.xml"))
+
+    cols = [c for c in fast.columns if c != "profile_id"]
+    # sort by id (unique, non-null) — raw tuples contain NULL metrics
+    idx = cols.index("id")
+    a = sorted((tuple(r) for r in fast.select(*cols).collect()),
+               key=lambda t: t[idx])
+    b = sorted((tuple(r) for r in dist0.select(*cols).collect()),
+               key=lambda t: t[idx])
+    assert len(a) == 3454
+    assert a == b
