@@ -147,6 +147,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming exact dedup: state-backed dropDuplicates on the content hash
+# — the streaming side of the batch dedup_exact query.  State grows with
+# distinct hashes; bound it with a watermark on an event-time column
+# (dropDuplicatesWithinWatermark) for unbounded streams.
+# ---------------------------------------------------------------------------
+def streaming_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """First occurrence of each content hash wins, across micro-batches."""
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(content_col)))
+        .dropDuplicates(["text_hash"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator: streaming as-of attribution
 # ---------------------------------------------------------------------------
 _ASOF_STATE = "view_id BIGINT, view_ts BIGINT"

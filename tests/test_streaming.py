@@ -209,3 +209,31 @@ def test_streaming_foreach_batch_parquet_sink(spark, tmp_path):
     key = lambda r: (r["hour_epoch_s"], r["event_type"])  # noqa: E731
     assert {key(r): (r["n"], r["value_c"]) for r in back} == \
         {key(r): (r["n"], r["value_c"]) for r in batch}
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """State-backed dropDuplicates: duplicates arriving in LATER
+    micro-batches are dropped; kept count equals the batch distinct."""
+    import os
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half = docs.limit(docs.count() // 2)
+    # batch 0: first half; batch 1: ALL docs (so every batch-0 hash
+    # reappears) — write as two files, ordered by mtime
+    half.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b0"))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, src in enumerate(("b0", "b1")):
+        part = next((tmp_path / src).glob("*.parquet"))
+        dst = stream_dir / f"batch{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stream_dir)))
+    got = se.run_available_now(se.streaming_dedup(stream), "dedup_t",
+                               output_mode="append")
+    distinct_hashes = docs.select(F.md5("text")).distinct().count()
+    assert len(got) == distinct_hashes
+    assert len({r["text_hash"] for r in got}) == distinct_hashes
