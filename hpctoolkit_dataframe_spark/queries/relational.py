@@ -541,6 +541,38 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RANGE-frame window: per-user trailing 10-minute moving sum/count over
+# event time — the frame is value-based (microseconds), not row-based,
+# so it handles irregular event spacing correctly
+# ---------------------------------------------------------------------------
+_TRAIL_US = 10 * 60 * 1_000_000
+
+@register("events_trailing_10min", sql=f"""
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trail_value_c,
+       CAST(COUNT(*) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trail_n
+FROM events""")
+def events_trailing_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_id",
+                   F.expr("ts div 1000").alias("ts_us"),
+                   F.round(F.col("value") * 100).cast("long").alias("vc"))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-_TRAIL_US, 0))
+    return ev.select(
+        "user_id", "event_id", "ts_us",
+        F.sum("vc").over(w).cast("long").alias("trail_value_c"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"))
+
+
+# ---------------------------------------------------------------------------
 # event-time: gap-based sessionization (lag + running sum windows)
 # ---------------------------------------------------------------------------
 SESSION_GAP_US = 30 * 60 * 1_000_000
