@@ -43,7 +43,9 @@ def asof_join(
     NULL where no right row qualifies.
 
     Timestamps must be integer-comparable (the repo convention is epoch
-    microseconds as LONG); ``tolerance`` is in the same units.
+    microseconds as LONG); ``tolerance`` is in the same units.  A left
+    row with a NULL timestamp yields NULL match columns (pandas
+    merge_asof would raise instead); NULL right timestamps never match.
     """
     assert direction in ("backward", "forward"), direction
     right_ts = right_ts or left_ts
@@ -70,7 +72,7 @@ def asof_join(
         (F.col(left_ts).cast("long") * sign).alias("__t"),
         F.lit(probe_tag).alias("__tag"),
         F.lit(None).cast(payload_type).alias("__payload"))
-    r2 = right.select(
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(c).alias(c) if c in keys
           else F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols],

@@ -388,6 +388,8 @@ def _np_winnow(hs_list) -> "object":
     hash*SCALE+pos, deduped+sorted.  Pure int64 — engine-exact."""
     import numpy as np
 
+    if hs_list is None:
+        return []
     a = np.asarray(hs_list, dtype=np.int64)
     n = len(a)
     if n == 0:

@@ -106,3 +106,14 @@ def test_asof_property_vs_pandas_merge_asof(spark):
         want = (rid, None if rid is None else
                 int(rp.loc[rp.rid == rid, "t"].iloc[0]))
         assert got[row.pid] == want, (row.pid, got[row.pid], want)
+
+
+def test_null_timestamps(spark):
+    left = spark.createDataFrame([("a", 1, 10), ("a", 2, None)],
+                                 "k string, pid long, t long")
+    right = spark.createDataFrame([("a", 7, 5), ("a", 8, None)],
+                                  "k string, rid long, t long")
+    got = _by_pid(asof_join(left, right, on="k", left_ts="t",
+                            right_cols=["rid"]))
+    assert got[1] == (7, 5)        # null-ts right row never matches
+    assert got[2] == (None, None)  # null-ts probe matches nothing

@@ -156,7 +156,9 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+    from hpctoolkit_dataframe_spark.queries import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
         "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id",
         "event_type", "value", "props").toPandas()
     ev = ev.sort_values("ts_us")
