@@ -78,7 +78,8 @@ def python_udf_count(df: DataFrame) -> int:
     """Python evaluation operators in the plan — the slow path; headline
     queries assert this is zero."""
     plan = executed_plan(df)
+    # 'MapInArrow' also substring-matches 'PythonMapInArrow', so the
+    # latter needs no separate term (it would double-count)
     return (plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
             + plan.count("FlatMapGroupsInPandas")
-            + plan.count("MapInPandas") + plan.count("MapInArrow")
-            + plan.count("PythonMapInArrow"))
+            + plan.count("MapInPandas") + plan.count("MapInArrow"))

@@ -40,6 +40,18 @@ def register(name: str, sql: str | None = None, doc: str = ""):
     return deco
 
 
+def hash8_sql(expr: str) -> str:
+    """DuckDB SQL for the first 8 hex chars of md5(expr) as a uint32 —
+    the engine-identical hash primitive (Spark twin:
+    ``conv(substring(md5(x), 1, 8), 16, 10)``).  Shared so the fiddly
+    nibble fold cannot drift between query modules."""
+    h = f"md5({expr})"
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {k + 1}, 1)) - 1)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8)) + ")"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                spread: bool = False) -> DataFrame:
     # timestamp rendering (date_format in q3 etc.) must match DuckDB's

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import cct as ops
-from . import load_table, register
+from . import hash8_sql, load_table, register
 
 REGION_OFF = 1
 NATION_OFF = 10
@@ -341,11 +341,7 @@ def cct_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5 is the hash because it is identical in Spark and DuckDB.
 # ---------------------------------------------------------------------------
 _SAMPLE_MOD = 97
-_H = "md5(CAST(id AS VARCHAR))"
-_HASH8_SQL = " + ".join(
-    f"(instr('0123456789abcdef', substr({_H}, {k + 1}, 1)) - 1)"
-    f" * {16 ** (7 - k)}"
-    for k in range(8))
+_HASH8_SQL = hash8_sql("CAST(id AS VARCHAR)")
 
 
 @register("cct_sample_by_hash", sql=f"""WITH {CCT_CTES}

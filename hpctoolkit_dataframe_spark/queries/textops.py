@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from . import load_table, register
+from . import hash8_sql, load_table, register
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 N_HASHES = 8
@@ -315,7 +315,7 @@ WITH t AS (
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_bpe,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_bpe,
-       md5(array_to_string(toks, '|')) AS tok_digest
+       md5(COALESCE(array_to_string(toks, '|'), '')) AS tok_digest
 FROM t""")
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -341,20 +341,12 @@ WINNOW_W = 16
 _POS_SCALE = 10_000  # encoded = hash32 * 10000 + position (fits BIGINT)
 
 
-def _hash8_sql(expr: str) -> str:
-    h = f"md5({expr})"
-    return "(" + " + ".join(
-        f"(instr('0123456789abcdef', substr({h}, {k + 1}, 1)) - 1)"
-        f" * {16 ** (7 - k)}"
-        for k in range(8)) + ")"
-
-
 _WINNOW_SQL = f"""
 WITH g AS (
   SELECT doc_id,
          list_transform(
            range(1, greatest(length(text) - {K_GRAM - 1}, 1) + 1),
-           i -> {_hash8_sql(f"substr(text, CAST(i AS BIGINT), {K_GRAM})")})
+           i -> {hash8_sql(f"substr(text, CAST(i AS BIGINT), {K_GRAM})")})
            AS hs
   FROM documents
 ),
@@ -473,7 +465,11 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(token) hold exactly the 16 bits the oracle's nibble arithmetic
     reads, so each token folds to one small int and the bit tests become
     literal shifts."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text: the oracle's unnest emits no rows for that doc, so the
+    # doc must be absent here too (split(NULL) would otherwise fold to
+    # a simhash-0 row)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
     # v = int value of md5's first 4 hex chars; char at 1-based position
     # p is the nibble (v >> 4*(4-p)) & 15, matching the oracle's
     # instr('0123456789abcdef', substr(md5(t), j//4+1, 1)) - 1

@@ -274,16 +274,17 @@ def load_experiments(
         return out[columns]
 
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         for batch in batches:
             for _, file_row in batch.iterrows():
-                # binaryFile reports file: URIs; normalize to the plain
+                # binaryFile reports file: URIs; normalize (incl.
+                # percent-decoding, e.g. %20 for spaces) to the plain
                 # filesystem path so profile_id is identical to the
                 # driver-side fast path's
                 p = file_row["path"]
                 if p.startswith("file:"):
-                    p = urlparse(p).path
+                    p = unquote(urlparse(p).path)
                 out = _rows_frame(file_row["content"], p)
                 if out is not None:
                     yield out
@@ -294,20 +295,22 @@ def load_experiments(
     # relation, Python-worker job, module-by-value pickling) is ~4 s of
     # pure overhead for a 230 KB file.  Fleet-scale globs (many files or
     # large bytes) keep the embarrassingly-parallel executor path.
-    total_bytes = sum(os.path.getsize(p) for p in first
-                      if os.path.isfile(p))
-    if (len(first) <= 8 and total_bytes < 32 * 1024 * 1024
-            and all(os.path.isfile(p) for p in first)):
+    if (len(first) <= 8  # check count BEFORE stat-ing a fleet glob
+            and all(os.path.isfile(p) for p in first)
+            and sum(os.path.getsize(p) for p in first) < 32 * 1024 * 1024):
         frames = []
         for p in first:
             with open(p, "rb") as f:
                 out = _rows_frame(f.read(), p)
             if out is not None:
                 frames.append(out)
-        if not frames:
-            raise ValueError(f"no parseable experiment file in {path}")
-        raw = spark.createDataFrame(
-            pd.concat(frames, ignore_index=True), schema=schema)
+        if frames:
+            raw = spark.createDataFrame(
+                pd.concat(frames, ignore_index=True), schema=schema)
+        else:
+            # every body failed under on_error='skip': empty frame,
+            # matching the distributed path's behavior
+            raw = spark.createDataFrame([], schema=schema)
     else:
         raw = (
             spark.read.format("binaryFile").load(path)

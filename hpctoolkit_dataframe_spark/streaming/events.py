@@ -204,7 +204,10 @@ def streaming_asof_attribution(events: DataFrame) -> DataFrame:
     Contract: micro-batches must arrive in event-time order per user
     (true of replay/log sources); out-of-order data would need a
     watermark-bounded buffer, which ``transformWithState``-style
-    operators would host — the state shape here is the same.
+    operators would host — the state shape here is the same.  Ties are
+    part of the contract: a view and a purchase sharing one timestamp
+    must land in the same micro-batch to count as an exact match — a
+    same-ts view arriving in a LATER batch is late data.
     """
     from .._pickle import register_module_by_value
 
