@@ -541,6 +541,30 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GROUPING SETS: independent rollups in one pass (completes the
+# cube/rollup family — the sets here are NOT a cube prefix: by-flag,
+# by-status, and grand total, skipping the (flag,status) pair)
+# ---------------------------------------------------------------------------
+@register("lineitem_grouping_sets", sql="""
+SELECT COALESCE(l_returnflag, '<all>') AS flag,
+       COALESCE(l_linestatus, '<all>') AS status,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, '<all>') AS flag,
+               COALESCE(l_linestatus, '<all>') AS status,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+
+
+# ---------------------------------------------------------------------------
 # RANGE-frame window: per-user trailing 10-minute moving sum/count over
 # event time — the frame is value-based (microseconds), not row-based,
 # so it handles irregular event spacing correctly
