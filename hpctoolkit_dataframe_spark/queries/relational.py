@@ -541,6 +541,81 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q7 shape: two-nation volume shipping — disjunctive cross-nation
+# (nation names adapted to the synthetic nation table)
+# predicate over a 6-way join, yearly breakdown (TPC-H Q7)
+# ---------------------------------------------------------------------------
+@register("q7_nation_volume", sql="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume_e4) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT) AS volume_e4
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+     OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(((F.col("supp_nation") == "NATION_9")
+                 & (F.col("cust_nation") == "NATION_10"))
+                | ((F.col("supp_nation") == "NATION_10")
+                   & (F.col("cust_nation") == "NATION_9")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))
+                   * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+             .cast("long").alias("revenue_e4"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / conditional aggregation: per-user event-type counts as columns
+# (Spark pivot; the oracle uses FILTER-clause aggregates — identical
+# semantics, engine-native syntax on each side)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register("events_user_pivot", sql=f"""
+SELECT user_id,
+       {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT)"
+                  f" AS n_{t}" for t in _EVENT_TYPES)},
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            FILTER (event_type = 'purchase') AS BIGINT) AS purchase_c
+FROM events GROUP BY user_id""")
+def events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    aggs = [F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in _EVENT_TYPES]
+    aggs.append(F.sum(F.when(F.col("event_type") == "purchase", vc))
+                .cast("long").alias("purchase_c"))
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS: independent rollups in one pass (completes the
 # cube/rollup family — the sets here are NOT a cube prefix: by-flag,
 # by-status, and grand total, skipping the (flag,status) pair)
