@@ -295,3 +295,44 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEAR_DUP_COSINE)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# element-wise centroids per label — the aggregation that IVF training
+# runs at scale: posexplode -> (label, position) partial sums (map-side
+# combined), exact quantized-int arithmetic so the oracle hashes match.
+# ---------------------------------------------------------------------------
+@register("embedding_centroids", sql=f"""
+WITH q AS (
+  SELECT label, {_QINT_SQL.format(col='embedding')} AS qe FROM embeddings
+),
+pos AS (
+  SELECT label, i, CAST(SUM(qe[CAST(i AS BIGINT)]) AS BIGINT) AS s
+  FROM q CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i)
+  GROUP BY label, i
+),
+cnt AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label)
+SELECT p.label,
+       CAST(c.n AS BIGINT) AS n_vecs,
+       string_agg(CAST(p.s AS VARCHAR), '/' ORDER BY p.i) AS centroid_q
+FROM pos p JOIN cnt c ON c.label = p.label
+GROUP BY p.label, c.n""")
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", _qint(F.col("embedding")).alias("qe"))
+    pos = (
+        q.select("label", F.posexplode("qe").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    cnt = q.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    agg = pos.groupBy("label").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "s"))),
+                        lambda x: x["s"].cast("string")), "/")
+        .alias("centroid_q"))
+    return (
+        agg.join(F.broadcast(cnt), "label")
+        .select("label", F.col("n_vecs").cast("long").alias("n_vecs"),
+                "centroid_q")
+    )
