@@ -616,6 +616,49 @@ def events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q17 shape: correlated scalar aggregate — revenue from lineitems whose
+# quantity is below 20% of their part's average (TPC-H Q17, grouped by
+# brand instead of one brand).  Decorrelates to a per-part aggregate
+# joined back; the avg is a single SUM/COUNT double division so the
+# 0.2x threshold compares identically across engines.
+# ---------------------------------------------------------------------------
+@register("q17_small_quantity_revenue", sql="""
+WITH avgq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS small_qty_revenue_c,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avgq a ON a.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DOUBLE) < 0.2 * a.avg_qty
+GROUP BY p.p_brand""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    part = load_table(spark, sf_dir, "part")
+    avgq = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("long")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(avgq.withColumnRenamed("l_partkey", "a_partkey"),
+              F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast("double")
+                < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long")
+             .alias("small_qty_revenue_c"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS: independent rollups in one pass (completes the
 # cube/rollup family — the sets here are NOT a cube prefix: by-flag,
 # by-status, and grand total, skipping the (flag,status) pair)
