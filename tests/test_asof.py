@@ -117,3 +117,38 @@ def test_null_timestamps(spark):
                             right_cols=["rid"]))
     assert got[1] == (7, 5)        # null-ts right row never matches
     assert got[2] == (None, None)  # null-ts probe matches nothing
+
+
+@pytest.mark.parametrize("direction,tolerance", [
+    ("forward", None), ("backward", 50), ("forward", 50)])
+def test_asof_property_modes_vs_pandas(spark, direction, tolerance):
+    """Randomized equivalence with pandas merge_asof across direction
+    and tolerance modes (unique right ts per key)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    keys = ["a", "b"]
+    left_rows = [(k, i, rng.randrange(0, 400))
+                 for i, k in enumerate(rng.choices(keys, k=40))]
+    right_ts = {k: rng.sample(range(0, 400), 30) for k in keys}
+    right_rows = [(k, 1000 * (ki + 1) + j, t)
+                  for ki, k in enumerate(keys)
+                  for j, t in enumerate(right_ts[k])]
+
+    left = spark.createDataFrame(left_rows, "k string, pid long, t long")
+    right = spark.createDataFrame(right_rows, "k string, rid long, t long")
+    got = {r["pid"]: r["rid"]
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              right_cols=["rid"], direction=direction,
+                              tolerance=tolerance).collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["k", "pid", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "rid", "t"]).sort_values("t")
+    merged = pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction,
+        tolerance=tolerance, suffixes=("", "_r"))
+    for row in merged.itertuples():
+        want = None if pd.isna(row.rid) else int(row.rid)
+        assert got[row.pid] == want, (direction, tolerance, row.pid)

@@ -111,3 +111,14 @@ def test_q4_semi_join(spark):
     plan = explain.executed_plan(df)
     assert "LeftSemi" in plan
     assert explain.join_strategies(df)["cartesian"] == 0
+
+
+def test_load_table_spread(spark):
+    from hpctoolkit_dataframe_spark.queries import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    plain = load_table(spark, SF_DIR, "lineitem")
+    spread = load_table(spark, SF_DIR, "lineitem", spread=True)
+    # single-row-group testdata: the plain scan cannot parallelize
+    assert plain.rdd.getNumPartitions() < par // 2
+    assert spread.rdd.getNumPartitions() >= par // 2
