@@ -592,9 +592,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# pivot / conditional aggregation: per-user event-type counts as columns
-# (Spark pivot; the oracle uses FILTER-clause aggregates — identical
-# semantics, engine-native syntax on each side)
+# pivot-style conditional aggregation: per-user event-type counts as
+# columns.  Explicit when()-aggregates instead of df.pivot() so the
+# output schema is FIXED (pivot infers columns from data — a moving
+# target for the oracle); the oracle uses FILTER-clause aggregates.
 # ---------------------------------------------------------------------------
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
