@@ -30,6 +30,12 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
 SHINGLE_DF_CAP = 50
+# Max docs per LSH band key before the key is excluded from pair
+# generation (degenerate content — empty/boilerplate docs — collapses
+# to one signature; a 10^6-member band key would emit ~10^12 pairs).
+# Measured max frequency: 3 at sf0.01, 13 at sf0.1 — 64 leaves the
+# fixtures untouched while bounding any bucket's pair count at 64^2/2.
+BAND_DF_CAP = 64
 JACCARD_THRESHOLD = 0.5
 
 
@@ -205,9 +211,17 @@ bands AS (
 keys AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS key FROM bands"
                       for b in range(N_BANDS))}
+),
+rare AS (
+  SELECT band_idx, key FROM keys
+  GROUP BY band_idx, key HAVING COUNT(*) <= {BAND_DF_CAP}
+),
+pruned AS (
+  SELECT k.* FROM keys k SEMI JOIN rare r
+    ON r.band_idx = k.band_idx AND r.key = k.key
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM keys a JOIN keys b
+FROM pruned a JOIN pruned b
   ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id""")
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
@@ -221,8 +235,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize: the whole shingle->minhash->band pipeline would
     # otherwise run once per self-join side
     keys = keys.localCheckpoint(eager=True)
-    a = keys.alias("a")
-    b = keys.alias("b")
+    # Exclude hot band keys BEFORE the self-join (same failure class as
+    # the shingle DF cap one layer down): degenerate content collapses
+    # to identical signatures, and one 10^6-member band key would emit
+    # ~10^12 candidate pairs.  The semi-join shuffles on the same
+    # (band_idx, key) the self-join needs, so the exchange is reused.
+    # Plan shape asserted in
+    # tests/test_plans.py::test_minhash_lsh_prunes_before_selfjoin.
+    rare = (keys.groupBy("band_idx", "key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= BAND_DF_CAP)
+            .select("band_idx", "key"))
+    pruned = keys.join(rare, ["band_idx", "key"], "left_semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.key") == F.col("b.key"))

@@ -33,6 +33,12 @@ TOP_K = 3
 N_PLANES = 8
 DIM = 64
 NEAR_DUP_COSINE = 0.35
+# Max vectors per hyperplane bucket before the bucket is excluded from
+# pair generation (zero-ish/duplicate embeddings collapse into one
+# bucket; a 10^6-member bucket would emit ~10^12 candidate pairs).
+# Measured max frequency: 7 at sf0.01, 23 at sf0.1 — 64 leaves the
+# fixtures untouched while bounding any bucket's pair count at 64^2/2.
+BUCKET_CAP = 64
 
 
 def _plane(k: int) -> list[int]:
@@ -248,12 +254,18 @@ WITH e AS (
 bucketed AS (
   SELECT vec_id, qe, n2, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM e
 ),
+rare AS (
+  SELECT bucket FROM bucketed GROUP BY bucket HAVING COUNT(*) <= {BUCKET_CAP}
+),
+pruned AS (
+  SELECT b.* FROM bucketed b SEMI JOIN rare r ON r.bucket = b.bucket
+),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          CAST(list_sum(list_transform(range(1, {DIM} + 1),
               i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot,
          a.n2 AS an2, b.n2 AS bn2
-  FROM bucketed a JOIN bucketed b
+  FROM pruned a JOIN pruned b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b,
@@ -278,6 +290,16 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .withColumn("bucket", bucket.cast("long"))
         .localCheckpoint(eager=True))
+    # Exclude hot buckets BEFORE the self-join: degenerate embeddings
+    # (zeros, duplicates) collapse into one bucket, and a 10^6-member
+    # bucket would emit ~10^12 candidate pairs.  Same recipe as the
+    # shingle/band-key caps in textops.py; plan shape asserted in
+    # tests/test_plans.py::test_lsh_near_dup_prunes_before_selfjoin.
+    rare = (bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= BUCKET_CAP)
+            .select("bucket"))
+    bucketed = bucketed.join(rare, "bucket", "left_semi")
     a = bucketed.select(F.col("vec_id").alias("vec_a"),
                         F.col("qe").alias("qe_a"),
                         F.col("n2").alias("n2_a"), "bucket")

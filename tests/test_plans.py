@@ -79,6 +79,37 @@ def test_ngram_jaccard_prunes_before_selfjoin(spark):
     assert m.start() < semi
 
 
+def test_minhash_lsh_prunes_before_selfjoin(spark):
+    """The band-key frequency cap must sit BELOW the pair self-join (a
+    semi-join on each input): one degenerate band key with 10^6 members
+    would otherwise emit ~10^12 pairs (VERDICT r2 #1)."""
+    import re
+
+    df = REGISTRY["minhash_lsh_pairs"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    semi = plan.find("LeftSemi")
+    assert semi != -1, "band-key cap is not a semi-join"
+    m = re.search(r"doc_id#\d+L? < doc_id#\d+", plan)
+    assert m is not None
+    # parents print before children: the pair self-join must be ABOVE
+    # the semi-join, i.e. the cap is in its subtree
+    assert m.start() < semi
+
+
+def test_lsh_near_dup_prunes_before_selfjoin(spark):
+    """Same contract for the hyperplane buckets: the bucket frequency
+    cap must be applied below the vec_a < vec_b self-join."""
+    import re
+
+    df = REGISTRY["lsh_near_dup_pairs"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    semi = plan.find("LeftSemi")
+    assert semi != -1, "bucket cap is not a semi-join"
+    m = re.search(r"vec_a#\d+L? < vec_b#\d+", plan)
+    assert m is not None
+    assert m.start() < semi
+
+
 def test_simhash16_is_narrow(spark):
     """No explode/crossJoin/shuffle: the fingerprint folds per-row
     (VERDICT r1 #2)."""

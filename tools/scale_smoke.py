@@ -83,6 +83,60 @@ def main() -> None:
         print(f"winnow_fingerprints {n_docs:,} docs: "
               f"{rows:,} rows in {time.time()-t0:.1f}s")
 
+    # 4) MinHash LSH pairs with a DEGENERATE band key: 20% of docs are
+    #    identical boilerplate -> one band key with 20k members, which
+    #    uncapped emits ~4 * 20k^2/2 = 8*10^8 pairs.  The BAND_DF_CAP
+    #    semi-join must exclude it before the self-join.
+    from hpctoolkit_dataframe_spark.queries.textops import (
+        minhash_lsh_pairs,
+    )
+
+    n_docs = 100_000 * scale
+    boiler = "the same boilerplate footer text appears on every page here"
+    docs = spark.range(n_docs, numPartitions=par).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(boiler)).otherwise(
+            F.concat_ws(" ", *[F.md5(F.concat(F.col("id").cast("string"),
+                                              F.lit(f":{i}")))
+                               for i in range(9)])).alias("text"),
+        F.lit("en").alias("lang"), F.lit("synthetic").alias("source"))
+    with tempfile.TemporaryDirectory(prefix="scale_lshdocs_") as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        t0 = time.time()
+        rows = mat(minhash_lsh_pairs(spark, tmp))
+        print(f"minhash_lsh_pairs {n_docs:,} docs, 20% one boilerplate: "
+              f"{rows:,} pairs in {time.time()-t0:.1f}s (hot key capped)")
+
+    # 5) Hyperplane LSH near-dups with a DEGENERATE bucket: 20k copies
+    #    of one vector land in a single bucket (2*10^8 uncapped pairs,
+    #    each a 64-dim dot product); BUCKET_CAP must exclude it while
+    #    the 10k well-spread vectors still pair normally.
+    from hpctoolkit_dataframe_spark.queries.vectors import (
+        DIM, lsh_near_dup_pairs,
+    )
+
+    n_norm, n_dup = 10_000 * scale, 20_000 * scale
+    norm = spark.range(n_norm, numPartitions=par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: ((F.xxhash64(F.col("id"), i) % 1000) / 500.0 - 1.0)
+            .cast("float")).alias("embedding"),
+        F.lit(0).alias("label"))
+    dup = spark.range(n_norm, n_norm + n_dup, 1, par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(DIM)),
+                    lambda i: (i / DIM).cast("float")).alias("embedding"),
+        F.lit(1).alias("label"))
+    with tempfile.TemporaryDirectory(prefix="scale_emb_") as tmp:
+        norm.unionAll(dup).write.mode("overwrite").parquet(
+            f"{tmp}/embeddings.parquet")
+        t0 = time.time()
+        rows = mat(lsh_near_dup_pairs(spark, tmp))
+        print(f"lsh_near_dup_pairs {n_norm + n_dup:,} vecs, "
+              f"{n_dup:,} identical: {rows:,} pairs in "
+              f"{time.time()-t0:.1f}s (hot bucket capped)")
+
 
 if __name__ == "__main__":
     main()
