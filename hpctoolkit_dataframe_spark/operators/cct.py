@@ -333,14 +333,19 @@ def fix_root_measurement(
     Reference: hpctoolkit_dataframe.py:291-305 — the root has no exclusive
     samples, so ``X (E)`` at the root is patched from ``X (I)``.
     ``column_pairs`` is [(exclusive_col, inclusive_col), ...].
+
+    One select, not a ``withColumn`` loop — each ``withColumn`` is a
+    full plan rebuild through Py4J and 11 of them cost ~0.25 s of pure
+    driver time per load.
     """
-    out = df
-    for target, source in column_pairs:
-        out = out.withColumn(
-            target,
-            F.when(F.size(callpath_col) == 0, F.col(source)).otherwise(F.col(target)),
-        )
-    return out
+    sources = dict(column_pairs)
+    is_root = F.size(callpath_col) == 0
+    return df.select(*[
+        F.when(is_root, F.col(f"`{sources[c]}`"))
+        .otherwise(F.col(f"`{c}`")).alias(c)
+        if c in sources else F.col(f"`{c}`")
+        for c in df.columns
+    ])
 
 
 # ---------------------------------------------------------------------------
@@ -377,38 +382,43 @@ def hot_path(
         F.col("id").alias("__id"),
         F.col(callpath_col).alias("__path"),
         F.col(base_column).cast("double").alias("__value"),
-    ).cache()
+    )
+    current = tuple(int(x) for x in callpath)
+    chain: list[tuple[int, ...]] = []
+    # probe with ONE job: limit(threshold+1) returns the whole frame iff
+    # it fits (and only then do we trust the rows), so the small-tree
+    # case costs a single action instead of count()+collect()
+    probe = slim.limit(collect_threshold + 1).collect()
+    if len(probe) <= collect_threshold:
+        # small tree (one profile is ~10^4 nodes): the 3-column
+        # projection is already in memory and the descent runs locally —
+        # tree-depth Spark jobs collapse into one
+        by_parent: dict[tuple, list] = {}
+        for r in probe:
+            p = tuple(r["__path"])
+            by_parent.setdefault(p[:-1] if p else None, []).append(
+                (r["__value"], r["__id"], p))
+        for _ in range(max_iters):
+            chain.append(current)
+            children = [c for c in by_parent.get(current, ())
+                        if len(c[2]) == len(current) + 1]
+            if not children:
+                break
+            value, _, path = max(
+                children, key=lambda c: (c[0] if c[0] is not None
+                                         else float("-inf"), -c[1]))
+            if value is None or value < threshold:
+                break
+            current = path
+        preds = None
+        for p in chain:
+            pred = ((F.size(callpath_col) == len(p))
+                    & cp.has_prefix(p, callpath_col))
+            preds = pred if preds is None else (preds | pred)
+        return df.filter(preds)
+    del probe  # arbitrary subset — unusable; descend iteratively
+    slim = slim.cache()
     try:
-        current = tuple(int(x) for x in callpath)
-        chain: list[tuple[int, ...]] = []
-        n = slim.count()
-        if n <= collect_threshold:
-            # small tree (one profile is ~10^4 nodes): one job collects
-            # the 3-column projection and the descent runs in-memory —
-            # tree-depth Spark jobs collapse into one
-            by_parent: dict[tuple, list] = {}
-            for r in slim.collect():
-                p = tuple(r["__path"])
-                by_parent.setdefault(p[:-1] if p else None, []).append(
-                    (r["__value"], r["__id"], p))
-            for _ in range(max_iters):
-                chain.append(current)
-                children = [c for c in by_parent.get(current, ())
-                            if len(c[2]) == len(current) + 1]
-                if not children:
-                    break
-                value, _, path = max(
-                    children, key=lambda c: (c[0] if c[0] is not None
-                                             else float("-inf"), -c[1]))
-                if value is None or value < threshold:
-                    break
-                current = path
-            preds = None
-            for p in chain:
-                pred = ((F.size(callpath_col) == len(p))
-                        & cp.has_prefix(p, callpath_col))
-                preds = pred if preds is None else (preds | pred)
-            return df.filter(preds)
         for _ in range(max_iters):
             chain.append(current)
             children = slim.filter(

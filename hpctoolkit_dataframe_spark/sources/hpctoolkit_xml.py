@@ -295,9 +295,11 @@ def load_experiments(
     # relation, Python-worker job, module-by-value pickling) is ~4 s of
     # pure overhead for a 230 KB file.  Fleet-scale globs (many files or
     # large bytes) keep the embarrassingly-parallel executor path.
-    if (len(first) <= 8  # check count BEFORE stat-ing a fleet glob
-            and all(os.path.isfile(p) for p in first)
-            and sum(os.path.getsize(p) for p in first) < 32 * 1024 * 1024):
+    fast_path = (
+        len(first) <= 8  # check count BEFORE stat-ing a fleet glob
+        and all(os.path.isfile(p) for p in first)
+        and sum(os.path.getsize(p) for p in first) < 32 * 1024 * 1024)
+    if fast_path:
         frames = []
         for p in first:
             with open(p, "rb") as f:
@@ -345,12 +347,16 @@ def load_experiments(
 
     if add_percentage_columns:
         # the ratio steps branch the frame several times (root lookup,
-        # ancestor walk, final select) and each branch would re-run the
-        # binaryFile+mapInPandas parse; materialize the parsed rows once
-        # so every downstream pass reads them instead of re-parsing
-        # (cache() is not enough — substitution fails across self-join
-        # relation dedup, see CLAUDE.md)
-        df = df.localCheckpoint(eager=True)
+        # ancestor walk, final select) and on the DISTRIBUTED path each
+        # branch would re-run the binaryFile+mapInPandas parse;
+        # materialize the parsed rows once so every downstream pass
+        # reads them instead of re-parsing (cache() is not enough —
+        # substitution fails across self-join relation dedup, see
+        # CLAUDE.md).  The fast path already holds the rows in a local
+        # relation: re-scanning it is formula re-evaluation over ~10^4
+        # rows, far cheaper than the eager checkpoint action (~0.7 s).
+        if not fast_path:
+            df = df.localCheckpoint(eager=True)
         df = _cct.with_ratio_of_total(
             df, pct, pct + " ratio of total", partition_cols=["profile_id"])
         df = _cct.with_ratio_of_parent(
@@ -370,12 +376,31 @@ def load_experiments(
     return df, meta
 
 
+# Compiled-formula cache: the Column pair depends only on the formula
+# text (metric references are $N ids resolved to __raw_N columns), and
+# building the ~20 nested expressions costs ~0.3 s of Py4J round trips
+# per load.  Keyed by the active SparkContext so a restarted JVM cannot
+# serve stale expression handles.
+_COMPILE_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _compiled_raw_formula(frm: str):
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), frm)
+    hit = _COMPILE_CACHE.get(key)
+    if hit is None:
+        hit = _formulas.compile_formula(
+            frm, lambda mid: F.col(f"__raw_{mid}"))
+        _COMPILE_CACHE[key] = hit
+    return hit
+
+
 def finalize_metrics(raw: DataFrame, header: dict, *,
                      with_imag: bool = False) -> DataFrame:
     """Apply finalize formulas + root repair, order columns like the
     reference (metrics sorted by id, then location columns; :190-198)."""
     metric_ids = sorted(header["metrics_by_id"])
-    resolve = lambda mid: F.col(f"__raw_{mid}")  # noqa: E731
     exprs: list = []
     imag_exprs: list = []
     for mid in metric_ids:
@@ -384,7 +409,7 @@ def finalize_metrics(raw: DataFrame, header: dict, *,
         if frm is None:
             exprs.append(F.col(f"__raw_{mid}").alias(name))
             continue
-        re_, im_ = _formulas.compile_formula(frm, resolve)
+        re_, im_ = _compiled_raw_formula(frm)
         exprs.append(re_.alias(name))
         if with_imag and im_ is not None:
             imag_exprs.append(im_.alias(f"{name} (imag)"))
