@@ -139,15 +139,10 @@ N_PROBE = 2
 _L2_SQL = (f"CAST(list_sum(list_transform(range(1, {DIM} + 1), "
            "i -> (a.qe[i] - c.qe[i]) * (a.qe[i] - c.qe[i]))) AS BIGINT)")
 
-
-@register("ivf_ann", sql=f"""
-WITH e AS (
-  SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
-         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
-  FROM embeddings
-),
-cent AS (SELECT vec_id AS cell, qe FROM e WHERE vec_id < {N_CELLS}),
-assigned AS (
+# probe tail shared by ivf_ann (first-N centroids) and ivf_ann_trained
+# (Lloyd's-trained centroids): expects CTEs `e` (vec_id, qe, n2) and
+# `cent` (cell, qe) to be in scope
+_IVF_TAIL_SQL = f"""assigned AS (
   SELECT a.vec_id, a.qe, a.n2, c.cell,
          row_number() OVER (PARTITION BY a.vec_id
                             ORDER BY {_L2_SQL} ASC, c.cell ASC) AS crk
@@ -179,16 +174,14 @@ SELECT query_id, neighbor_id, rk, cos FROM (
              / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) DESC,
            neighbor_id ASC) AS BIGINT) AS rk
   FROM cand
-) WHERE rk <= {TOP_K}""")
-def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+) WHERE rk <= {TOP_K}"""
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _qint(F.col("embedding")).alias("qe"),
-        _norm2(F.col("embedding")).alias("n2"))
-    emb = emb.localCheckpoint(eager=True)  # feeds centroid + corpus branches
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
+
+def _ivf_probe(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Spark twin of _IVF_TAIL_SQL: assign corpus + queries to cells by
+    exact integer L2 against ``cent`` (cell, ce), join per cell, rank by
+    cosine.  ``cent`` is always tiny (N_CELLS rows) — broadcast."""
+    from pyspark.sql import Window
 
     l2 = F.aggregate(
         F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
@@ -229,6 +222,24 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "rk", "cos")
     )
+
+
+@register("ivf_ann", sql=f"""
+WITH e AS (
+  SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
+         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell, qe FROM e WHERE vec_id < {N_CELLS}),
+{_IVF_TAIL_SQL}""")
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qint(F.col("embedding")).alias("qe"),
+        _norm2(F.col("embedding")).alias("n2"))
+    emb = emb.localCheckpoint(eager=True)  # feeds centroid + corpus branches
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
+    return _ivf_probe(emb, cent)
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +328,138 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEAR_DUP_COSINE)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means training (fixed iterations, deterministic): assign
+# each vector to its nearest centroid by exact integer L2, re-estimate
+# each centroid as ROUND(SUM(component)::DOUBLE / COUNT) — quantized
+# back to BIGINT so the next iteration's distances stay exact-integer
+# and the whole training run is bit-reproducible across engines (IEEE
+# division of exact <2^53 ints + half-away-from-zero rounding are
+# identical in Spark and DuckDB).  Ties break (distance, cell) ASC.
+# At scale each iteration is one broadcast-join assignment pass plus a
+# map-side-combined (cell, position) partial-sum shuffle; the centroid
+# table (N_CELLS x DIM ints) is checkpointed between iterations.
+# ---------------------------------------------------------------------------
+KMEANS_ITERS = 2
+
+
+def _kmeans_ctes() -> str:
+    """CTE chain e, c0, a1, s1, p1, c1, ..., a{K}, s{K}, p{K}, c{K}."""
+    l2 = (f"CAST(list_sum(list_transform(range(1, {DIM} + 1), "
+          "i -> (e.qe[i] - c.ce[i]) * (e.qe[i] - c.ce[i]))) AS BIGINT)")
+    parts = [f"""e AS (
+  SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
+         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, qe AS ce FROM e WHERE vec_id < {N_CELLS})"""]
+    for k in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""a{k} AS (
+  SELECT e.vec_id, e.qe, c.cell, {l2} AS d,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {l2} ASC, c.cell ASC) AS rk
+  FROM e CROSS JOIN c{k - 1} c
+),
+s{k} AS (SELECT vec_id, qe, cell, d FROM a{k} WHERE rk = 1),
+p{k} AS (
+  SELECT cell, i,
+         CAST(ROUND(CAST(SUM(qe[CAST(i AS BIGINT)]) AS DOUBLE)
+                    / COUNT(*), 0) AS BIGINT) AS m
+  FROM s{k} CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i)
+  GROUP BY cell, i
+),
+c{k} AS (SELECT cell, list(m ORDER BY i) AS ce FROM p{k} GROUP BY cell)""")
+    return ",\n".join(parts)
+
+
+def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (vec_id, qe, n2) corpus — the training loop and the
+    probe/candidate branches all reuse one materialization."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qint(F.col("embedding")).alias("qe"),
+        _norm2(F.col("embedding")).alias("n2"))
+    return emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).localCheckpoint(eager=True)
+
+
+def _lloyd(emb: DataFrame,
+           iters: int = KMEANS_ITERS) -> tuple[DataFrame, DataFrame]:
+    """``iters`` Lloyd's steps over the checkpointed quantized corpus;
+    returns (final centroids (cell, ce), last assignment
+    (vec_id, qe, cell, d)) — the oracle's c{K} and s{K}."""
+    from pyspark.sql import Window
+
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("cell").asc())
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("d", l2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "qe", "cell", "d"))
+        # the assignment feeds both the re-estimate and (on the last
+        # step) the caller's aggregates; materialize so the broadcast-
+        # join pass runs once per iteration, not once per branch
+        assigned = assigned.localCheckpoint(eager=True)
+        cents = (
+            assigned.select("cell", F.posexplode("qe").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 0)
+                 .cast("long").alias("m"))
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda x: x["m"]).alias("ce")))
+    return cents, assigned
+
+
+@register("kmeans_centroids", sql=f"""
+WITH {_kmeans_ctes()},
+fin AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(d) AS BIGINT) AS inertia
+  FROM s{KMEANS_ITERS} GROUP BY cell
+)
+SELECT f.cell, f.n_vecs, f.inertia,
+       array_to_string(c.ce, '/') AS centroid_q
+FROM fin f JOIN c{KMEANS_ITERS} c ON c.cell = f.cell""")
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's training; outputs per-cell membership
+    count, the final assignment cost (exact integer inertia), and the
+    re-estimated centroid (quantized ints, '/'-joined)."""
+    cents, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
+    fin = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("d").cast("long").alias("inertia"))
+    return (
+        fin.join(F.broadcast(cents), "cell")
+        .select("cell", "n_vecs", "inertia",
+                F.array_join(F.transform("ce", lambda x: x.cast("string")),
+                             "/").alias("centroid_q"))
+    )
+
+
+@register("ivf_ann_trained", sql=f"""
+WITH {_kmeans_ctes()},
+cent AS (SELECT cell, ce AS qe FROM c{KMEANS_ITERS}),
+{_IVF_TAIL_SQL}""")
+def ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against Lloyd's-TRAINED centroids instead of the
+    first-{N_CELLS} corpus vectors: the real trained-ANN pipeline —
+    train (fixed deterministic iterations), assign, probe."""
+    emb = _quantized_corpus(spark, sf_dir)
+    cents, _ = _lloyd(emb)
+    return _ivf_probe(emb, cents)
 
 
 # ---------------------------------------------------------------------------
