@@ -54,12 +54,20 @@ def hash8_sql(expr: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                spread: bool = False) -> DataFrame:
-    # timestamp rendering (date_format in q3 etc.) must match DuckDB's
-    # naive-UTC reading even if the HOST session uses another timezone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # the events table is written with nanosecond timestamps, which
-        # Spark's parquet reader rejects; read them as raw LONG nanos
+    """Read one testdata parquet table.
+
+    CONTRACT: every registry query requires ``spark.sql.session.timeZone
+    = UTC`` (timestamp rendering must match DuckDB's naive-UTC read) and
+    ``spark.sql.legacy.parquet.nanosAsLong = true`` (events.parquet has
+    nanosecond timestamps Spark otherwise rejects).  ``get_spark`` sets
+    both at construction; for foreign sessions (the driver's gate) they
+    are enforced here — idempotently, so a session already configured is
+    never touched.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (name == "events" and spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", "false") != "true"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:

@@ -569,10 +569,17 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
-                  F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
-                  F.col("n_name").alias("cust_nation"))
+    # pre-filter both nation dims to the two-name IN list BEFORE the
+    # joins: the disjunctive pair predicate below can't fully push, so
+    # without this the plan relies on Catalyst's partial-predicate
+    # extraction to avoid carrying all nations' rows through five joins
+    pair = ["NATION_9", "NATION_10"]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"))
     return (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -351,7 +351,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("long").alias("n_bpe"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_unique_bpe"),
-        F.md5(F.array_join("toks", "|")).alias("tok_digest"))
+        # coalesce to '' so a NULL text digests like the oracle's
+        # COALESCE(array_to_string(...), '') instead of going NULL
+        F.md5(F.coalesce(F.array_join("toks", "|"), F.lit("")))
+        .alias("tok_digest"))
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +367,12 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 K_GRAM = 8
 WINNOW_W = 16
-_POS_SCALE = 10_000  # encoded = hash32 * 10000 + position (fits BIGINT)
+# encoded fingerprint = hash32 * _POS_SCALE + position.  hash32 < 2^32,
+# so 2^32 * 10^7 ~= 4.3e16 << 2^63: safely BIGINT, and positions bleed
+# into the hash component only for documents with >= 10^7 k-grams
+# (~10 MB of text; current docs are <1 KB).  Was 10^4, which overflowed
+# at 10k k-grams — well within a real document's length.
+_POS_SCALE = 10_000_000
 
 
 _WINNOW_SQL = f"""
