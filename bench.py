@@ -75,17 +75,27 @@ def main() -> None:
     # ours pays one-time codegen/optimizer compilation on the first run
     # of each plan shape, which is session startup cost, not workload.
     bench_xml(spark)
-    timings["xml_load_hot_path"] = round(bench_xml(spark), 3)
+    xml_samples = sorted(bench_xml(spark) for _ in range(3))
+    timings["xml_load_hot_path"] = round(xml_samples[1], 3)
 
+    # shared machine: single samples wobble +-50% (CLAUDE.md), making
+    # round-over-round deltas uninterpretable.  Sub-5s queries re-run
+    # to a median-of-3; the expensive tail keeps one sample (its
+    # relative noise is smaller and 3x would add minutes).
     for name, q in REGISTRY.items():
         if name == "cct_xml_ingest":
             # correctness-gate query over the reference's own XMLs; it
             # ignores sf_dir, and its workload is exactly what
             # xml_load_hot_path above already measures
             continue
-        t0 = time.time()
-        materialize(q.fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        while True:
+            t0 = time.time()
+            materialize(q.fn(spark, SF_DIR))
+            samples.append(time.time() - t0)
+            if samples[0] >= 5.0 or len(samples) == 3:
+                break
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     print(json.dumps({
         "metric": "headline_queries_total",

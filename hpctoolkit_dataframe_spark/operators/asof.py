@@ -9,7 +9,9 @@ recent right payload forward with ``last(ignorenulls)`` over a
 (key)-partitioned window.  Cost: ONE shuffle of |left|+|right| rows on
 the key, no row explosion, monotonic memory per partition — the shape
 that survives a 100x scale-up.  Hot keys are a window (not join) skew;
-if one key dominates, pre-split it by time range and stitch.
+``time_buckets=N`` pre-splits every key's timeline into N fixed-width
+ranges and stitches across them (carry-in rows), turning one dominant
+key's single sorted partition into N parallel ones.
 
 Determinism: ties on the right timestamp are broken by the payload
 struct's column order (ascending — the LAST one wins), so results are
@@ -37,6 +39,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance: int | None = None,
     suffix: str = "_right",
+    time_buckets: int | None = None,
 ) -> DataFrame:
     """Returns ``left``'s columns plus the matched right row's
     ``right_ts`` (suffixed) and ``right_cols`` (suffixed on collision),
@@ -46,6 +49,15 @@ def asof_join(
     microseconds as LONG); ``tolerance`` is in the same units.  A left
     row with a NULL timestamp yields NULL match columns (pandas
     merge_asof would raise instead); NULL right timestamps never match.
+
+    ``time_buckets=N`` (hot-key pre-split): partitions the window by
+    (key, time-range bucket) instead of (key), after injecting one
+    synthetic "carry-in" row per probe bucket holding the last right
+    payload from all earlier buckets.  Results are IDENTICAL to the
+    default path (property-tested); cost is one bounded min/max driver
+    job plus two small aggregations, in exchange for a dominant key's
+    window sort spreading over N partitions.  Use when one key holds an
+    unbounded share of rows; leave None for the single-shuffle path.
     """
     assert direction in ("backward", "forward"), direction
     right_ts = right_ts or left_ts
@@ -80,14 +92,20 @@ def asof_join(
         F.lit(ref_tag).alias("__tag"),
         payload.alias("__payload"))
 
-    w = (Window.partitionBy(*keys)
+    part_keys = list(keys)
+    both = l2.unionByName(r2)
+    if time_buckets and time_buckets > 1:
+        both = _split_time_buckets(both, keys, time_buckets, payload_type)
+        part_keys = keys + ["__bucket"]
+
+    w = (Window.partitionBy(*part_keys)
          .orderBy(F.col("__t").asc(), F.col("__tag").asc(),
                   F.col("__payload").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last("__payload", ignorenulls=True).over(w)
 
     out = (
-        l2.unionByName(r2)
+        both
         .withColumn("__m", matched)
         .filter(F.col("__tag") == probe_tag)
     )
@@ -103,3 +121,56 @@ def asof_join(
         name = c if c not in lcols else f"{c}{suffix}"
         sel.append(F.col(f"__m.{c}").alias(name))
     return out.select(*sel)
+
+
+def _split_time_buckets(both: DataFrame, keys: list[str],
+                        n_buckets: int, payload_type) -> DataFrame:
+    """Hot-key pre-split: assign every row a fixed-width time bucket and
+    inject, per (key, probe bucket), one synthetic right row carrying
+    the best payload from all EARLIER buckets, so a window partitioned
+    by (key, bucket) matches the (key)-only window exactly.
+
+    Probe rows are ``__payload IS NULL``; right rows carry a payload.
+    The carry-in sorts first in its bucket (``__t`` = bucket start,
+    ``__tag`` = -1 < both real tags) and loses to any later real right
+    row under ``last(ignorenulls)`` — exactly the stitched semantics.
+    """
+    # bounded driver step: two scalars decide the bucket boundaries
+    lo, hi = both.agg(F.min("__t"), F.max("__t")).collect()[0]
+    if lo is None or hi <= lo:
+        return both.withColumn("__bucket", F.lit(0).cast("long"))
+    span = (hi - lo) // n_buckets + 1
+    b = both.withColumn("__bucket", F.expr(f"(__t - {lo}) div {span}"))
+    # NULL __t probes land in bucket NULL: their own partition with no
+    # right rows, so the match stays NULL — correct by construction.
+
+    best_t = T.StructType([T.StructField("__t", T.LongType()),
+                           T.StructField("__tag", T.IntegerType()),
+                           T.StructField("__payload", payload_type)])
+    rb = (b.filter(F.col("__payload").isNotNull())
+          .groupBy(*keys, "__bucket")
+          .agg(F.max(F.struct("__t", "__tag", "__payload")).alias("__best"))
+          .withColumn("__probe_marker", F.lit(False)))
+    pb = (b.filter(F.col("__payload").isNull()
+                   & F.col("__bucket").isNotNull())
+          .select(*keys, "__bucket").distinct()
+          .withColumn("__best", F.lit(None).cast(best_t))
+          .withColumn("__probe_marker", F.lit(True)))
+    # per key: the best right payload of any STRICTLY earlier bucket
+    wc = (Window.partitionBy(*keys).orderBy("__bucket")
+          .rangeBetween(Window.unboundedPreceding, -1))
+    carry = (rb.unionByName(pb)
+             .withColumn("__carry", F.max("__best").over(wc))
+             .filter(F.col("__probe_marker")
+                     & F.col("__carry").isNotNull()))
+    synth = carry.select(
+        *[(F.col(f.name) if f.name in keys
+           else F.lit(None).cast(f.dataType).alias(f.name))
+          for f in b.schema.fields
+          if f.name not in ("__t", "__tag", "__payload", "__bucket")],
+        (F.lit(lo) + F.col("__bucket") * F.lit(span))
+        .cast("long").alias("__t"),
+        F.lit(-1).alias("__tag"),
+        F.col("__carry.__payload").alias("__payload"),
+        F.col("__bucket"))
+    return b.unionByName(synth)

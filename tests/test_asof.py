@@ -152,3 +152,47 @@ def test_asof_property_modes_vs_pandas(spark, direction, tolerance):
     for row in merged.itertuples():
         want = None if pd.isna(row.rid) else int(row.rid)
         assert got[row.pid] == want, (direction, tolerance, row.pid)
+
+
+@pytest.mark.parametrize("direction,exact,tolerance", [
+    ("backward", True, None), ("backward", False, 50),
+    ("forward", True, None), ("forward", False, 50)])
+def test_time_buckets_identical_to_default(spark, direction, exact,
+                                           tolerance):
+    """The hot-key pre-split (time_buckets=N) must return EXACTLY the
+    default path's rows in every mode — the carry-in stitching is an
+    execution detail, not a semantics change."""
+    import random
+
+    rng = random.Random(29)
+    left_rows = [(rng.choice(["a", "b", "c"]), i, rng.randrange(0, 500))
+                 for i in range(200)]
+    right_rows = [(rng.choice(["a", "b", "c"]), 10_000 + i,
+                   rng.randrange(0, 500)) for i in range(80)]
+    left = spark.createDataFrame(left_rows, "k string, pid long, t long")
+    right = spark.createDataFrame(right_rows, "k string, rid long, t long")
+
+    kw = dict(on="k", left_ts="t", right_cols=["rid"],
+              direction=direction, allow_exact_matches=exact,
+              tolerance=tolerance)
+    base = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    split = sorted(map(tuple, asof_join(left, right, time_buckets=8,
+                                        **kw).collect()))
+    assert base == split
+
+
+def test_time_buckets_single_dominant_key(spark):
+    """One key holding ~all rows (the motivating skew case) still
+    matches the default path, including across empty buckets."""
+    left = spark.createDataFrame(
+        [("hot", i, i * 7 % 1000) for i in range(500)]
+        + [("cold", 10_000, 3)], "k string, pid long, t long")
+    right = spark.createDataFrame(
+        # right rows clustered early: later buckets carry in only
+        [("hot", 20_000 + i, i * 3 % 120) for i in range(100)],
+        "k string, rid long, t long")
+    kw = dict(on="k", left_ts="t", right_cols=["rid"])
+    base = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    split = sorted(map(tuple, asof_join(left, right, time_buckets=16,
+                                        **kw).collect()))
+    assert base == split

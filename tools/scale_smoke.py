@@ -51,6 +51,25 @@ def main() -> None:
     print(f"asof_join {n_l:,}x{n_r:,} over {keys:,} keys: "
           f"{rows:,} rows in {time.time()-t0:.1f}s")
 
+    # 1b) as-of join with ONE DOMINANT KEY: 90% of 5M probes share a
+    #     key — the (key)-window sorts them on one core; time_buckets
+    #     spreads the sort over 64 (key, range) partitions and stitches
+    #     with carry-in rows
+    n_l2, n_r2 = 5_000_000 * scale, 1_000_000 * scale
+    hot_l = spark.range(n_l2, numPartitions=par).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000)
+        .alias("k"), F.col("id").alias("pid"),
+        (F.xxhash64("id") % 1_000_000).alias("t"))
+    hot_r = spark.range(n_r2, numPartitions=par).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000)
+        .alias("k"), F.col("id").alias("rid"),
+        (F.xxhash64("id", F.lit(1)) % 1_000_000).alias("t"))
+    t0 = time.time()
+    rows = mat(asof_join(hot_l, hot_r, on="k", left_ts="t",
+                         right_cols=["rid"], time_buckets=64))
+    print(f"asof_join {n_l2:,}x{n_r2:,}, 90% one key, time_buckets=64: "
+          f"{rows:,} rows in {time.time()-t0:.1f}s")
+
     # 2) salted join under 90% single-key skew, 5M x 100k
     n = 5_000_000 * scale
     skew_l = spark.range(n, numPartitions=par).select(
