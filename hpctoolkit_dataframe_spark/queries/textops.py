@@ -504,20 +504,29 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a simhash-0 row)
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
+    return with_simhash16(docs, "text").select("doc_id", "simhash")
+
+
+def with_simhash16(df: DataFrame, text_col: str = "text",
+                   out: str = "simhash") -> DataFrame:
+    """Append the 16-bit simhash fingerprint of ``text_col`` — the one
+    shared fold used by the batch ``simhash16`` query and
+    ``streaming.streaming_simhash_dedup``, so the two cannot drift.
+    Works on batch and streaming frames alike (pure per-row Columns)."""
     # v = int value of md5's first 4 hex chars; char at 1-based position
     # p is the nibble (v >> 4*(4-p)) & 15, matching the oracle's
     # instr('0123456789abcdef', substr(md5(t), j//4+1, 1)) - 1
     vs = F.transform(
-        _tokens(),
+        _tokens(text_col),
         lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
     # project first so md5 runs once per token; the 16 aggregates below
     # then re-traverse a small int array inside one codegen stage
-    folded = docs.select("doc_id", vs.alias("vs"))
+    df2 = df.withColumn("__vs", vs)
 
     def bit_sum(j):
         shift = 4 * (3 - j // 4) + j % 4
         return F.aggregate(
-            "vs", F.lit(0).cast("long"),
+            "__vs", F.lit(0).cast("long"),
             lambda acc, v: acc + F.when(
                 F.shiftright(v, shift) % 2 == 1,
                 F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
@@ -527,4 +536,4 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(bit_sum(j) >= 0, F.lit(1 << j).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
-    return folded.select("doc_id", simhash.cast("long").alias("simhash"))
+    return df2.withColumn(out, simhash.cast("long")).drop("__vs")

@@ -161,6 +161,89 @@ def streaming_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming NEAR-dup dedup: simhash-backed state, the streaming side of
+# the batch ``simhash16`` fingerprint (the fold is SHARED —
+# queries.textops.with_simhash16 — so the two cannot drift).
+# ---------------------------------------------------------------------------
+_ND_STATE = "doc_ids ARRAY<BIGINT>, hashes ARRAY<BIGINT>"
+_ND_OUTPUT = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("simhash", T.LongType()),
+    T.StructField("band_idx", T.IntegerType()),
+    T.StructField("dup_of", T.LongType()),
+])
+# per-bucket reference cap: a degenerate bucket (boilerplate content)
+# otherwise grows state and per-doc scan without bound — same failure
+# class as the batch BAND_DF_CAP (queries/textops.py)
+_ND_STATE_CAP = 256
+
+
+def _update_near_dup(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    ids, hashes = state.get if state.exists else ([], [])
+    ids, hashes = list(ids), list(hashes)
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.sort_values("doc_id")  # deterministic within a batch
+    out = []
+    for r in rows.itertuples():
+        h, dup_of = int(r.simhash), None
+        for i, ph in enumerate(hashes):
+            x = ph ^ h
+            if x & (x - 1) == 0:  # 0 or a power of two: hamming <= 1
+                dup_of = ids[i]
+                break
+        if dup_of is None and len(ids) < _ND_STATE_CAP:
+            ids.append(int(r.doc_id))
+            hashes.append(h)
+        out.append((int(r.doc_id), h, int(key[0]), dup_of))
+    state.update((ids, hashes))
+    yield pd.DataFrame(out, columns=[f.name for f in _ND_OUTPUT.fields])
+
+
+def streaming_simhash_dedup(docs: DataFrame, hamming: int = 0) -> DataFrame:
+    """Streaming near-dup detection on the 16-bit simhash fingerprint.
+
+    ``hamming=0``: state-backed ``dropDuplicates`` on the fingerprint —
+    first doc with each simhash wins across micro-batches; different
+    texts folding to one fingerprint are treated as near-dups.
+
+    ``hamming=1``: banded stateful matching.  The fingerprint splits
+    into two 8-bit halves; two hashes within Hamming distance 1 agree
+    on at least one half (pigeonhole), so each doc is checked in its two
+    (band, half-value) buckets against the capped set of reference docs
+    seen there.  Output is one row per (doc, band) with ``dup_of`` = the
+    earliest reference within distance <= 1 in that bucket (NULL if
+    none): a doc IS a near-dup iff flagged in ANY band — reduce with
+    ``groupBy(doc_id).agg(min(dup_of))`` in ``foreachBatch`` or batch.
+    New references append to bucket state up to ``_ND_STATE_CAP``.
+    """
+    from .._pickle import register_module_by_value
+    from ..queries.textops import with_simhash16
+
+    fp = with_simhash16(docs.filter(F.col("text").isNotNull()), "text") \
+        .select("doc_id", "simhash")
+    if hamming == 0:
+        return fp.dropDuplicates(["simhash"])
+    assert hamming == 1, "only hamming in (0, 1) is supported"
+    register_module_by_value(__name__)  # _update_near_dup runs worker-side
+    b = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("band_idx"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band_idx * 8) % 256"))
+    return (
+        b.groupBy("band_idx", "band_val")
+        .applyInPandasWithState(
+            _update_near_dup,
+            outputStructType=_ND_OUTPUT,
+            stateStructType=_ND_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator: streaming as-of attribution
 # ---------------------------------------------------------------------------
 _ASOF_STATE = "view_id BIGINT, view_ts BIGINT"

@@ -239,3 +239,93 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     distinct_hashes = docs.select(F.md5("text")).distinct().count()
     assert len(got) == distinct_hashes
     assert len({r["text_hash"] for r in got}) == distinct_hashes
+
+
+def _docs_stream(spark, docs):
+    return (spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(SF_DIR))
+
+
+def test_streaming_simhash_fingerprints_match_batch(spark):
+    """hamming=0 twin: the streaming fingerprint is the SAME fold as the
+    batch simhash16 query — kept docs carry the batch value, and the
+    kept set covers every distinct fingerprint exactly once."""
+    batch = {r["doc_id"]: r["simhash"]
+             for r in REGISTRY["simhash16"].fn(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = se.run_available_now(
+        se.streaming_simhash_dedup(_docs_stream(spark, docs)),
+        "simdedup_t", output_mode="append")
+    assert all(batch[r["doc_id"]] == r["simhash"] for r in got)
+    assert {r["simhash"] for r in got} == set(batch.values())
+    assert len(got) == len(set(batch.values()))
+
+
+def test_streaming_simhash_near_dup_matches_greedy_replica(spark):
+    """hamming=1 twin: per-band flags equal a Python replica of the
+    greedy banded scan over the batch simhash16 fingerprints, including
+    WHICH reference each dup matched."""
+    batch = sorted(
+        (r["doc_id"], r["simhash"])
+        for r in REGISTRY["simhash16"].fn(spark, SF_DIR).collect())
+    want = {}  # (doc_id, band) -> dup_of (None if reference)
+    for band in (0, 1):
+        buckets: dict[int, list[tuple[int, int]]] = {}
+        for doc_id, h in batch:  # doc_id order == operator's sort
+            refs = buckets.setdefault((h >> (8 * band)) % 256, [])
+            dup_of = next((rid for rid, rh in refs
+                           if (rh ^ h) & ((rh ^ h) - 1) == 0), None)
+            if dup_of is None and len(refs) < se._ND_STATE_CAP:
+                refs.append((doc_id, h))
+            want[(doc_id, band)] = dup_of
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = se.run_available_now(
+        se.streaming_simhash_dedup(_docs_stream(spark, docs), hamming=1),
+        "simnear_t", output_mode="append")
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r["doc_id"], r["band_idx"])] == r["dup_of"], r
+    # sanity: the dataset actually exercises both outcomes
+    assert any(r["dup_of"] is not None for r in got)
+    assert any(r["dup_of"] is None for r in got)
+
+
+def test_streaming_simhash_near_dup_cross_batch_state(spark, tmp_path):
+    """A doc re-arriving in a LATER micro-batch is flagged against the
+    batch-0 state (dup_of == its own first arrival) in both bands."""
+    import os
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half = docs.limit(docs.count() // 2)
+    half.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b0"))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, src in enumerate(("b0", "b1")):
+        part = next((tmp_path / src).glob("*.parquet"))
+        dst = stream_dir / f"batch{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stream_dir)))
+    got = se.run_available_now(
+        se.streaming_simhash_dedup(stream, hamming=1),
+        "simnear_cb_t", output_mode="append")
+    b0_ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    # each batch-0 doc appears twice per band; its re-arrival MUST be
+    # flagged against batch-0 state (a first arrival may itself be a
+    # near-dup of an earlier batch-0 doc, so it can be flagged too)
+    for doc_id in b0_ids:
+        for band in (0, 1):
+            dups = [r["dup_of"] for r in got
+                    if r["doc_id"] == doc_id and r["band_idx"] == band]
+            assert len(dups) == 2, (doc_id, band, dups)
+            flagged = [d for d in dups if d is not None]
+            assert flagged, (doc_id, band)  # the re-arrival at minimum
+            if None in dups:
+                # first arrival was a reference -> the re-arrival can
+                # only have matched the doc's own state entry
+                assert flagged == [doc_id], (doc_id, band, dups)
