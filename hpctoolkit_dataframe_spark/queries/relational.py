@@ -771,3 +771,361 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long")
              .alias("duration_s"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H widening.  The testdata schema is TPC-H-ish but slimmer
+# (no partsupp / l_shipmode / c_phone / p_container), so q2/q11/q12/q16/
+# q20/q21 have no faithful mapping; the nine below keep each original
+# query's SHAPE (market-share ratio, outer-join distribution, correlated
+# max, disjunctive pushdown, ...) on the columns that exist.  Scale
+# notes per query; money stays in scaled-BIGINT until one final division.
+# ---------------------------------------------------------------------------
+_VOL_E4_SQL = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+               " * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)")
+
+
+def _vol_e4():
+    return (_cents(F.col("l_extendedprice"))
+            * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+
+
+@register("q8_market_share", sql=f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN {_VOL_E4_SQL}
+                     ELSE 0 END) AS BIGINT) AS nation_vol_e4,
+       CAST(SUM({_VOL_E4_SQL}) AS BIGINT) AS total_vol_e4,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN {_VOL_E4_SQL}
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM({_VOL_E4_SQL}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY o_year""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share inside a region, by
+    year.  Scale: lineitem|x|orders is the only big shuffle; customer/
+    supplier/nation/region are broadcast, and the ASIA filter prunes
+    the customer side BEFORE its join (region→nation→customer chain of
+    broadcasts).  Numerator and denominator aggregate as BIGINT in one
+    pass; the share is one long→double division."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_nk = (n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey"))
+    asia_cust = (cst.join(F.broadcast(asia_nk),
+                          F.col("c_nationkey") == F.col("n_nationkey"))
+                 .select("c_custkey"))
+    supp_nation = (sup.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation"))
+    vol = _vol_e4()
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)
+                       .otherwise(F.lit(0).cast("long"))).cast("long")
+    total_vol = F.sum(vol).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(nation_vol.alias("nation_vol_e4"),
+             total_vol.alias("total_vol_e4"),
+             (nation_vol.cast("double") / total_vol.cast("double"))
+             .alias("mkt_share"))
+    )
+
+
+@register("q9_product_profit", sql=f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_VOL_E4_SQL}) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp → revenue, not net profit): per
+    supplier-nation x year for parts matching a name fragment.  The
+    part filter broadcasts and semi-prunes lineitem FIRST — at 100 TB
+    the '%red%' dimension cut happens before the orders shuffle."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supp_nation = (sup.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(_vol_e4()).cast("long").alias("profit_e4"))
+    )
+
+
+@register("q10_returned_items", sql=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS c_acctbal_c,
+       CAST(SUM({_VOL_E4_SQL}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c_acctbal_c
+ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter.  The returnflag + date filters push to the scans; customer
+    and nation broadcast; ties break on c_custkey so the LIMIT is
+    deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    cst = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cst), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name",
+                 _cents(F.col("c_acctbal")).alias("c_acctbal_c"))
+        .agg(F.sum(_vol_e4()).cast("long").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register("q13_order_count_distribution", sql="""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(o.n, 0) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n FROM orders
+    WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+  ) o ON o.o_custkey = c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count""")
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers by how many (non-urgent) orders they
+    placed, INCLUDING zero — the outer-join-then-histogram pattern.
+    Scale: orders pre-aggregates to one row per customer BEFORE the
+    join (map-side-combinable), so the left join moves |customers| +
+    |customers-with-orders| rows, never raw orders."""
+    cst = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust_orders = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (
+        cst.join(per_cust_orders,
+                 F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                .alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+@register("q14_promo_revenue", sql=f"""
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_VOL_E4_SQL}
+                     ELSE 0 END) AS BIGINT) AS promo_e4,
+       CAST(SUM({_VOL_E4_SQL}) AS BIGINT) AS total_e4,
+       100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_VOL_E4_SQL}
+                             ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_VOL_E4_SQL}) AS DOUBLE) AS promo_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from promo parts.  Date
+    filter pushes to the lineitem scan; part broadcasts; the percent is
+    (100 * promo) / total as one double op pair on exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _vol_e4()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                  .otherwise(F.lit(0).cast("long"))).cast("long")
+    total = F.sum(vol).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(promo.alias("promo_e4"), total.alias("total_e4"),
+             (F.lit(100.0) * promo.cast("double") / total.cast("double"))
+             .alias("promo_pct"))
+    )
+
+
+@register("q15_top_supplier", sql="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_e4
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_e4 = (SELECT MAX(total_e4) FROM rev)""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the quarter's max revenue — the
+    correlated-scalar-max shape.  Revenue aggregates once per supplier
+    (map-side combinable); the max runs as an unpartitioned window over
+    that ALREADY-REDUCED |suppliers|-row table, not the raw lineitems,
+    then supplier broadcasts in."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_vol_e4()).cast("long").alias("total_e4"))
+    w = Window.partitionBy()
+    best = (rev.withColumn("mx", F.max("total_e4").over(w))
+            .filter(F.col("total_e4") == F.col("mx")))
+    return (
+        best.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
+@register("q18_large_orders", sql="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o_orderdate_s,
+         o_totalprice_c""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customers.  The HAVING subquery becomes a pre-aggregated
+    qualifying-keys frame LEFT-SEMI-joined into lineitem — quantities
+    aggregate once, qualifying keys shuffle once, customer broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
+               F.col("big_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cst), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_orderdate_s"),
+                _cents(F.col("o_totalprice")).alias("o_totalprice_c"),
+                F.col("sum_qty").cast("long").alias("sum_qty"))
+    )
+
+
+@register("q19_disjunctive_revenue", sql=f"""
+SELECT CAST(SUM({_VOL_E4_SQL}) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)""")
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under a 3-arm brand/size/quantity disjunction.
+    The part side pre-filters to the UNION of brand/size envelopes (a
+    pushable disjunction on one table) before broadcasting; the exact
+    cross-table arms apply after the join."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    p = load_table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)))
+    arm = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm)
+        .agg(F.sum(_vol_e4()).cast("long").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+@register("q22_idle_customers", sql="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS BIGINT) AS avg_c
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_c
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > (SELECT avg_c FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name""")
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (the testdata has no orderless customers), bucketed by
+    nation.  The average is one scaled-int SUM/COUNT division broadcast
+    as a scalar; recent orders prune to distinct custkeys before the
+    anti-join, so the anti side shuffles |recent customers| keys, not
+    |orders| rows."""
+    cst = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    avg_row = (cst.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(_cents(F.col("c_acctbal"))).cast("double")
+                     / F.count(F.lit(1))).alias("avg_c")))
+    recent = (o.filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey").distinct())
+    return (
+        cst.join(F.broadcast(avg_row))
+        .filter(_cents(F.col("c_acctbal")) > F.col("avg_c"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+             F.sum(_cents(F.col("c_acctbal"))).cast("long")
+             .alias("totacctbal_c"))
+    )
