@@ -1129,3 +1129,51 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(_cents(F.col("c_acctbal"))).cast("long")
              .alias("totacctbal_c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed interval join: views inside each purchase's trailing 6-hour
+# attribution window.  Spark lacks a range-join strategy (an
+# inequality join nests loops); operators/interval.py buckets time so
+# the match runs as ONE hash equi-join on (user, bucket) — the shape
+# that survives hot users and 100x data.  Oracle: plain inequality
+# join (DuckDB handles the small fixture fine).
+# ---------------------------------------------------------------------------
+ATTRIBUTION_WINDOW_US = 21_600_000_000  # 6 hours (synthetic event density)
+
+
+@register("purchase_view_windows", sql=f"""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+p AS (SELECT user_id, event_id AS purchase_id,
+             ts_us - {ATTRIBUTION_WINDOW_US} AS lo_us, ts_us AS hi_us
+      FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id AS view_id, ts_us FROM e
+      WHERE event_type = 'view')
+SELECT p.purchase_id, p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(MIN(v.ts_us) AS BIGINT) AS first_view_us,
+       CAST(MAX(v.ts_us) AS BIGINT) AS last_view_us
+FROM p JOIN v ON v.user_id = p.user_id
+              AND v.ts_us >= p.lo_us AND v.ts_us <= p.hi_us
+GROUP BY p.purchase_id, p.user_id""")
+def purchase_view_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        (F.col("ts_us") - ATTRIBUTION_WINDOW_US).alias("lo_us"),
+        F.col("ts_us").alias("hi_us"))
+    pairs = interval_join(
+        views, purchases, point_ts="ts_us", lo="lo_us", hi="hi_us",
+        on="user_id", bucket_width=ATTRIBUTION_WINDOW_US)
+    return (
+        pairs.groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_views"),
+             F.min("ts_us").cast("long").alias("first_view_us"),
+             F.max("ts_us").cast("long").alias("last_view_us"))
+    )

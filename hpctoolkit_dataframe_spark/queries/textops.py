@@ -537,3 +537,68 @@ def with_simhash16(df: DataFrame, text_col: str = "text",
             .otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return df2.withColumn(out, simhash.cast("long")).drop("__vs")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary heavy-hitters: global token document frequency, top-k.
+# The 100 TB shape: tokens dedupe PER ROW (array_distinct, narrow)
+# before the explode, so the one shuffle carries |distinct tokens per
+# doc| rows with map-side partial counts; the top-k is TakeOrdered
+# (per-partition heaps + driver merge), never a full sort.
+# ---------------------------------------------------------------------------
+VOCAB_TOP_K = 100
+
+
+@register("token_df_vocab", sql=f"""
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS t
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY t
+ORDER BY df DESC, token
+LIMIT {VOCAB_TOP_K}""")
+def token_df_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return (
+        docs.select(F.explode(F.array_distinct(_tokens())).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition ratio: 1 - distinct/total bigrams — the
+# boilerplate/spam quality signal.  Pure per-row array math, no shuffle.
+# ---------------------------------------------------------------------------
+@register("repetition_ratio", sql=f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len({_TOKENS_SQL}) - 1, 1) + 1),
+           j -> array_to_string(list_slice({_TOKENS_SQL}, j, j + 1), ' '))
+           AS bigrams
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+           / CAST(len(bigrams) AS DOUBLE) AS rep_ratio
+FROM b""")
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = _tokens()
+    n = F.greatest(F.size(toks) - 1, F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.array_join(F.slice(toks, j, 2), " "))
+    b = docs.select("doc_id", bigrams.alias("bigrams"))
+    return b.select(
+        "doc_id",
+        F.size("bigrams").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).cast("long").alias("n_distinct"),
+        (F.lit(1.0) - F.size(F.array_distinct("bigrams")).cast("double")
+         / F.size("bigrams").cast("double")).alias("rep_ratio"))

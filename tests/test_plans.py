@@ -149,6 +149,18 @@ def test_q7_nation_filter_pushed_to_scan(spark):
     assert "NATION_9" in pushed and "NATION_10" in pushed, pushed
 
 
+def test_interval_join_is_hash_equi_join(spark):
+    """The bucketed interval join must execute as a hash EQUI-join on
+    (key, bucket) with the range predicate as a post-filter — never a
+    BroadcastNestedLoop/cartesian, which is what a bare inequality join
+    degenerates to."""
+    df = REGISTRY["purchase_view_windows"].fn(spark, SF_DIR)
+    s = explain.join_strategies(df)
+    assert s["broadcast_nested_loop"] == 0 and s["cartesian"] == 0
+    assert s["broadcast_hash"] + s["shuffled_hash"] + s["sort_merge"] >= 1
+    assert explain.python_udf_count(df) == 0
+
+
 def test_q4_semi_join(spark):
     df = REGISTRY["q4_order_priority"].fn(spark, SF_DIR)
     plan = explain.executed_plan(df)
