@@ -1,0 +1,72 @@
+"""Near-duplicate CLUSTERING: transitive closure over LSH candidate
+pairs, one canonical document per component.
+
+The pair queries (``minhash_lsh_pairs`` etc.) stop at A~B edges; a real
+dedup pass needs components — if A~B and B~C, exactly one of {A,B,C}
+survives.  ``operators/graph.py`` supplies distributed connected
+components (alternating large-star/small-star, O(log^2 n) rounds); this
+module wires it to the documents table and oracles it against a DuckDB
+recursive-CTE reachability closure — the labeling (component minimum) is
+deterministic in both engines, so the comparison is hash-exact.
+
+Reference parity note: mbdevpl/hpctoolkit_dataframe has no dedup or
+graph surface at all; this is part of the LLM-data-pipeline extension
+(SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.graph import connected_components
+from . import REGISTRY, load_table, register
+
+# the oracle reuses the full minhash->band->cap->self-join pipeline SQL
+# registered by textops so the two can never drift
+_PAIRS_SQL = REGISTRY["minhash_lsh_pairs"].sql
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+r(n, root) AS (
+  SELECT s, s FROM e GROUP BY s
+  UNION
+  SELECT e.d, r.root FROM r JOIN e ON e.s = r.n
+),
+lab AS (SELECT n AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+        FROM r GROUP BY n),
+full_lab AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+FROM full_lab
+"""
+
+
+@register("dedup_clusters", sql=_CLUSTERS_SQL, doc="""
+Every document labeled with its near-dup cluster (component minimum of
+the minhash-LSH pair graph), the cluster's size, and a keep/drop flag
+(canonical = the minimum doc_id).  Scale shape: the pair pipeline is
+hot-bucket-capped (textops BAND_DF_CAP), the component step is
+O(log^2 n) rounds of hash joins on a shrinking edge set, and the final
+labeling is one left join + one window over documents — no step holds a
+component in memory or on the driver.""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = (docs.join(labels, docs.doc_id == labels.node, "left")
+           .select(docs.doc_id,
+                   F.coalesce(labels.component, docs.doc_id)
+                   .alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        .alias("is_canonical"))
