@@ -1,0 +1,202 @@
+"""Training-data curation queries: deterministic stratified sampling,
+global-percentile quality filtering, inverted-index posting lists, and
+per-document top terms.
+
+These extend the LLM-pipeline suite (SURVEY.md §6) beyond dedup and
+similarity: the selection/curation steps that decide WHICH documents
+(and which vocabulary) feed a training run.  All hashing goes through
+the shared md5-prefix primitive (`hash8_sql`) so sampling is
+reproducible across engines; scoring stays in exact integer/rational
+arithmetic — no libm transcendentals — because cross-engine `ln` can
+differ by 1 ULP (same hazard class as the JIT-bistable `Math.pow`
+documented in CLAUDE.md), which would poison both value hashes and
+top-k tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import hash8_sql, load_table, register
+
+SAMPLE_PER_GROUP = 3
+_DOC_HASH_SQL = hash8_sql("CAST(doc_id AS VARCHAR)")
+
+
+def _doc_hash():
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# stratified sample: k docs per (lang, source) stratum, chosen by a
+# content-independent hash so the sample is stable under reruns and
+# insert order.  One shuffle (the window partition); each stratum's
+# state is a k-row heap, never the stratum itself — at 100 TB the same
+# plan holds as long as no single stratum's ROW COUNT overwhelms a
+# partition, and strata here are bounded-cardinality metadata pairs.
+# ---------------------------------------------------------------------------
+@register("stratified_sample", sql=f"""
+WITH h AS (
+  SELECT doc_id, lang, source, {_DOC_HASH_SQL} AS hkey FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                 ORDER BY hkey, doc_id) AS BIGINT) AS rk
+  FROM h
+)
+SELECT doc_id, lang, source, rk FROM r WHERE rk <= {SAMPLE_PER_GROUP}""")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(_doc_hash(), F.col("doc_id")))
+    return (docs
+            .select("doc_id", "lang", "source",
+                    F.row_number().over(w).cast("long").alias("rk"))
+            .filter(F.col("rk") <= SAMPLE_PER_GROUP))
+
+
+# ---------------------------------------------------------------------------
+# global-percentile quality gate: keep documents whose chars-per-token
+# density clears the corpus P90.  The score is a scaled-BIGINT ratio
+# (exact in both engines); the threshold is one exact percentile over
+# those integers (interpolation is bit-identical, cf. price_quantiles).
+# Two-pass shape: pass 1 is a single scalar aggregate (percentile
+# buffer), pass 2 a scan-side filter against the broadcast scalar — at
+# 100 TB swap the exact percentile for approx_percentile and keep the
+# identical plan.
+# ---------------------------------------------------------------------------
+@register("quality_top_decile", sql="""
+WITH s AS (
+  SELECT doc_id,
+         (length(text) * 1000) // len(string_split_regex(text, '\\s+'))
+           AS density_milli
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT quantile_cont(density_milli, 0.9) AS thr FROM s)
+SELECT s.doc_id, CAST(s.density_milli AS BIGINT) AS density_milli
+FROM s, t WHERE s.density_milli >= t.thr""")
+def quality_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = F.split(F.col("text"), r"\s+")
+    s = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_toks"),
+    ).select(
+        "doc_id",
+        # `div` = integer division, the twin of DuckDB's `//` (both
+        # positive here, so floor == truncate)
+        F.expr("n_chars * 1000 div n_toks").alias("density_milli"))
+    # scalar threshold via a 1-row cross join: Catalyst broadcasts it,
+    # so pass 2 stays a map-side filter over the scan
+    thr = s.agg(F.percentile("density_milli", F.lit(0.9)).alias("thr"))
+    return (s.crossJoin(F.broadcast(thr))
+            .filter(F.col("density_milli") >= F.col("thr"))
+            .select("doc_id", F.col("density_milli").cast("long")
+                    .alias("density_milli")))
+
+
+# ---------------------------------------------------------------------------
+# inverted index: token -> document frequency + a bounded posting
+# sample.  The scale trap is collect_list over an unbounded group (a
+# stopword's postings = the whole corpus); rank-prune INSIDE the window
+# shuffle first, so the collected list is provably <= POSTING_CAP rows
+# and df still counts everything.  Window count + row_number share one
+# (token)-hash exchange; the final groupBy reuses it (AQE) or is a
+# second small shuffle over <= cap rows per token.
+# ---------------------------------------------------------------------------
+POSTING_CAP = 8
+
+
+@register("posting_lists", sql=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+')))
+           AS token
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT token, doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+  FROM tok
+)
+SELECT token, df,
+       array_to_string(list_sort(list(doc_id)), '/') AS postings
+FROM r WHERE rk <= {POSTING_CAP}
+GROUP BY token, df""")
+def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = F.split(F.col("text"), r"\s+")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+    w = Window.partitionBy("token")
+    r = tok.select(
+        "token", "doc_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("df"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rk"))
+    return (r.filter(F.col("rk") <= POSTING_CAP)
+            .groupBy("token", "df")
+            .agg(F.array_join(F.sort_array(F.collect_list("doc_id")), "/")
+                 .alias("postings")))
+
+
+# ---------------------------------------------------------------------------
+# per-document top terms by tf/df (exact-rational tf-idf surrogate:
+# monotone in term frequency and rarity, free of the cross-engine ln
+# drift a log-idf would introduce — see module docstring).  Shuffles:
+# (doc_id, token) groupBy, then a token window for df, then a doc_id
+# window for the top-k; each is a plain hash exchange, state bounded by
+# per-doc vocabulary.
+# ---------------------------------------------------------------------------
+TOP_TERMS_K = 3
+
+
+@register("top_terms_per_doc", sql=f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tf GROUP BY doc_id, token
+),
+scored AS (
+  SELECT doc_id, token, tf,
+         CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df
+  FROM counts
+),
+ranked AS (
+  SELECT doc_id, token, tf, df,
+         CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, token
+         ) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rk
+FROM ranked WHERE rk <= {TOP_TERMS_K}""")
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    toks = F.split(F.col("text"), r"\s+")
+    counts = (docs.select("doc_id", F.explode(toks).alias("token"))
+              .groupBy("doc_id", "token")
+              .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    scored = counts.select(
+        "doc_id", "token", "tf",
+        F.count(F.lit(1)).over(Window.partitionBy("token"))
+        .cast("long").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df").cast("double")
+    ranked = scored.select(
+        "doc_id", "token", "tf", "df", score.alias("score"),
+        F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(score.desc(), F.col("token"))).cast("long").alias("rk"))
+    return ranked.filter(F.col("rk") <= TOP_TERMS_K)

@@ -1,0 +1,47 @@
+"""Curation-query invariants beyond the DuckDB oracle: determinism,
+per-group caps, and posting-list bounds."""
+
+from collections import Counter
+
+from hpctoolkit_dataframe_spark.queries import REGISTRY
+from hpctoolkit_dataframe_spark.queries.pipeline import (
+    POSTING_CAP, SAMPLE_PER_GROUP, TOP_TERMS_K)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    fn = REGISTRY["stratified_sample"].fn
+    rows = fn(spark, SF_DIR).collect()
+    per_group = Counter((r["lang"], r["source"]) for r in rows)
+    assert max(per_group.values()) <= SAMPLE_PER_GROUP
+    again = {(r["doc_id"], r["rk"]) for r in fn(spark, SF_DIR).collect()}
+    assert again == {(r["doc_id"], r["rk"]) for r in rows}
+
+
+def test_quality_top_decile_is_a_decile(spark):
+    rows = REGISTRY["quality_top_decile"].fn(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # >= 10% by definition of P90 (ties can only add rows)
+    assert n_docs // 10 <= len(rows) <= n_docs // 5
+    scores = [r["density_milli"] for r in rows]
+    assert min(scores) >= 1  # integer score, strictly positive
+
+
+def test_posting_lists_bounded_and_sorted(spark):
+    rows = REGISTRY["posting_lists"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings"].split("/")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["df"], POSTING_CAP)
+
+
+def test_top_terms_per_doc_k_rows_each(spark):
+    rows = REGISTRY["top_terms_per_doc"].fn(spark, SF_DIR).collect()
+    per_doc = Counter(r["doc_id"] for r in rows)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(per_doc) == n_docs
+    assert set(per_doc.values()) == {TOP_TERMS_K}
+    for r in rows:
+        assert r["score"] == r["tf"] / r["df"]
