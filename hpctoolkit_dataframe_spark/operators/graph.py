@@ -74,7 +74,30 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+def _driver_union_find(spark, rows, schema):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for hi, lo in rows:
+        ru, rv = find(hi), find(lo)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp_min: dict = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, r), x)
+    return spark.createDataFrame(
+        [(x, comp_min[find(x)]) for x in parent], schema)
+
+
+def connected_components(edges: DataFrame,
+                         small_input_rows: int = 100_000) -> DataFrame:
     """Label every node of an undirected edge list with its component's
     minimum node id.
 
@@ -88,9 +111,21 @@ def connected_components(edges: DataFrame) -> DataFrame:
     O(1) and each round's shuffle reads materialized rows rather than
     replaying the whole prior cascade (CLAUDE.md: cache() substitution
     is unreliable across self-join dedup; eager checkpoint is not).
+
+    Edge sets at or under ``small_input_rows`` take a driver-side
+    union-find instead (same labeling, bounded memory: 2 longs per
+    node): star-contraction's per-round scheduler overhead (~4 tiny
+    jobs/round) dwarfs sub-second graphs — the same bounded fast-path
+    trade ``load_experiments`` makes for small file sets.  Pass 0 to
+    force the distributed path (the property tests do).
     """
     cur = _canon(edges).localCheckpoint(eager=True)
     prev_fp = _fingerprint(cur)
+    out_schema = ("node " + cur.schema["hi"].dataType.simpleString()
+                  + ", component " + cur.schema["lo"].dataType.simpleString())
+    if prev_fp[0] <= small_input_rows:
+        rows = [(r["hi"], r["lo"]) for r in cur.collect()]
+        return _driver_union_find(edges.sparkSession, rows, out_schema)
     for _ in range(MAX_ROUNDS):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)

@@ -38,10 +38,12 @@ def _union_find(n_nodes, edges):
     return {x: comp_min[find(x)] for x in parent}
 
 
-def _run(spark, edges):
+def _run(spark, edges, small_input_rows=0):
+    # small_input_rows=0 forces the distributed star-contraction path
     df = spark.createDataFrame(edges, "u: long, v: long")
     got = {(r["node"], r["component"])
-           for r in connected_components(df).collect()}
+           for r in connected_components(
+               df, small_input_rows=small_input_rows).collect()}
     want = set(_union_find(0, edges).items())
     assert got == want
 
@@ -75,6 +77,13 @@ def test_two_cliques_bridge(spark):
     a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
     _run(spark, a + b + [(4, 10)])
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(150)]
+    _run(spark, edges, small_input_rows=100_000)  # fast path
+    _run(spark, edges, small_input_rows=0)        # distributed
 
 
 @pytest.fixture(scope="module")
