@@ -156,6 +156,32 @@ def main() -> None:
               f"{n_dup:,} identical: {rows:,} pairs in "
               f"{time.time()-t0:.1f}s (hot bucket capped)")
 
+    # 6) Connected components, distributed path, adversarial mix:
+    #    2M edges = one 500k-node CHAIN (diameter 500k — the case plain
+    #    label propagation cannot finish) + 150k five-node cliques.
+    #    Star-contraction must converge in O(log^2 n) rounds with the
+    #    edge set shrinking every round.
+    from hpctoolkit_dataframe_spark.operators.graph import (
+        connected_components,
+    )
+
+    n_chain, n_cliq = 500_000 * scale, 150_000 * scale
+    chain = spark.range(n_chain - 1, numPartitions=par).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    base = 10_000_000
+    cliq = spark.range(n_cliq, numPartitions=par).select(
+        (base + F.col("id") * 5).alias("s"),
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("o")).select(
+        F.col("s").alias("u"), (F.col("s") + F.col("o")).alias("v"))
+    t0 = time.time()
+    labels = connected_components(chain.unionAll(cliq),
+                                  small_input_rows=0)
+    comps = labels.select("component").distinct().count()
+    assert comps == 1 + n_cliq, comps
+    print(f"connected_components {n_chain + 4 * n_cliq:,} edges "
+          f"(500k-diameter chain + {n_cliq:,} cliques): "
+          f"{comps:,} components in {time.time()-t0:.1f}s")
+
 
 if __name__ == "__main__":
     main()
