@@ -177,3 +177,34 @@ def test_load_table_spread(spark):
     # single-row-group testdata: the plain scan cannot parallelize
     assert plain.rdd.getNumPartitions() < par // 2
     assert spread.rdd.getNumPartitions() >= par // 2
+
+
+def test_stratified_sample_single_shuffle_topk(spark):
+    df = REGISTRY["stratified_sample"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    # ONE stratum shuffle, and Spark's WindowGroupLimit must prune to
+    # k rows per stratum map-side (Partial) before that shuffle — the
+    # property that keeps the sample's shuffle O(strata * k), not O(n)
+    assert explain.exchange_count(df) == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert explain.python_udf_count(df) == 0
+
+
+def test_posting_lists_single_token_exchange(spark):
+    df = REGISTRY["posting_lists"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    # df-count window, rank prune, and the collect groupBy all reuse
+    # ONE (token) hash exchange; the rank prune (WindowGroupLimit) must
+    # sit ABOVE the count window so df still counts every posting
+    assert explain.exchange_count(df) == 1
+    assert plan.index("WindowGroupLimit") < plan.index(
+        "count(1) windowspecdefinition")  # printed top-down: limit above count
+    assert explain.python_udf_count(df) == 0
+
+
+def test_quality_top_decile_broadcast_threshold(spark):
+    df = REGISTRY["quality_top_decile"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    # the P90 scalar must broadcast; pass 2 stays a map-side filter
+    assert "BroadcastNestedLoopJoin" in plan
+    assert explain.join_strategies(df)["cartesian"] == 0
