@@ -200,3 +200,68 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id")
             .orderBy(score.desc(), F.col("token"))).cast("long").alias("rk"))
     return ranked.filter(F.col("rk") <= TOP_TERMS_K)
+
+
+# ---------------------------------------------------------------------------
+# the end-to-end curation manifest: which documents feed the training
+# run.  Composes three registered stages — near-dup clustering
+# (canonical member only), the P90 quality gate, embedding coverage —
+# and assigns a deterministic shard.  The oracle SQL REUSES the
+# registered SQL of both upstream queries as CTEs, so the composition
+# cannot drift from its parts.  Scale shape: every stage is a key join
+# on doc_id (the natural partitioning); the flags are left joins, the
+# shard a stateless hash — nothing here adds a new shuffle class.
+# ---------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+def _manifest_sql() -> str:
+    from . import REGISTRY
+
+    clusters = REGISTRY["dedup_clusters"].sql
+    quality = REGISTRY["quality_top_decile"].sql
+    return f"""
+WITH clus AS ({clusters}),
+q AS ({quality}),
+emb AS (SELECT DISTINCT vec_id FROM embeddings)
+SELECT c.doc_id,
+       c.cluster_size,
+       CAST(CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS quality_pass,
+       CAST(CASE WHEN emb.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS has_embedding,
+       CAST({hash8_sql("CAST(c.doc_id AS VARCHAR)")} % {N_SHARDS}
+            AS INTEGER) AS shard
+FROM clus c
+LEFT JOIN q ON q.doc_id = c.doc_id
+LEFT JOIN emb ON emb.vec_id = c.doc_id
+WHERE c.is_canonical = 1"""
+
+
+@register("training_shard_manifest", sql=_manifest_sql(), doc="""
+One row per canonical (near-dup-surviving) document: its cluster size,
+whether it clears the corpus-P90 quality gate, whether an embedding
+exists for it, and its hash shard — the manifest a 100 TB training
+pipeline hands to the data loader.""")
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import REGISTRY
+
+    canon = (REGISTRY["dedup_clusters"].fn(spark, sf_dir)
+             .filter(F.col("is_canonical") == 1)
+             .select("doc_id", "cluster_size"))
+    quality = (REGISTRY["quality_top_decile"].fn(spark, sf_dir)
+               .select("doc_id", F.lit(1).alias("qp")))
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id").distinct())
+    return (canon
+            .join(quality, "doc_id", "left")
+            .join(emb, canon.doc_id == emb.vec_id, "left")
+            .select(
+                "doc_id", "cluster_size",
+                F.coalesce(F.col("qp"), F.lit(0)).cast("int")
+                .alias("quality_pass"),
+                F.when(F.col("vec_id").isNull(), 0).otherwise(1)
+                .cast("int").alias("has_embedding"),
+                (F.conv(F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                 .cast("long") % N_SHARDS).cast("int").alias("shard")))

@@ -45,3 +45,16 @@ def test_top_terms_per_doc_k_rows_each(spark):
     assert set(per_doc.values()) == {TOP_TERMS_K}
     for r in rows:
         assert r["score"] == r["tf"] / r["df"]
+
+
+def test_training_shard_manifest_invariants(spark):
+    from hpctoolkit_dataframe_spark.queries.pipeline import N_SHARDS
+
+    rows = REGISTRY["training_shard_manifest"].fn(spark, SF_DIR).collect()
+    clusters = REGISTRY["dedup_clusters"].fn(spark, SF_DIR).collect()
+    canonical = {r["doc_id"] for r in clusters if r["is_canonical"] == 1}
+    assert {r["doc_id"] for r in rows} == canonical
+    assert all(0 <= r["shard"] < N_SHARDS for r in rows)
+    assert all(r["quality_pass"] in (0, 1) for r in rows)
+    # every shard populated (474 docs over 8 hash shards)
+    assert len({r["shard"] for r in rows}) == N_SHARDS
