@@ -588,7 +588,10 @@ SELECT doc_id,
            / CAST(len(bigrams) AS DOUBLE) AS rep_ratio
 FROM b""")
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread: the bigram transform + two list_distinct passes are
+    # CPU-heavy per-row work fused into an unsplittable one-row-group
+    # scan (CLAUDE.md) — repartition first so all cores participate
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
     toks = _tokens()
     n = F.greatest(F.size(toks) - 1, F.lit(1))
