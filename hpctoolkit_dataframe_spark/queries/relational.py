@@ -1177,3 +1177,36 @@ def purchase_view_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("ts_us").cast("long").alias("first_view_us"),
              F.max("ts_us").cast("long").alias("last_view_us"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2-style effective ranges: each event's value is "current" until
+# the user's next event (lead window).  The dimension-history builder a
+# warehouse derives from a CDC stream — one (user) shuffle, no joins;
+# the open-ended current row keeps a NULL valid_to on both engines.
+# ---------------------------------------------------------------------------
+@register("user_value_history", sql="""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT user_id, event_id, valid_from_us,
+       CAST(LEAD(valid_from_us) OVER (
+              PARTITION BY user_id
+              ORDER BY valid_from_us, event_id) - 1 AS BIGINT)
+         AS valid_to_us,
+       value_cents
+FROM e""")
+def user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("ts div 1000").alias("valid_from_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    return ev.select(
+        "user_id", "event_id", "valid_from_us",
+        (F.lead("valid_from_us").over(w) - 1).cast("long")
+        .alias("valid_to_us"),
+        "value_cents")
