@@ -322,3 +322,19 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     q.awaitTermination(120)
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+# ---------------------------------------------------------------------------
+# streaming vocabulary document-frequency: incremental twin of the batch
+# token_df_vocab query (queries/textops.py).  Same narrow per-row
+# array_distinct-before-explode shape; the aggregation state is ONE long
+# per distinct token (update-mode incremental count), so a 100 TB stream
+# carries vocabulary-sized state, not corpus-sized.  Top-k is the
+# reader's cheap final step over the complete-mode sink.
+# ---------------------------------------------------------------------------
+def streaming_token_df(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), r"\s+")
+    return (docs.filter(F.col("text").isNotNull())
+            .select(F.explode(F.array_distinct(toks)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("df")))

@@ -329,3 +329,45 @@ def test_streaming_simhash_near_dup_cross_batch_state(spark, tmp_path):
                 # first arrival was a reference -> the re-arrival can
                 # only have matched the doc's own state entry
                 assert flagged == [doc_id], (doc_id, band, dups)
+
+
+def test_streaming_token_df_accumulates_to_batch(spark, tmp_path):
+    """Two disjoint micro-batches of documents must accumulate to
+    exactly the batch document-frequency map, and the top-k read off the
+    complete-mode sink must equal token_df_vocab (same tie-break)."""
+    import os
+
+    from hpctoolkit_dataframe_spark.queries.textops import VOCAB_TOP_K
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    first = docs.orderBy("doc_id").limit(n // 2)
+    second = docs.orderBy("doc_id").subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b0"))
+    second.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, src in enumerate(("b0", "b1")):
+        part = next((tmp_path / src).glob("*.parquet"))
+        dst = stream_dir / f"batch{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stream_dir)))
+    got = se.run_available_now(se.streaming_token_df(stream), "tokdf_t",
+                               output_mode="complete")
+    got_map = {r["token"]: r["df"] for r in got}
+
+    batch_full = {r["token"]: r["df"] for r in (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.array_distinct(F.split("text", r"\s+")))
+                .alias("token"))
+        .groupBy("token").count()
+        .withColumnRenamed("count", "df").collect())}
+    assert got_map == batch_full
+
+    topk = sorted(got, key=lambda r: (-r["df"], r["token"]))[:VOCAB_TOP_K]
+    want = REGISTRY["token_df_vocab"].fn(spark, SF_DIR).collect()
+    assert [(r["token"], r["df"]) for r in topk] == \
+        [(r["token"], r["df"]) for r in want]
