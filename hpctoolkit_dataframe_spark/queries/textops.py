@@ -197,6 +197,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash LSH candidate pairs: band the signature, self-join on band key
 # ---------------------------------------------------------------------------
+_KEYS_CACHE: dict = {}
+
 _BAND_SQL = ", ".join(
     f"md5(mh{2*b} || mh{2*b+1}) AS band{b}" for b in range(N_BANDS))
 
@@ -224,17 +226,24 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM pruned a JOIN pruned b
   ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id""")
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
-    # posexplode instead of a 4-way union so the signature computation
-    # runs once, not once per band branch
-    keys = sig.select(
-        "doc_id",
-        F.posexplode(F.array(
-            *[F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
-              for b in range(N_BANDS)])).alias("band_idx", "key"))
-    # materialize: the whole shingle->minhash->band pipeline would
-    # otherwise run once per self-join side
-    keys = keys.localCheckpoint(eager=True)
+    # the checkpointed band-key table is memoized per (session, sf_dir)
+    # like build_cct: dedup_clusters and training_shard_manifest re-run
+    # this pipeline, and the materialized keys are the shared prefix
+    cache_key = (id(spark), sf_dir)
+    keys = _KEYS_CACHE.get(cache_key)
+    if keys is None:
+        sig = minhash_signatures(spark, sf_dir)
+        # posexplode instead of a 4-way union so the signature
+        # computation runs once, not once per band branch
+        keys = sig.select(
+            "doc_id",
+            F.posexplode(F.array(
+                *[F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+                  for b in range(N_BANDS)])).alias("band_idx", "key"))
+        # materialize: the whole shingle->minhash->band pipeline would
+        # otherwise run once per self-join side
+        keys = keys.localCheckpoint(eager=True)
+        _KEYS_CACHE[cache_key] = keys
     # Exclude hot band keys BEFORE the self-join (same failure class as
     # the shingle DF cap one layer down): degenerate content collapses
     # to identical signatures, and one 10^6-member band key would emit
