@@ -70,3 +70,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int")
         .alias("is_canonical"))
+
+
+# ---------------------------------------------------------------------------
+# same clustering operator, embedding-space edges: cosine near-dup pairs
+# from the hyperplane-LSH query become components — proving
+# connected_components is source-agnostic (text LSH above, vector LSH
+# here).  Only vectors appearing in some pair are emitted (the
+# embedding table has no "all rows" identity need — callers union
+# singletons if they want full coverage, cf. dedup_clusters).
+# ---------------------------------------------------------------------------
+_VEC_PAIRS_SQL = REGISTRY["lsh_near_dup_pairs"].sql
+
+# CTE names must not collide with the embedded pairs SQL's own CTEs
+# (it defines `e`); DuckDB resolves the inner reference against the
+# OUTER name otherwise.
+_VEC_CLUSTERS_SQL = f"""
+WITH RECURSIVE vpairs AS ({_VEC_PAIRS_SQL}),
+vedges AS (SELECT vec_a AS s, vec_b AS d FROM vpairs
+           UNION ALL SELECT vec_b AS s, vec_a AS d FROM vpairs),
+vreach(n, root) AS (
+  SELECT s, s FROM vedges GROUP BY s
+  UNION
+  SELECT vedges.d, vreach.root FROM vreach
+  JOIN vedges ON vedges.s = vreach.n
+)
+SELECT n AS vec_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+FROM vreach GROUP BY n
+"""
+
+
+@register("embedding_dup_clusters", sql=_VEC_CLUSTERS_SQL, doc="""
+Connected components over the hyperplane-LSH cosine near-dup pair
+graph: every vector that near-duplicates another, labeled with its
+component minimum.""")
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY["lsh_near_dup_pairs"].fn(spark, sf_dir)
+    labels = connected_components(pairs.select("vec_a", "vec_b"))
+    return labels.select(F.col("node").alias("vec_id"),
+                         F.col("component").alias("cluster_id"))

@@ -22,8 +22,13 @@ def _no_broadcast(spark):
     try:
         yield
     finally:
+        # restore EXACT prior state: a key that was unset must be unset
+        # again (leaving adaptive.autoBroadcastJoinThreshold=-1 would
+        # disable AQE broadcasts for every later test in the session)
         for k, v in old.items():
-            if v is not None:
+            if v is None:
+                spark.conf.unset(k)
+            else:
                 spark.conf.set(k, v)
 
 

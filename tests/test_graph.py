@@ -113,3 +113,19 @@ def test_dedup_clusters_consistent_with_pairs(spark, clusters):
     pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, SF_DIR).collect()
     for p in pairs:
         assert label[p["doc_a"]] == label[p["doc_b"]]
+
+
+def test_embedding_dup_clusters_consistent_with_pairs(spark):
+    labels = {r["vec_id"]: r["cluster_id"]
+              for r in REGISTRY["embedding_dup_clusters"]
+              .fn(spark, SF_DIR).collect()}
+    pairs = REGISTRY["lsh_near_dup_pairs"].fn(spark, SF_DIR).collect()
+    assert labels  # the fixture data does contain near-dups
+    for p in pairs:
+        assert labels[p["vec_a"]] == labels[p["vec_b"]]
+    # every label is the minimum of its member set
+    members = {}
+    for v, c in labels.items():
+        members.setdefault(c, []).append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
