@@ -474,3 +474,80 @@ def cct_hot_path_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["cct_hot_path_batch"].sql = _REGISTRY["cct_hot_path"].sql
+
+
+# ---------------------------------------------------------------------------
+# hot REGIONS: connected components of the CONCENTRATION subgraph.
+# hot_path (reference O3) returns one greedy chain; this finds EVERY
+# maximal connected run of concentration — nodes holding >= half their
+# parent's cost (and >= 0.01% of total, to bound the output) — via
+# operators/graph.py.  Inclusive cost itself is monotone down the tree,
+# so thresholding raw value would always yield ONE root-anchored
+# component; the ratio-of-parent criterion (reference A3's metric) is
+# non-monotone and produces genuinely disjoint regions.  All-integer
+# hotness tests (value*2 >= parent_value, value*10000 >= total) keep
+# the oracle comparison float-free.
+# ---------------------------------------------------------------------------
+@register("cct_hot_regions", sql=f"""WITH RECURSIVE {CCT_CTES},
+hot AS (
+  SELECT c.id, c.parent_id, c.value FROM cct c
+  JOIN cct p ON c.parent_id = p.id
+  WHERE c.value * 2 >= p.value
+    AND c.value * 10000 >= (SELECT value FROM cct WHERE depth = 0)
+),
+hedges AS (
+  SELECT c.id AS s, c.parent_id AS d FROM hot c
+  JOIN hot p ON p.id = c.parent_id
+),
+hboth AS (SELECT s, d FROM hedges UNION ALL SELECT d, s FROM hedges),
+hreach(n, root) AS (
+  SELECT s, s FROM hboth GROUP BY s
+  UNION
+  SELECT hboth.d, hreach.root FROM hreach
+  JOIN hboth ON hboth.s = hreach.n
+),
+hlab AS (SELECT n AS id, CAST(MIN(root) AS BIGINT) AS region_id
+         FROM hreach GROUP BY n),
+labeled AS (
+  SELECT h.id, COALESCE(l.region_id, h.id) AS region_id, h.value
+  FROM hot h LEFT JOIN hlab l ON l.id = h.id)
+SELECT id, region_id,
+       CAST(COUNT(*) OVER (PARTITION BY region_id) AS BIGINT)
+         AS region_size,
+       CAST(SUM(value) OVER (PARTITION BY region_id) AS BIGINT)
+         AS region_value
+FROM labeled""",
+          doc="all maximal concentration runs, not just the greedy chain")
+def cct_hot_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import connected_components
+
+    cct = build_cct(spark, sf_dir)
+    total = cct.filter(F.col("depth") == 0).select(
+        F.col("value").alias("total"))
+    child = cct.alias("c")
+    par = cct.alias("p")
+    hot = (child.join(par, F.col("c.parent_id") == F.col("p.id"))
+           .crossJoin(F.broadcast(total))
+           .filter((F.col("c.value") * 2 >= F.col("p.value"))
+                   & (F.col("c.value") * 10000 >= F.col("total")))
+           .select(F.col("c.id").alias("id"),
+                   F.col("c.parent_id").alias("parent_id"),
+                   F.col("c.value").alias("value")))
+    hc = hot.alias("hc")
+    hp = hot.alias("hp")
+    edges = (hc.join(hp, F.col("hc.parent_id") == F.col("hp.id"))
+             .select(F.col("hc.id").alias("s"),
+                     F.col("hc.parent_id").alias("d")))
+    labels = connected_components(edges)
+    w = Window.partitionBy("region_id")
+    return (hot.join(labels, hot.id == labels.node, "left")
+            .select(hot.id,
+                    F.coalesce(labels.component, hot.id).alias("region_id"),
+                    "value")
+            .select("id", "region_id",
+                    F.count(F.lit(1)).over(w).cast("long")
+                    .alias("region_size"),
+                    F.sum("value").over(w).cast("long")
+                    .alias("region_value")))

@@ -115,6 +115,37 @@ def test_dedup_clusters_consistent_with_pairs(spark, clusters):
         assert label[p["doc_a"]] == label[p["doc_b"]]
 
 
+def test_cct_hot_regions_disjoint_connected(spark):
+    """cct_hot_regions must produce MULTIPLE regions (the ratio-of-parent
+    criterion is non-monotone — a raw-value threshold would always give
+    one root-anchored component), each labeled by its minimum member id,
+    internally connected through parent edges, and with consistent
+    size/value aggregates."""
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+
+    out = REGISTRY["cct_hot_regions"].fn(spark, SF_DIR).collect()
+    assert out
+    by_region = {}
+    for r in out:
+        by_region.setdefault(r["region_id"], []).append(r)
+    assert len(by_region) >= 2  # genuinely disjoint regions
+
+    cct = {r["id"]: r for r in
+           build_cct(spark, SF_DIR).select("id", "parent_id", "value")
+           .collect()}
+    for rid, rows in by_region.items():
+        ids = {r["id"] for r in rows}
+        assert rid == min(ids)
+        assert all(r["region_size"] == len(rows) for r in rows)
+        assert all(r["region_value"] == sum(cct[i]["value"] for i in ids)
+                   for r in rows)
+        # internally connected under parent edges restricted to members
+        labels = _union_find(0, [(i, cct[i]["parent_id"]) for i in ids
+                                 if cct[i]["parent_id"] in ids])
+        roots = {labels.get(i, i) for i in ids}
+        assert len(roots) == 1, (rid, sorted(ids))
+
+
 def test_embedding_dup_clusters_consistent_with_pairs(spark):
     labels = {r["vec_id"]: r["cluster_id"]
               for r in REGISTRY["embedding_dup_clusters"]
