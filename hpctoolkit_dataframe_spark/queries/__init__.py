@@ -84,4 +84,4 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
 
 from . import cct_tpch, multimodal, relational, textops, vectors, xml_ingest  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401  (after textops: reuses its registered SQL)
-from . import pipeline, sketches  # noqa: E402,F401
+from . import pipeline, shaping, sketches  # noqa: E402,F401

@@ -1,0 +1,208 @@
+"""Corpus-shaping queries: chunking, sequence packing, decontamination.
+
+The last mile of a training-data pipeline (after dedup/curation decide
+WHICH documents survive): split long documents into overlapping
+fixed-size windows (`doc_chunks`), pack token streams into fixed-length
+training sequences (`pack_sequences`), and strip benchmark
+contamination via n-gram overlap against a held-out eval set
+(`decontaminate`).  No reference counterpart — the reference
+(hpctoolkit_dataframe.py) stops at analysis; these extend the engine
+per the task brief's LLM-pipeline requirements.
+
+Determinism follows queries/__init__.py rules: integer window sums
+(order-independent), integer div/mod on non-negatives (DuckDB ``//``
+floors, Spark ``div`` truncates — equal above zero), the shared
+md5-prefix hash for shard assignment, and at most one long->double
+division at the end of a query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import hash8_sql, load_table, register
+from .textops import _TOKENS_SQL, _tokens
+
+# chunking: window of CHUNK_CHARS every CHUNK_STRIDE chars (overlap =
+# CHUNK_CHARS - CHUNK_STRIDE).  The final window may be shorter —
+# substr clamps identically in both engines.
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 160
+
+# packing: concat-and-split at MAX_SEQ tokens; documents straddle
+# sequence boundaries exactly as pretraining packing does.  The shard
+# count is the parallelism knob: each shard's running sum is inherently
+# sequential (ONE task), so at 100 TB you raise N_PACK_SHARDS to
+# O(cluster cores) and every shard still packs independently.
+MAX_SEQ = 256
+N_PACK_SHARDS = 4
+
+# decontamination: a doc is an eval/benchmark doc if its id-hash lands
+# in 1/EVAL_MOD (content-independent split, stable under reruns).
+# NGRAM=8 tokens, the low end of the 8-13 range published pipelines use
+# (GPT-3 13-gram, Llama 8-gram): long enough that a hit means copied
+# text, not shared phrasing — textops' 3-token shingles flag 87% of
+# this corpus, 8-grams flag only genuine near-dups of eval docs.
+EVAL_MOD = 20
+NGRAM = 8
+
+_DOC_HASH_SQL = hash8_sql("CAST(doc_id AS VARCHAR)")
+
+
+def _doc_hash():
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks: overlapping fixed-size character windows.  Entirely
+# narrow — per-row sequence + substring, no shuffle anywhere; the
+# explode fan-out is bounded by ceil(len/stride).  At 100 TB this is a
+# pure map stage that pipelines into whatever consumes the chunks.
+# ---------------------------------------------------------------------------
+@register("doc_chunks", sql=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (greatest(length(text) - {CHUNK_CHARS}, 0)
+          + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS n_extra
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(1 + i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_CHARS}))
+            AS BIGINT) AS chunk_len,
+       md5(substr(text, 1 + i * {CHUNK_STRIDE}, {CHUNK_CHARS}))
+         AS chunk_digest
+FROM d, unnest(range(0, n_extra + 1)) AS t(i)""",
+          doc="overlapping fixed-size character windows per document")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    n_extra = F.expr(
+        f"(greatest(length(text) - {CHUNK_CHARS}, 0)"
+        f" + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}")
+    chunk = F.substring(
+        F.col("text"), F.lit(1) + F.col("i") * CHUNK_STRIDE, CHUNK_CHARS)
+    return (docs
+            .select("doc_id", "text",
+                    F.explode(F.sequence(F.lit(0), n_extra)).alias("i"))
+            .select("doc_id",
+                    F.col("i").cast("long").alias("chunk_idx"),
+                    (F.lit(1) + F.col("i") * CHUNK_STRIDE).cast("long")
+                    .alias("chunk_start"),
+                    F.length(chunk).cast("long").alias("chunk_len"),
+                    F.md5(chunk).alias("chunk_digest")))
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences: assign every document a (shard, seq_id, seq_offset)
+# in the concatenated fixed-length-sequence layout.  One shuffle (the
+# shard window partition); the running token sum is an exact BIGINT
+# window aggregate, so seq boundaries are engine-identical.
+# ---------------------------------------------------------------------------
+@register("pack_sequences", sql=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST({_DOC_HASH_SQL} % {N_PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       cum_before // {MAX_SEQ} AS seq_id,
+       cum_before % {MAX_SEQ} AS seq_offset
+FROM c""",
+          doc="concat-and-split packing of token streams into "
+              f"{MAX_SEQ}-token training sequences")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id",
+        (_doc_hash() % N_PACK_SHARDS).cast("int").alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.select(
+        "doc_id", "shard", "n_tokens",
+        (F.sum("n_tokens").over(w).cast("long") - F.col("n_tokens"))
+        .alias("cum_before"))
+    return c.select(
+        "doc_id", "shard", "n_tokens",
+        F.expr(f"cum_before div {MAX_SEQ}").alias("seq_id"),
+        (F.col("cum_before") % MAX_SEQ).alias("seq_offset"))
+
+
+# ---------------------------------------------------------------------------
+# decontaminate: flag training documents sharing any NGRAM-token
+# n-gram with the (hash-held-out) benchmark set.  Scale shape: real
+# eval sets are megabytes, so the benchmark n-gram set BROADCASTS —
+# the 100 TB training side is flagged map-side with no pre-join
+# shuffle, and only the (rare) matching rows reach the per-doc
+# aggregate.
+# ---------------------------------------------------------------------------
+_NGRAMS_SQL = f"""list_distinct(list_transform(
+  range(1, greatest(len({_TOKENS_SQL}) - {NGRAM - 1}, 1) + 1),
+  j -> array_to_string(list_slice({_TOKENS_SQL}, j, j + {NGRAM - 1}), ' ')))"""
+
+
+def _ngrams(tokens):
+    """Distinct NGRAM-token n-grams, computed per-row (no explode)."""
+    n = F.greatest(F.size(tokens) - (NGRAM - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda j: F.array_join(F.slice(tokens, j, NGRAM), " ")))
+
+
+@register("decontaminate", sql=f"""
+WITH base AS (
+  SELECT doc_id, {_NGRAMS_SQL} AS sh,
+         {_DOC_HASH_SQL} % {EVAL_MOD} AS bucket
+  FROM documents WHERE text IS NOT NULL
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS sh FROM base WHERE bucket = 0
+),
+train AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS sh
+  FROM base WHERE bucket != 0
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         AS contam_ratio
+FROM train t JOIN bench b ON t.sh = b.sh
+GROUP BY t.doc_id, t.n_shingles""",
+          doc=f"training docs sharing {NGRAM}-gram spans with the "
+              "held-out benchmark split (broadcast semi-structure)")
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id", _ngrams(_tokens()).alias("sh"),
+        (_doc_hash() % EVAL_MOD).alias("bucket"))
+    bench = (base.filter(F.col("bucket") == 0)
+             .select(F.explode("sh").alias("sh")).distinct())
+    train = (base.filter(F.col("bucket") != 0)
+             .select("doc_id", F.size("sh").alias("n_shingles"),
+                     F.explode("sh").alias("sh")))
+    # _ngrams is per-doc distinct, so COUNT(*) after the inner join
+    # IS the count of distinct overlapping shingles
+    return (train.join(F.broadcast(bench), "sh")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select("doc_id",
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    "n_hits",
+                    (F.col("n_hits").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("contam_ratio")))

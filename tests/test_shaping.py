@@ -1,0 +1,106 @@
+"""Corpus-shaping queries (chunking / packing / decontamination) are
+recomputed in plain Python over the collected table and compared
+exactly; decontaminate's broadcast shape is plan-asserted."""
+
+import hashlib
+import re
+
+from hpctoolkit_dataframe_spark.plans import explain
+from hpctoolkit_dataframe_spark.queries import REGISTRY, load_table
+from hpctoolkit_dataframe_spark.queries.shaping import (
+    CHUNK_CHARS, CHUNK_STRIDE, EVAL_MOD, MAX_SEQ, N_PACK_SHARDS, NGRAM)
+
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    return {r["doc_id"]: r["text"]
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text").collect()
+            if r["text"] is not None}
+
+
+def _hash(doc_id):
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def _tokens(text):
+    return re.split(r"\s+", text)
+
+
+def test_doc_chunks_match_python(spark):
+    out = REGISTRY["doc_chunks"].fn(spark, SF_DIR).collect()
+    expected = {}
+    for doc_id, text in _docs(spark).items():
+        extra = max(len(text) - CHUNK_CHARS, 0)
+        n_extra = (extra + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        for i in range(n_extra + 1):
+            chunk = text[i * CHUNK_STRIDE:i * CHUNK_STRIDE + CHUNK_CHARS]
+            expected[(doc_id, i)] = (
+                1 + i * CHUNK_STRIDE, len(chunk),
+                hashlib.md5(chunk.encode()).hexdigest())
+    got = {(r["doc_id"], r["chunk_idx"]):
+           (r["chunk_start"], r["chunk_len"], r["chunk_digest"])
+           for r in out}
+    assert got == expected
+    # overlap invariant: consecutive chunks share CHUNK-STRIDE chars
+    assert any(i > 0 for _, i in got)  # multi-chunk docs exist
+
+
+def test_pack_sequences_match_python(spark):
+    out = {r["doc_id"]: r for r in
+           REGISTRY["pack_sequences"].fn(spark, SF_DIR).collect()}
+    docs = _docs(spark)
+    assert set(out) == set(docs)
+    by_shard = {}
+    for doc_id in sorted(docs):
+        by_shard.setdefault(_hash(doc_id) % N_PACK_SHARDS, []).append(doc_id)
+    for shard, ids in by_shard.items():
+        cum = 0
+        for doc_id in ids:  # ascending doc_id = the packing order
+            n_tok = len(_tokens(docs[doc_id]))
+            r = out[doc_id]
+            assert (r["shard"], r["n_tokens"]) == (shard, n_tok)
+            assert r["seq_id"] == cum // MAX_SEQ
+            assert r["seq_offset"] == cum % MAX_SEQ
+            cum += n_tok
+    assert max(r["seq_id"] for r in out.values()) >= 1  # multi-seq shards
+
+
+def test_decontaminate_matches_python(spark):
+    out = {r["doc_id"]: r for r in
+           REGISTRY["decontaminate"].fn(spark, SF_DIR).collect()}
+    grams = {}
+    for doc_id, text in _docs(spark).items():
+        toks = _tokens(text)
+        n = max(len(toks) - (NGRAM - 1), 1)
+        grams[doc_id] = {" ".join(toks[j:j + NGRAM]) for j in range(n)}
+    bench = set().union(*(g for d, g in grams.items()
+                          if _hash(d) % EVAL_MOD == 0))
+    expected = {}
+    for doc_id, g in grams.items():
+        if _hash(doc_id) % EVAL_MOD == 0:
+            continue
+        hits = len(g & bench)
+        if hits:
+            expected[doc_id] = (len(g), hits)
+    assert {d: (r["n_shingles"], r["n_hits"])
+            for d, r in out.items()} == expected
+    for r in out.values():
+        assert r["contam_ratio"] == r["n_hits"] / r["n_shingles"]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    df = REGISTRY["decontaminate"].fn(spark, SF_DIR)
+    strategies = explain.join_strategies(df)
+    assert strategies["broadcast_hash"] >= 1
+    assert strategies["sort_merge"] == 0
+    assert strategies["cartesian"] == 0
+    assert explain.python_udf_count(df) == 0
+
+
+def test_doc_chunks_is_narrow(spark):
+    # pure map stage: zero shuffle exchanges anywhere in the plan
+    df = REGISTRY["doc_chunks"].fn(spark, SF_DIR)
+    assert explain.exchange_count(df) == 0
+    assert explain.python_udf_count(df) == 0
