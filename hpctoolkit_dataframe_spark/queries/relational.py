@@ -1210,3 +1210,57 @@ def user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead("valid_from_us").over(w) - 1).cast("long")
         .alias("valid_to_us"),
         "value_cents")
+
+
+# ---------------------------------------------------------------------------
+# per-user 3-sigma outlier gate with NO float aggregation: count / sum /
+# sum-of-squares are exact BIGINT window aggregates (cents), and the
+# z-score test |v-mean| > 3*stddev is evaluated as the cross-multiplied
+# rational (v*n - S)^2 * (n-1) > 9 * n * (SS*n - S^2) — the squarings
+# convert long->double ONCE each (the integer diffs stay in BIGINT
+# range; their squares would overflow past ~sf1, and identical IEEE
+# expression trees compare identically on both engines).  One user_id
+# shuffle; no sqrt, no libm, no stddev_samp float-order sensitivity.
+# ---------------------------------------------------------------------------
+@register("events_zscore_outliers", sql="""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_id, user_id, value_cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_user,
+         CAST(SUM(value_cents) OVER w AS BIGINT) AS s,
+         CAST(SUM(value_cents * value_cents) OVER w AS BIGINT) AS ss
+  FROM c WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id, value_cents, n_user
+FROM s
+WHERE n_user >= 2
+  AND CAST(value_cents * n_user - s AS DOUBLE)
+      * CAST(value_cents * n_user - s AS DOUBLE)
+      * CAST(n_user - 1 AS DOUBLE)
+    > 9.0 * CAST(n_user AS DOUBLE)
+          * (CAST(ss AS DOUBLE) * CAST(n_user AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""")
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    c = ev.select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"))
+    w = Window.partitionBy("user_id")
+    s = c.select(
+        "event_id", "user_id", "value_cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_user"),
+        F.sum("value_cents").over(w).cast("long").alias("s"),
+        F.sum(F.col("value_cents") * F.col("value_cents")).over(w)
+        .cast("long").alias("ss"))
+    d = (F.col("value_cents") * F.col("n_user") - F.col("s")).cast("double")
+    rhs = (F.lit(9.0) * F.col("n_user").cast("double")
+           * (F.col("ss").cast("double") * F.col("n_user").cast("double")
+              - F.col("s").cast("double") * F.col("s").cast("double")))
+    return (s.filter((F.col("n_user") >= 2)
+                     & (d * d * (F.col("n_user") - 1).cast("double") > rhs))
+            .select("event_id", "user_id", "value_cents", "n_user"))
