@@ -61,6 +61,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # warm the JVM + parquet footers + Python workers once so per-query
     # numbers measure the queries, not session startup
@@ -89,21 +90,29 @@ def main() -> None:
             # xml_load_hot_path above already measures
             continue
         samples = []
-        while True:
-            t0 = time.time()
-            materialize(q.fn(spark, SF_DIR))
-            samples.append(time.time() - t0)
-            if samples[0] >= 5.0 or len(samples) == 3:
-                break
+        try:
+            while True:
+                t0 = time.time()
+                materialize(q.fn(spark, SF_DIR))
+                samples.append(time.time() - t0)
+                if samples[0] >= 5.0 or len(samples) == 3:
+                    break
+        except Exception as exc:  # one broken query must not zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

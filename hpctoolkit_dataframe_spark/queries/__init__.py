@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 @dataclass
@@ -58,11 +58,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
 
     CONTRACT: every registry query requires ``spark.sql.session.timeZone
     = UTC`` (timestamp rendering must match DuckDB's naive-UTC read) and
-    ``spark.sql.legacy.parquet.nanosAsLong = true`` (events.parquet has
-    nanosecond timestamps Spark otherwise rejects).  ``get_spark`` sets
-    both at construction; for foreign sessions (the driver's gate) they
-    are enforced here — idempotently, so a session already configured is
-    never touched.
+    sees ``events.ts`` as LONG **nanoseconds**.  Historically the
+    testdata stored int64 nanos (hence ``nanosAsLong``); current testdata
+    stores microsecond TIMESTAMP — either way this loader re-normalizes
+    to the LONG-nanos contract so no query cares which vintage is on
+    disk.  ``get_spark`` sets the configs at construction; for foreign
+    sessions (the driver's gate) they are enforced here — idempotently,
+    so a session already configured is never touched.
     """
     if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -70,6 +72,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             "spark.sql.legacy.parquet.nanosAsLong", "false") != "true"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        # Testdata regenerated with microsecond TIMESTAMP ts (was int64
+        # nanos).  With session tz UTC the NTZ->LTZ cast interprets the
+        # wall clock as UTC, so unix_micros matches DuckDB's naive
+        # epoch_us() read exactly; *1000 restores the LONG-nanos
+        # contract.  select() keeps the original column order.
+        df = df.select(*[
+            F.expr("unix_micros(cast(ts as timestamp)) * 1000").alias("ts")
+            if c == "ts" else F.col(c) for c in df.columns])
     if spread:
         # the testdata tables are single-row-group files — physically
         # unsplittable, so the scan (and everything fused into its

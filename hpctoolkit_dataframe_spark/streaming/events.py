@@ -26,7 +26,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanoseconds (see queries/__init__)
+    # on disk: microsecond TIMESTAMP (current testdata vintage);
+    # normalized to LONG nanos right after read (see queries/__init__)
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -46,7 +48,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)
+    return normalize_events(reader.parquet(sf_dir))
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Restore the LONG-nanoseconds ``ts`` contract on an events frame
+    (batch or streaming) whose on-disk ``ts`` is a microsecond TIMESTAMP.
+    Session tz must be UTC so the NTZ cast matches DuckDB's naive
+    epoch_us read.  No-op if ``ts`` is already LONG."""
+    if not dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        return df
+    return df.select(*[
+        F.expr("unix_micros(cast(ts as timestamp)) * 1000").alias("ts")
+        if c == "ts" else F.col(c) for c in df.columns])
 
 
 def with_event_time(df: DataFrame) -> DataFrame:

@@ -79,7 +79,8 @@ def test_watermark_drops_late_events(spark, tmp_path):
                                          "event_type", "value", "props"])
         table = pa.Table.from_pydict({
             "event_id": pa.array(df["event_id"], pa.int64()),
-            "ts": pa.array([t * 1000 for t in df["ts"]], pa.int64()),
+            # microsecond TIMESTAMP, the current testdata vintage
+            "ts": pa.array(list(df["ts"]), pa.timestamp("us")),
             "user_id": pa.array(df["user_id"], pa.int64()),
             "event_type": pa.array(df["event_type"], pa.string()),
             "value": pa.array(df["value"], pa.float64()),
@@ -107,8 +108,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
         (4, base_us, 1, "click", 1.0, ""),
     ])
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
+    stream = se.normalize_events(
         spark.readStream.schema(se.EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1).parquet(str(tmp_path))
     )
@@ -166,8 +166,9 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     for i, part in enumerate((ev.iloc[:cut], ev.iloc[cut:])):
         table = pa.Table.from_pydict({
             "event_id": part["event_id"].astype("int64"),
-            # ts as LONG nanos, matching EVENTS_SCHEMA
-            "ts": (part["ts_us"].astype("int64") * 1000),
+            # microsecond TIMESTAMP, the current testdata vintage
+            "ts": pa.array(part["ts_us"].astype("int64").tolist(),
+                           pa.timestamp("us")),
             "user_id": part["user_id"].astype("int64"),
             "event_type": part["event_type"],
             "value": part["value"],
@@ -177,7 +178,7 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
         pq.write_table(table, p)
         os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
-    stream = (
+    stream = se.normalize_events(
         spark.readStream.schema(se.EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(tmp_path))
