@@ -109,3 +109,61 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs.select("vec_a", "vec_b"))
     return labels.select(F.col("node").alias("vec_id"),
                          F.col("component").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# exact verification of the LSH CANDIDATES: MinHash banding over-
+# approximates (hash collisions, lucky bands), so a production dedup
+# pass re-checks each candidate pair with a real distance before
+# dropping documents.  Levenshtein is the strongest check both engines
+# share bit-exactly (classic DP, integer result; corpus is ASCII so
+# byte-vs-char semantics cannot drift).  Scale shape: the pair set is
+# already hot-bucket-capped upstream, so the O(len_a * len_b) DP runs
+# on a BOUNDED candidate list, never all-pairs; attaching the two text
+# columns is two hash joins on doc_id (the corpus' natural key), and
+# the gate is exact integer arithmetic (lev * 1000 vs max_len), no
+# floats to drift.
+# ---------------------------------------------------------------------------
+LEV_SIM_MILLI = 700  # keep pairs with 1 - lev/max_len >= 0.700
+
+_LEV_VERIFY_SQL = f"""
+WITH cand AS ({_PAIRS_SQL}),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+           AS max_len
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, lev, max_len,
+       CAST(lev * 1000 <= (1000 - {LEV_SIM_MILLI}) * max_len AS INTEGER)
+         AS verified
+FROM scored
+"""
+
+
+@register("lsh_verified_pairs", sql=_LEV_VERIFY_SQL, doc="""
+Edit-distance verification of every MinHash-LSH candidate pair: exact
+levenshtein over the two texts plus an integer-rational similarity
+gate (verified = lev/max_len <= 0.3).  Emits the distance for every
+candidate rather than only survivors so precision of the LSH stage is
+directly measurable (SUM(verified)/COUNT(*)).""")
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("text").alias("text_b"))
+    scored = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                F.levenshtein("text_a", "text_b").cast("long").alias("lev"),
+                F.greatest(F.length("text_a"), F.length("text_b"))
+                .cast("long").alias("max_len")))
+    return scored.select(
+        "doc_a", "doc_b", "lev", "max_len",
+        (F.col("lev") * 1000 <= (1000 - LEV_SIM_MILLI) * F.col("max_len"))
+        .cast("int").alias("verified"))
