@@ -185,11 +185,15 @@ GROUP BY t.doc_id, t.n_shingles""",
           doc=f"training docs sharing {NGRAM}-gram spans with the "
               "held-out benchmark split (broadcast semi-structure)")
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread: the single-row-group scan would otherwise compute every
+    # doc's n-grams (interpreted column-lambdas, the CPU hot spot) on
+    # ONE core; checkpoint: both the bench and train branches read
+    # `base`, and relation dedup does not merge them (CLAUDE.md).
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
     base = docs.select(
         "doc_id", _ngrams(_tokens()).alias("sh"),
-        (_doc_hash() % EVAL_MOD).alias("bucket"))
+        (_doc_hash() % EVAL_MOD).alias("bucket")).localCheckpoint(eager=True)
     bench = (base.filter(F.col("bucket") == 0)
              .select(F.explode("sh").alias("sh")).distinct())
     train = (base.filter(F.col("bucket") != 0)
