@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..operators.graph import connected_components
-from . import REGISTRY, load_table, register
+from . import REGISTRY, hash8_sql, load_table, register
 
 # the oracle reuses the full minhash->band->cap->self-join pipeline SQL
 # registered by textops so the two can never drift
@@ -167,3 +167,72 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "lev", "max_len",
         (F.col("lev") * 1000 <= (1000 - LEV_SIM_MILLI) * F.col("max_len"))
         .cast("int").alias("verified"))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: the production shape.  A continuously-ingesting
+# pipeline never re-deduplicates the whole corpus; it checks each NEW
+# batch against a persisted fingerprint store.  Here the batch is a
+# deterministic 1/DELTA_MOD hash split of `documents` (stable under
+# reruns, like shaping.EVAL_MOD) and the "store" is the rest of the
+# corpus reduced to two fingerprint sets: md5(text) for exact dups and
+# the shared 16-bit simhash fold for near dups.  Scale shape: the
+# corpus collapses to DISTINCT fingerprints (32 B + 8 B per doc — the
+# only thing read from 100 TB of history, and in production a bucketed
+# table keyed on the fingerprint so the check is shuffle-free); the
+# delta then LEFT-joins those two small sets.  No step compares delta
+# docs to corpus BYTES, only to fingerprints.
+# ---------------------------------------------------------------------------
+DELTA_MOD = 10
+
+_SIMHASH_SQL = REGISTRY["simhash16"].sql
+_INCR_DOC_HASH = hash8_sql("CAST(d.doc_id AS VARCHAR)")
+
+_INCR_SQL = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+split AS (
+  SELECT d.doc_id, md5(d.text) AS th, s.simhash,
+         {_INCR_DOC_HASH} % {DELTA_MOD} AS bucket
+  FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+),
+ce AS (SELECT DISTINCT th FROM split WHERE bucket != 0),
+cs AS (SELECT DISTINCT simhash FROM split WHERE bucket != 0)
+SELECT t.doc_id,
+       CAST(ce.th IS NOT NULL AS INTEGER) AS exact_dup,
+       CAST(cs.simhash IS NOT NULL AS INTEGER) AS near_dup
+FROM (SELECT doc_id, th, simhash FROM split WHERE bucket = 0) t
+LEFT JOIN ce ON ce.th = t.th
+LEFT JOIN cs ON cs.simhash = t.simhash
+"""
+
+
+@register("incremental_dedup", sql=_INCR_SQL, doc="""
+Delta-vs-corpus dedup: every document in the incoming hash-split batch
+flagged for exact (md5 text) and near (16-bit simhash, hamming 0)
+duplication against the rest of the corpus, touching only the corpus'
+fingerprint store, never its bytes.""")
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import with_simhash16
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    doc_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+    # fingerprint once, reuse for both the store and the delta: the two
+    # branches would otherwise each re-run the simhash fold (CLAUDE.md
+    # multi-branch rule)
+    split = with_simhash16(docs).select(
+        "doc_id", F.md5("text").alias("th"), "simhash",
+        (doc_hash % DELTA_MOD).alias("bucket")).localCheckpoint(eager=True)
+    corpus = split.filter(F.col("bucket") != 0)
+    ce = corpus.select("th").distinct().withColumn("exact_dup", F.lit(1))
+    cs = (corpus.select("simhash").distinct()
+          .withColumn("near_dup", F.lit(1)))
+    delta = split.filter(F.col("bucket") == 0)
+    return (delta.join(ce, "th", "left").join(cs, "simhash", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("exact_dup"), F.lit(0))
+                    .cast("int").alias("exact_dup"),
+                    F.coalesce(F.col("near_dup"), F.lit(0))
+                    .cast("int").alias("near_dup")))
