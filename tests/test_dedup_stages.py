@@ -1,0 +1,73 @@
+"""Invariants for the verification and incremental dedup stages
+(their value-level correctness is oracle-gated; these pin the
+cross-stage semantics the oracle compare cannot see)."""
+
+from pyspark.sql import functions as F
+
+from hpctoolkit_dataframe_spark.queries import REGISTRY, load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_verified_pairs_cover_exactly_the_candidates(spark):
+    cand = {(r["doc_a"], r["doc_b"]) for r in
+            REGISTRY["minhash_lsh_pairs"].fn(spark, SF_DIR).collect()}
+    scored = REGISTRY["lsh_verified_pairs"].fn(spark, SF_DIR).collect()
+    # verification SCORES the candidate set, it must not invent or drop
+    assert {(r["doc_a"], r["doc_b"]) for r in scored} == cand
+    for r in scored:
+        assert 0 <= r["lev"] <= r["max_len"]  # DP distance bound
+        # identical texts must verify; disjoint texts must not
+        if r["lev"] == 0:
+            assert r["verified"] == 1
+        if r["lev"] == r["max_len"] and r["max_len"] > 0:
+            assert r["verified"] == 0
+
+
+def test_verified_matches_exact_python_levenshtein(spark):
+    """Cross-check a sample of pairs against a reference DP in Python
+    (guards the ASCII byte-vs-char assumption both engines share)."""
+    rows = (REGISTRY["lsh_verified_pairs"].fn(spark, SF_DIR)
+            .limit(5).collect())
+    if not rows:
+        return
+    texts = {r["doc_id"]: r["text"] for r in
+             load_table(spark, SF_DIR, "documents")
+             .filter(F.col("doc_id").isin(
+                 [r["doc_a"] for r in rows] + [r["doc_b"] for r in rows]))
+             .collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        assert r["lev"] == lev(texts[r["doc_a"]], texts[r["doc_b"]])
+
+
+def test_incremental_dedup_flag_semantics(spark):
+    out = REGISTRY["incremental_dedup"].fn(spark, SF_DIR).collect()
+    assert out  # the 1/DELTA_MOD split is non-empty at every sf
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, SF_DIR, "documents").collect()}
+    from hpctoolkit_dataframe_spark.queries.dedup import DELTA_MOD
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8],
+                   16) % DELTA_MOD
+    delta_ids = {r["doc_id"] for r in out}
+    assert delta_ids == {d for d in docs if bucket(d) == 0}
+    corpus_texts = {t for d, t in docs.items() if bucket(d) != 0}
+    for r in out:
+        # exact flag == literal text membership in the corpus split
+        assert r["exact_dup"] == int(docs[r["doc_id"]] in corpus_texts)
+        # identical text => identical simhash, so exact implies near
+        if r["exact_dup"]:
+            assert r["near_dup"] == 1
