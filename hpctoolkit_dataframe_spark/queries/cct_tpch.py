@@ -551,3 +551,89 @@ def cct_hot_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("region_size"),
                     F.sum("value").over(w).cast("long")
                     .alias("region_value")))
+
+
+# ---------------------------------------------------------------------------
+# profile DIFF: the canonical two-run comparison workflow (the reference
+# merges multiple profiles into one frame — operators/cct.py:544-566
+# mirrors its combine step; diffing is that workflow's read side).
+# Spark-first shape: instead of building TWO trees and full-outer
+# joining them (two wide shuffles + a join on a path key), ONE rollup
+# pass carries both slices as conditional aggregates — the tree
+# structure is the union of both profiles' paths by construction, and
+# the diff costs exactly what a single build costs.  Depth is capped at
+# the customer level: below it each leaf belongs to one slice only and
+# a per-leaf "diff" is vacuous.
+# ---------------------------------------------------------------------------
+@register("cct_diff_returnflag", sql=f"""
+WITH dbase AS (
+  SELECT CAST(n.n_regionkey + {REGION_OFF} AS BIGINT) AS k1,
+         CAST(n.n_nationkey + {NATION_OFF} AS BIGINT) AS k2,
+         CAST(c.c_custkey + {CUST_OFF} AS BIGINT) AS k3,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT) AS v,
+         CAST(l.l_returnflag = 'R' AS INTEGER) AS is_r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+drolled AS (
+  SELECT k1, k2, k3,
+         CAST(SUM(CASE WHEN is_r = 1 THEN v ELSE 0 END) AS BIGINT)
+           AS value_r,
+         CAST(SUM(CASE WHEN is_r = 0 THEN v ELSE 0 END) AS BIGINT)
+           AS value_o,
+         CAST(GROUPING(k1)*4 + GROUPING(k2)*2 + GROUPING(k3) AS BIGINT)
+           AS gid
+  FROM dbase GROUP BY ROLLUP (k1, k2, k3)
+)
+SELECT CASE gid WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 3 THEN 1 ELSE 0 END
+         AS depth,
+       CASE gid WHEN 0 THEN k3 WHEN 1 THEN k2 WHEN 3 THEN k1 ELSE -1 END
+         AS id,
+       value_r, value_o,
+       CAST(value_r - value_o AS BIGINT) AS delta,
+       CAST(value_r AS DOUBLE) / CAST(value_r + value_o AS DOUBLE)
+         AS share_r
+FROM drolled""",
+          doc="per-node returned-vs-kept revenue diff in ONE rollup "
+              "pass (two-profile comparison, the reference merge "
+              "workflow's read side)")
+def cct_diff_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            (F.col("n_regionkey").cast("long") + REGION_OFF).alias("k1"),
+            (F.col("n_nationkey").cast("long") + NATION_OFF).alias("k2"),
+            (F.col("c_custkey").cast("long") + CUST_OFF).alias("k3"),
+            (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+            .alias("v"),
+            (F.col("l_returnflag") == "R").cast("int").alias("is_r"),
+        )
+    )
+    rolled = base.rollup("k1", "k2", "k3").agg(
+        F.sum(F.when(F.col("is_r") == 1, F.col("v")).otherwise(0))
+        .cast("long").alias("value_r"),
+        F.sum(F.when(F.col("is_r") == 0, F.col("v")).otherwise(0))
+        .cast("long").alias("value_o"),
+        F.grouping_id().alias("gid"),
+    )
+    gid = F.col("gid")
+    depth = (F.when(gid == 0, 3).when(gid == 1, 2).when(gid == 3, 1)
+             .otherwise(0).cast("long"))
+    node_id = (F.when(gid == 0, F.col("k3")).when(gid == 1, F.col("k2"))
+               .when(gid == 3, F.col("k1")).otherwise(-1).cast("long"))
+    return rolled.select(
+        depth.alias("depth"), node_id.alias("id"), "value_r", "value_o",
+        (F.col("value_r") - F.col("value_o")).cast("long").alias("delta"),
+        (F.col("value_r").cast("double")
+         / (F.col("value_r") + F.col("value_o")).cast("double"))
+        .alias("share_r"))

@@ -71,3 +71,22 @@ def test_incremental_dedup_flag_semantics(spark):
         # identical text => identical simhash, so exact implies near
         if r["exact_dup"]:
             assert r["near_dup"] == 1
+
+
+def test_cct_diff_partitions_the_total(spark):
+    """Each slice's per-depth sums must reconstruct the full tree's
+    root total — the diff is a partition of value, not an estimate."""
+    diff = REGISTRY["cct_diff_returnflag"].fn(spark, SF_DIR).collect()
+    root = [r for r in diff if r["depth"] == 0]
+    assert len(root) == 1
+    total = root[0]["value_r"] + root[0]["value_o"]
+    full_root = [r for r in
+                 REGISTRY["cct_nodes"].fn(spark, SF_DIR).collect()
+                 if r["depth"] == 0]
+    assert total == full_root[0]["value"]
+    for d in (1, 2, 3):
+        level = [r for r in diff if r["depth"] == d]
+        assert sum(r["value_r"] + r["value_o"] for r in level) == total
+    for r in diff:
+        assert r["delta"] == r["value_r"] - r["value_o"]
+        assert 0.0 <= r["share_r"] <= 1.0
