@@ -208,3 +208,38 @@ def test_quality_top_decile_broadcast_threshold(spark):
     # the P90 scalar must broadcast; pass 2 stays a map-side filter
     assert "BroadcastNestedLoopJoin" in plan
     assert explain.join_strategies(df)["cartesian"] == 0
+
+
+def test_cct_diff_single_rollup_shuffle(spark):
+    """Both profile slices must ride ONE rollup exchange — a second
+    tree build or a path-key join would show extra exchanges/joins."""
+    df = REGISTRY["cct_diff_returnflag"].fn(spark, SF_DIR)
+    strategies = explain.join_strategies(df)
+    assert strategies["broadcast_hash"] >= 2    # customer + nation dims
+    assert strategies["sort_merge"] == 0
+    import re
+
+    plan = explain.executed_plan(df)
+    # one hash exchange for the rollup, plus at most the orders join
+    assert len(re.findall(r"Exchange hash", plan)) <= 2
+    assert explain.python_udf_count(df) == 0
+
+
+def test_incremental_dedup_fingerprints_broadcast(spark):
+    """The delta joins two DISTINCT fingerprint sets; both are tiny and
+    must broadcast — a shuffle join here would re-partition the whole
+    delta by fingerprint at scale."""
+    df = REGISTRY["incremental_dedup"].fn(spark, SF_DIR)
+    strategies = explain.join_strategies(df)
+    assert strategies["broadcast_hash"] >= 2
+    assert strategies["sort_merge"] == 0
+    assert strategies["cartesian"] == 0
+    assert explain.python_udf_count(df) == 0
+
+
+def test_lsh_verified_pairs_no_python_and_no_cartesian(spark):
+    df = REGISTRY["lsh_verified_pairs"].fn(spark, SF_DIR)
+    strategies = explain.join_strategies(df)
+    assert strategies["cartesian"] == 0
+    assert strategies["broadcast_nested_loop"] == 0
+    assert explain.python_udf_count(df) == 0
