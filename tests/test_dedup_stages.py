@@ -90,3 +90,40 @@ def test_cct_diff_partitions_the_total(spark):
     for r in diff:
         assert r["delta"] == r["value_r"] - r["value_o"]
         assert 0.0 <= r["share_r"] <= 1.0
+
+
+def test_fingerprint_store_roundtrip_bucketed(spark, tmp_path):
+    """The production incremental-dedup loop: persist the corpus'
+    fingerprint store as a table bucketed on the fingerprint, then
+    check a delta against it — the store side must load WITHOUT an
+    Exchange (its bucket layout IS the join partitioning), so re-runs
+    never re-shuffle 100 TB of history."""
+    from hpctoolkit_dataframe_spark.plans import explain
+    from hpctoolkit_dataframe_spark.queries.textops import with_simhash16
+    from hpctoolkit_dataframe_spark.sources.sinks import write_bucketed_table
+
+    from .test_bucketed_join import _no_broadcast
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull())
+    fp = with_simhash16(docs).select(
+        F.md5("text").alias("th"), "simhash").distinct()
+    write_bucketed_table(fp, "fp_store_t", bucket_cols=("th",),
+                         n_buckets=8, sort_cols=("th",))
+    try:
+        store = spark.table("fp_store_t")
+        delta = with_simhash16(docs.limit(50)).select(
+            "doc_id", F.md5("text").alias("th"))
+        with _no_broadcast(spark):  # force the bucket layout to carry it
+            flagged = delta.join(store.select("th"), "th", "left_semi")
+            plan = explain.executed_plan(flagged)
+            # exactly ONE hash exchange on th — the delta aligning to
+            # the store's buckets; the store itself never re-shuffles
+            import re
+
+            assert len(re.findall(
+                r"Exchange hashpartitioning\(th", plan)) == 1, plan
+            # every delta doc IS in the store (built from all docs)
+            assert flagged.count() == delta.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_store_t")
