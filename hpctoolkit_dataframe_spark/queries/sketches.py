@@ -60,3 +60,25 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p")[1].cast("long").alias("p90_cents"),
                     F.col("p")[2].cast("long").alias("p99_cents"))
             .orderBy("event_type"))
+
+
+@register("approx_weekly_from_daily", sql=None, doc="""
+Two-level mergeable rollup — THE 100 TB pre-aggregation pattern: each
+day keeps a reusable HLL binary sketch (not a number), and coarser
+windows union sketches instead of re-reading events.  At scale the
+daily layer is a materialized table a few KB per (day) group; weekly /
+monthly / all-time uniques then cost a scan of sketches, never a
+second pass over raw history.  The merge is lossless: unioning daily
+registers yields the SAME registers as sketching the week directly
+(pinned by test_sketches.py).""")
+def approx_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts") / F.lit(86_400_000_000_000)).cast("long")
+    daily = (ev.groupBy(day.alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                  F.count(F.lit(1)).cast("long").alias("n_events")))
+    return (daily.groupBy(F.expr("day div 7").alias("week"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .cast("long").alias("approx_users"),
+                 F.sum("n_events").cast("long").alias("n_events"))
+            .orderBy("week"))

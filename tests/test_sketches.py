@@ -46,3 +46,30 @@ def test_approx_value_percentiles_error_bound(spark):
             target = p * (n - 1)
             assert lo - tol <= target <= hi + tol, (
                 r["event_type"], p, got, lo, hi, target)
+
+
+def test_weekly_merge_is_lossless_and_bounded(spark):
+    """Unioning the daily sketches must equal sketching each week
+    directly (register-max merge is exact), and the estimate must sit
+    within the HLL error bound of the true weekly distinct."""
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries import load_table
+
+    rows = {r["week"]: r for r in
+            REGISTRY["approx_weekly_from_daily"].fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    week = F.expr("cast(ts / 86400000000000 as long) div 7")
+    direct = {r["week"]: r["direct"] for r in
+              ev.groupBy(week.alias("week"))
+              .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                   .cast("long").alias("direct")).collect()}
+    exact = {r["week"]: r["e"] for r in
+             ev.groupBy(week.alias("week"))
+             .agg(F.countDistinct("user_id").cast("long").alias("e"))
+             .collect()}
+    assert rows.keys() == direct.keys() == exact.keys()
+    for w, r in rows.items():
+        assert r["approx_users"] == direct[w]          # lossless merge
+        e = exact[w]
+        assert abs(r["approx_users"] - e) <= max(2, 0.15 * e)
