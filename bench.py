@@ -65,7 +65,10 @@ def main() -> None:
 
     # warm the JVM + parquet footers + Python workers once so per-query
     # numbers measure the queries, not session startup
-    REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR).count()
+    try:
+        REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR).count()
+    except Exception as exc:  # warm-up must not kill the whole round
+        print(f"WARMUP ERROR: {exc}", file=sys.stderr)
     spark.range(64, numPartitions=32).mapInPandas(
         lambda it: it, schema="id long").count()
 

@@ -352,3 +352,22 @@ def streaming_token_df(docs: DataFrame) -> DataFrame:
             .select(F.explode(F.array_distinct(toks)).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("long").alias("df")))
+
+
+def hourly_uniques(events: DataFrame, watermark: str = "2 hours",
+                   rsd: float = 0.02) -> DataFrame:
+    """Streaming approximate uniques: the HLL registers ARE the
+    streaming state, merging across micro-batches exactly as they merge
+    across partitions in batch — so the drained stream equals the batch
+    sketch bit-for-bit (twin-tested).  Fixed ~1.5 KB state per window
+    regardless of cardinality; an exact streaming distinct would hold
+    every seen user_id in state."""
+    return (
+        with_event_time(events)
+        .withWatermark("ts_t", watermark)
+        .groupBy(F.window("ts_t", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=rsd)
+             .cast("long").alias("approx_users"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("hour_epoch_s"),
+                "approx_users")
+    )

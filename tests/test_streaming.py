@@ -372,3 +372,26 @@ def test_streaming_token_df_accumulates_to_batch(spark, tmp_path):
     want = REGISTRY["token_df_vocab"].fn(spark, SF_DIR).collect()
     assert [(r["token"], r["df"]) for r in topk] == \
         [(r["token"], r["df"]) for r in want]
+
+
+def test_hourly_uniques_matches_batch_sketch(spark):
+    """HLL state in streaming must merge to the same registers as the
+    batch aggregation (register-max is order- and batch-independent)."""
+    stream = se.read_events_stream(spark, SF_DIR, max_files_per_trigger=1)
+    got = {r["hour_epoch_s"]: r["approx_users"] for r in
+           se.run_available_now(se.hourly_uniques(stream), "uniq_t",
+                                output_mode="complete")}
+    from hpctoolkit_dataframe_spark.queries import load_table
+    ev = load_table(spark, SF_DIR, "events")
+    hour = F.expr("(ts div 1000) div 3600000000 * 3600").cast("long")
+    batch = {r["h"]: r["u"] for r in
+             ev.groupBy(hour.alias("h"))
+             .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                  .cast("long").alias("u")).collect()}
+    assert got == batch
+    exact = {r["h"]: r["e"] for r in
+             ev.groupBy(hour.alias("h"))
+             .agg(F.countDistinct("user_id").cast("long").alias("e"))
+             .collect()}
+    for h, u in got.items():
+        assert abs(u - exact[h]) <= max(2, 0.15 * exact[h])
