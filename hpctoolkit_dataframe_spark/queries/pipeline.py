@@ -265,3 +265,61 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.conv(F.substring(
                     F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
                  .cast("long") % N_SHARDS).cast("int").alias("shard")))
+
+
+# ---------------------------------------------------------------------------
+# sparse keyword retrieval: the lexical twin of the dense knn_cosine /
+# ivf_ann queries — score documents against a fixed keyword query with
+# QUANTIZED-INTEGER idf weights (w_t = SCALE div df_t), so the score is
+# an integer SUM (order-independent across engines and partitions; a
+# float tf-idf sum would drift by reduction order, the module-docstring
+# hazard).  Scale shape: the explode is filtered to the query's tokens
+# BEFORE the shuffle (a ~|query| whitelist, map-side), df comes from
+# one token-key aggregate over those few tokens, the weights broadcast,
+# and the top-k is TakeOrdered — never a full sort.
+# ---------------------------------------------------------------------------
+QUERY_TOKENS = ("spark", "join", "window")
+IDF_SCALE = 1_000_000
+SEARCH_TOP_K = 10
+
+_QT_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TOKENS) + "]"
+
+@register("keyword_search_topk", sql=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+qtok AS (SELECT doc_id, token FROM tok
+         WHERE token IN (SELECT unnest({_QT_SQL}))),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM qtok GROUP BY doc_id, token),
+df AS (SELECT token,
+              CAST({IDF_SCALE} // COUNT(DISTINCT doc_id) AS BIGINT) AS w
+       FROM qtok GROUP BY token),
+scored AS (
+  SELECT t.doc_id, CAST(SUM(t.tf * d.w) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM tf t JOIN df d ON d.token = t.token
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score, n_terms FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {SEARCH_TOP_K}""")
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    qtok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token").isin(list(QUERY_TOKENS)))
+    tf = (qtok.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df_w = (qtok.groupBy("token")
+            .agg(F.expr(f"{IDF_SCALE} div count(distinct doc_id)")
+                 .cast("long").alias("w")))
+    scored = (tf.join(F.broadcast(df_w), "token")
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("tf") * F.col("w")).cast("long")
+                   .alias("score"),
+                   F.count(F.lit(1)).cast("long").alias("n_terms")))
+    return (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(SEARCH_TOP_K)
+            .select("doc_id", "score", "n_terms"))
