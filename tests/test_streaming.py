@@ -395,3 +395,42 @@ def test_hourly_uniques_matches_batch_sketch(spark):
              .collect()}
     for h, u in got.items():
         assert abs(u - exact[h]) <= max(2, 0.15 * exact[h])
+
+
+def test_streaming_restart_exactly_once(spark, tmp_path):
+    """Checkpoint recovery contract: stopping a stream and restarting
+    it against the same checkpoint must process NEW files exactly once
+    and never re-emit already-committed batches — the property that
+    makes continuous 100 TB ingestion restartable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"; src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(path, ids):
+        pq.write_table(pa.Table.from_pydict({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in ids],
+                           pa.timestamp("us")),
+            "user_id": pa.array([i % 3 for i in ids], pa.int64()),
+            "event_type": pa.array(["click"] * len(ids), pa.string()),
+            "value": pa.array([1.0] * len(ids), pa.float64()),
+            "props": pa.array([""] * len(ids), pa.string()),
+        }), path)
+
+    def drain():
+        stream = se.normalize_events(
+            spark.readStream.schema(se.EVENTS_SCHEMA).parquet(str(src)))
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write(src / "a.parquet", list(range(100)))
+    drain()
+    write(src / "b.parquet", list(range(100, 150)))
+    drain()   # restart from the same checkpoint
+    got = [r["event_id"] for r in spark.read.parquet(sink).collect()]
+    assert sorted(got) == list(range(150))  # each id exactly once
