@@ -127,3 +127,35 @@ def test_fingerprint_store_roundtrip_bucketed(spark, tmp_path):
             assert flagged.count() == delta.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_store_t")
+
+
+def test_events_loader_handles_both_ts_vintages(spark, tmp_path):
+    """load_table must normalize BOTH on-disk ts vintages (int64 nanos
+    through r2 testdata; microsecond TIMESTAMP from r4) to identical
+    LONG-nanosecond values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000 + i * 7 for i in range(5)]
+    common = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["click"] * 5, pa.string()),
+        "value": pa.array([1.0] * 5, pa.float64()),
+        "props": pa.array([""] * 5, pa.string()),
+    }
+    old = tmp_path / "old"; new = tmp_path / "new"
+    old.mkdir(); new.mkdir()
+    pq.write_table(pa.Table.from_pydict(
+        {**common, "ts": pa.array([m * 1000 for m in micros], pa.int64())}),
+        old / "events.parquet")
+    pq.write_table(pa.Table.from_pydict(
+        {**common, "ts": pa.array(micros, pa.timestamp("us"))}),
+        new / "events.parquet")
+    got = {}
+    for vintage, d in (("nanos", old), ("timestamp", new)):
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "bigint", vintage
+        got[vintage] = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got["nanos"] == got["timestamp"] == \
+        sorted(m * 1000 for m in micros)
