@@ -371,3 +371,41 @@ def hourly_uniques(events: DataFrame, watermark: str = "2 hours",
         .select(F.unix_timestamp(F.col("w.start")).alias("hour_epoch_s"),
                 "approx_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# native stream-stream interval join: every (view, purchase) pair of
+# the same user with the view inside the purchase's attribution window
+# — the incremental twin of the batch interval join behind
+# ``purchase_view_windows``.  Both sides carry watermarks and the join
+# condition bounds v_t relative to p_t, so each side's state is evicted
+# once the other side's watermark passes the window: state is
+# O(watermark x arrival rate), never the full history.
+# ---------------------------------------------------------------------------
+def streaming_view_purchase_pairs(
+        spark: SparkSession, sf_dir: str,
+        watermark: str = "12 hours") -> DataFrame:
+    from ..queries.relational import ATTRIBUTION_WINDOW_US
+
+    views = (
+        with_event_time(read_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts_t").alias("v_t"))
+        .withWatermark("v_t", watermark))
+    purchases = (
+        with_event_time(read_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                F.col("ts_t").alias("p_t"))
+        .withWatermark("p_t", watermark))
+    win_s = ATTRIBUTION_WINDOW_US // 1_000_000
+    joined = views.join(
+        purchases,
+        F.expr(f"v_user = user_id AND "
+               f"v_t >= p_t - interval {win_s} seconds AND v_t <= p_t"))
+    return joined.select(
+        "user_id", "purchase_id", "view_id",
+        F.unix_micros("p_t").alias("purchase_us"),
+        F.unix_micros("v_t").alias("view_us"))

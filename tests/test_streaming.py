@@ -434,3 +434,31 @@ def test_streaming_restart_exactly_once(spark, tmp_path):
     drain()   # restart from the same checkpoint
     got = [r["event_id"] for r in spark.read.parquet(sink).collect()]
     assert sorted(got) == list(range(150))  # each id exactly once
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """The native stream-stream interval join must produce exactly the
+    batch pair set (same user, view within the purchase's attribution
+    window)."""
+    from hpctoolkit_dataframe_spark.queries import load_table
+    from hpctoolkit_dataframe_spark.queries.relational import (
+        ATTRIBUTION_WINDOW_US)
+
+    got = {(r["user_id"], r["purchase_id"], r["view_id"]) for r in
+           se.run_available_now(
+               se.streaming_view_purchase_pairs(spark, SF_DIR),
+               "ssj_t", output_mode="append")}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("v_us"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_us"))
+    want = {(r["user_id"], r["purchase_id"], r["view_id"]) for r in
+            v.join(p, (F.col("vu") == F.col("user_id"))
+                   & (F.col("v_us") >= F.col("p_us") - ATTRIBUTION_WINDOW_US)
+                   & (F.col("v_us") <= F.col("p_us"))).collect()}
+    assert got == want and want  # non-trivial pair set
