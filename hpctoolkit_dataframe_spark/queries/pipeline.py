@@ -323,3 +323,57 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(SEARCH_TOP_K)
             .select("doc_id", "score", "n_terms"))
+
+
+# ---------------------------------------------------------------------------
+# the dataset card: per-(lang, source) corpus health rollup composing
+# three registered stages — near-dup clustering (how much of each slice
+# survives canonicalization), the P90 quality gate, and embedding
+# coverage.  At 100 TB this is the report a curation run publishes:
+# every input is a doc_id-keyed join (the corpus' natural partitioning)
+# followed by ONE low-cardinality (lang, source) aggregate; rates are
+# exact integer counts with a single final division each.
+# ---------------------------------------------------------------------------
+def _report_sql() -> str:
+    from . import REGISTRY
+
+    manifest = _manifest_sql()
+    return f"""
+WITH manifest AS ({manifest})
+SELECT d.lang, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(m.doc_id) AS BIGINT) AS n_canonical,
+       CAST(SUM(CASE WHEN m.quality_pass = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN m.has_embedding = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_embedded,
+       CAST(COUNT(m.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS keep_rate
+FROM documents d
+LEFT JOIN manifest m ON m.doc_id = d.doc_id
+GROUP BY d.lang, d.source"""
+
+
+@register("corpus_report", sql=_report_sql(), doc="""
+Per-(lang, source) dataset card: document counts, canonical
+(near-dup-surviving) counts, quality-gate and embedding coverage, and
+the keep rate — the health report a curation run publishes alongside
+its shard manifest.""")
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    m = REGISTRY["training_shard_manifest"].fn(spark, sf_dir).select(
+        F.col("doc_id").alias("m_doc"), "quality_pass", "has_embedding")
+    j = docs.join(m, docs.doc_id == m.m_doc, "left")
+    return (j.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count("m_doc").cast("long").alias("n_canonical"),
+                 F.sum(F.when(F.col("quality_pass") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_quality"),
+                 F.sum(F.when(F.col("has_embedding") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_embedded"))
+            .withColumn("keep_rate",
+                        F.col("n_canonical").cast("double")
+                        / F.col("n_docs").cast("double")))
