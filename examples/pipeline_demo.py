@@ -48,6 +48,23 @@ def main() -> None:
     print(f"IVF ANN recall@3 vs brute force: "
           f"{len(brute & approx) / len(brute):.2f}")
 
+    verified = REGISTRY["lsh_verified_pairs"].fn(spark, sf_dir).collect()
+    if verified:
+        precision = sum(r["verified"] for r in verified) / len(verified)
+        print(f"LSH stage precision (levenshtein-verified): "
+              f"{precision:.2f} over {len(verified)} candidates")
+
+    incr = REGISTRY["incremental_dedup"].fn(spark, sf_dir)
+    print("delta-vs-corpus dedup flags (fingerprint store only):")
+    incr.show(5)
+
+    print("keyword retrieval (quantized-integer idf):")
+    REGISTRY["keyword_search_topk"].fn(spark, sf_dir).show(5)
+
+    print("corpus health report (dataset card):")
+    REGISTRY["corpus_report"].fn(spark, sf_dir).orderBy(
+        "lang", "source").show(8)
+
 
 if __name__ == "__main__":
     main()
