@@ -174,6 +174,25 @@ def streaming_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
     )
 
 
+def streaming_dedup_within_watermark(
+        events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The BOUNDED-state variant for unbounded streams: duplicates of
+    the same content arriving within the watermark horizon are dropped,
+    and each hash's state is evicted once the watermark passes it —
+    state is O(watermark x arrival rate) instead of O(all distinct
+    content ever).  The trade (vs ``streaming_dedup``): a duplicate
+    arriving AFTER its original's state expired is re-emitted; for
+    longer horizons, compose with the persistent fingerprint store
+    (queries.dedup.incremental_dedup) downstream."""
+    return (
+        with_event_time(events)
+        .withColumn("content_hash",
+                    F.md5(F.concat_ws("|", "event_type", "value")))
+        .withWatermark("ts_t", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming NEAR-dup dedup: simhash-backed state, the streaming side of
 # the batch ``simhash16`` fingerprint (the fold is SHARED —

@@ -462,3 +462,42 @@ def test_stream_stream_interval_join_matches_batch(spark):
                    & (F.col("v_us") >= F.col("p_us") - ATTRIBUTION_WINDOW_US)
                    & (F.col("v_us") <= F.col("p_us"))).collect()}
     assert got == want and want  # non-trivial pair set
+
+
+def test_dedup_within_watermark_drops_near_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving in a later
+    micro-batch but inside the watermark horizon is dropped; distinct
+    content all survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    base = 1_700_000_000_000_000
+
+    def write(path, rows):  # (event_id, us_offset, event_type, value)
+        pq.write_table(pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }), path)
+
+    write(tmp_path / "b1.parquet", [
+        (1, 0, "click", 1.0), (2, 1_000_000, "view", 2.0)])
+    _time.sleep(1.1)
+    write(tmp_path / "b2.parquet", [
+        (3, 600_000_000, "click", 1.0),    # dup content, 10 min later
+        (4, 601_000_000, "purchase", 9.0),  # fresh content
+    ])
+
+    stream = se.normalize_events(
+        spark.readStream.schema(se.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path)))
+    got = se.run_available_now(
+        se.streaming_dedup_within_watermark(stream, watermark="2 hours"),
+        "ddww_t", output_mode="append")
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 4]  # id 3 deduped within the watermark
