@@ -1,0 +1,114 @@
+"""Official Spark extension point for the XML ingest: a Python Data
+Source (Spark 4 ``pyspark.sql.datasource`` API) so the profiles load as
+
+    spark.read.format("hpctoolkit").option("max_depth", 5).load(glob)
+
+SURVEY.md §7 called this the "optional nicety" beyond parser options;
+it makes the pushdown story first-class: ``max_depth`` /
+``skip_callsite`` are SCAN options — a depth-limited read never parses
+the pruned subtrees at all (reference S4 semantics,
+hpctoolkit_dataframe.py:184-189 via parse_experiment_rows).
+
+Layout: schema inference parses the FIRST matched file's header
+driver-side (metric columns are data-dependent); each matched file is
+one InputPartition, so a fleet of profiles reads embarrassingly
+parallel.  Emits the RAW frame (``__raw_<id>`` metric columns) — the
+same contract as ``load_experiments``' parse stage; compose with
+``finalize_metrics`` for derived metrics, or keep using
+``load_experiments`` as the batteries-included path.
+
+Pickling note: Python data sources run in dedicated Python workers that
+do NOT have this package on sys.path; ``register()`` therefore ships
+this module AND the parser module by value (cloudpickle) BEFORE the
+class is handed to Spark, and every cross-module dependency is captured
+as a module-level name (a runtime relative import would try — and fail
+— to import the package inside the worker).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition)
+
+# captured at import so the by-value pickle of THIS module carries the
+# parser functions with it (their module is registered by value too)
+from .hpctoolkit_xml import (  # noqa: F401
+    _parse_header, _raw_schema, parse_experiment_rows)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _matched_files(path: str | None) -> list[str]:
+    if not path:
+        raise ValueError("format('hpctoolkit') requires .load(path)")
+    files = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+    if not files:
+        raise FileNotFoundError(path)
+    return files
+
+
+class HPCToolkitXMLDataSource(DataSource):
+    """``spark.read.format("hpctoolkit")`` — options:
+
+    - ``max_depth`` (int): stop parsing below this depth (true scan
+      pushdown: pruned subtrees are never materialized)
+    - ``skip_callsite`` (bool, default true): splice callsite nodes
+      like the reference's default walk
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "hpctoolkit"
+
+    def schema(self) -> T.StructType:
+        first = _matched_files(self.options.get("path"))[0]
+        with open(first, "rb") as f:
+            header = _parse_header(ET.fromstring(f.read()))
+        return _raw_schema(sorted(header["metrics_by_id"]))
+
+    def reader(self, schema: T.StructType) -> "_HPCToolkitReader":
+        return _HPCToolkitReader(dict(self.options), schema)
+
+
+class _HPCToolkitReader(DataSourceReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        self._columns: Sequence[str] = [f.name for f in schema.fields]
+        md = options.get("max_depth")
+        self._max_depth = int(md) if md is not None else None
+        self._skip_callsite = str(
+            options.get("skip_callsite", "true")).lower() != "false"
+        self._files = _matched_files(options.get("path"))
+
+    def partitions(self) -> list[_FilePartition]:
+        return [_FilePartition(p) for p in self._files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, "rb") as f:
+            content = f.read()
+        _, rows = parse_experiment_rows(
+            content, partition.path, max_depth=self._max_depth,
+            skip_callsite=self._skip_callsite)
+        for r in rows:
+            yield tuple(
+                list(r["callpath"]) if c == "callpath" else r.get(c)
+                for c in self._columns)
+
+
+def register(spark) -> None:
+    """Register the format on a session (idempotent).  Must ship the
+    modules by value FIRST — Spark pickles the class out to the data
+    source worker as soon as a read is planned."""
+    from .._pickle import register_module_by_value
+    from .hpctoolkit_xml import _register_self_for_pickle_by_value
+
+    _register_self_for_pickle_by_value()
+    register_module_by_value(__name__)
+    spark.dataSource.register(HPCToolkitXMLDataSource)
