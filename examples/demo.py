@@ -54,6 +54,14 @@ def main() -> None:
     except ImportError as e:
         print(f"skipped rendering: {e}")
 
+    # the official scan API: same parser as a registered Spark format
+    from hpctoolkit_dataframe_spark.sources import datasource
+
+    datasource.register(spark)
+    raw = spark.read.format("hpctoolkit").option("max_depth", 5).load(path)
+    print(f"format('hpctoolkit') depth<=5 scan: {raw.count()} raw rows "
+          f"({raw.rdd.getNumPartitions()} partition(s), one per file)")
+
 
 if __name__ == "__main__":
     main()
