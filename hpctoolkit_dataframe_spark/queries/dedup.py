@@ -178,10 +178,12 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus reduced to two fingerprint sets: md5(text) for exact dups and
 # the shared 16-bit simhash fold for near dups.  Scale shape: the
 # corpus collapses to DISTINCT fingerprints (32 B + 8 B per doc — the
-# only thing read from 100 TB of history, and in production a bucketed
-# table keyed on the fingerprint so the check is shuffle-free); the
-# delta then LEFT-joins those two small sets.  No step compares delta
-# docs to corpus BYTES, only to fingerprints.
+# only thing read from 100 TB of history).  The simhash set is <= 2^16
+# values and always broadcasts; the md5 set is corpus-cardinality, so
+# in production it persists as a table BUCKETED on the fingerprint and
+# re-checks join shuffle-free from the bucket layout (round-trip
+# proven in tests/test_dedup_stages.py).  No step compares delta docs
+# to corpus BYTES, only to fingerprints.
 # ---------------------------------------------------------------------------
 DELTA_MOD = 10
 

@@ -226,9 +226,11 @@ def test_cct_diff_single_rollup_shuffle(spark):
 
 
 def test_incremental_dedup_fingerprints_broadcast(spark):
-    """The delta joins two DISTINCT fingerprint sets; both are tiny and
-    must broadcast — a shuffle join here would re-partition the whole
-    delta by fingerprint at scale."""
+    """The delta joins two DISTINCT fingerprint sets.  The simhash set
+    is <= 2^16 values — always broadcastable.  The md5 set broadcasts
+    at test scale; at corpus scale it is the persisted bucketed
+    fingerprint store instead (tests/test_dedup_stages.py round-trip),
+    where the store side joins shuffle-free from its bucket layout."""
     df = REGISTRY["incremental_dedup"].fn(spark, SF_DIR)
     strategies = explain.join_strategies(df)
     assert strategies["broadcast_hash"] >= 2
