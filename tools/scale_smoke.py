@@ -182,6 +182,34 @@ def main() -> None:
           f"(500k-diameter chain + {n_cliq:,} cliques): "
           f"{comps:,} components in {time.time()-t0:.1f}s")
 
+    # 7) incremental dedup shape at history scale: a 10k-doc delta
+    #    checked against a 2M-doc corpus FINGERPRINT store (md5 + 16-bit
+    #    simhash) — two semi-joins against fingerprints, corpus bytes
+    #    never touched.  Half the delta overlaps the corpus by
+    #    construction; the flag counts prove the joins are real.
+    n_corp, n_delta = 2_000_000 * scale, 10_000
+    corpus_fp = spark.range(n_corp, numPartitions=par).select(
+        F.md5(F.col("id").cast("string")).alias("th"),
+        (F.xxhash64("id") % 65_536).alias("simhash"))
+    # delta ids 0..4999 collide with corpus ids, 5000.. are fresh
+    delta = spark.range(n_delta).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.when(F.col("id") < n_delta // 2, F.col("id"))
+              .otherwise(F.col("id") + n_corp).cast("string")).alias("th"),
+        (F.xxhash64(F.when(F.col("id") < n_delta // 2, F.col("id"))
+                    .otherwise(F.col("id") + n_corp)) % 65_536)
+        .alias("simhash"))
+    t0 = time.time()
+    exact = delta.join(corpus_fp.select("th").distinct(),
+                       "th", "left_semi").count()
+    near = delta.join(corpus_fp.select("simhash").distinct(),
+                      "simhash", "left_semi").count()
+    assert exact == n_delta // 2, exact
+    assert near >= n_delta // 2, near  # 16-bit fingerprint collides more
+    print(f"incremental_dedup {n_delta:,}-doc delta vs {n_corp:,}-doc "
+          f"fingerprint store: {exact:,} exact / {near:,} near flags "
+          f"in {time.time()-t0:.1f}s")
+
 
 if __name__ == "__main__":
     main()
