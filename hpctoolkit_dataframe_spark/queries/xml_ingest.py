@@ -73,3 +73,40 @@ def cct_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register("cct_flat_profile", sql=f"""
+SELECT experiment, procedure,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(sum_e_c) AS BIGINT) AS excl_cents,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM read_parquet('{FIXTURE}')
+GROUP BY experiment, procedure""")
+def cct_flat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hpcviewer FLAT VIEW over both experiment databases: total
+    EXCLUSIVE metric per procedure regardless of calling context
+    (inclusive sums would double-count along ancestor chains).  The
+    oracle aggregates the reference-captured fixture, so a green hash
+    means our ingest's per-node (E) values aggregate to the reference's
+    flat view exactly.  Exclusive cents are HALF_UP-quantized PER NODE
+    before the sum — integer sums are reduction-order independent
+    (queries/__init__ determinism rules); NULL procedures (the root)
+    group together in both engines."""
+    from ..sources.hpctoolkit_xml import load_experiments
+
+    out = None
+    for name, path in EXPERIMENTS.items():
+        df, meta = load_experiments(spark, path)
+        pct = meta.meaningful_columns["percentage"]
+        base = pct[: -len(_MEAN_SUFFIX)]
+        part = df.select(
+            F.lit(name).alias("experiment"),
+            F.col("procedure"),
+            F.size("callpath").cast("long").alias("depth"),
+            F.floor(F.col(f"`{base}:Sum (E)`") * 100 + 0.5).cast("long")
+            .alias("sum_e_c"))
+        out = part if out is None else out.unionByName(part)
+    return (out.groupBy("experiment", "procedure")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.sum("sum_e_c").cast("long").alias("excl_cents"),
+                 F.max("depth").cast("long").alias("max_depth")))

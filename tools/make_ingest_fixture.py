@@ -77,7 +77,8 @@ def main() -> None:
 
     cols = {k: [] for k in (
         "experiment", "id", "callpath", "node_type", "sum_i", "mean_i",
-        "stddev_re", "stddev_im", "ratio_total", "ratio_parent")}
+        "stddev_re", "stddev_im", "ratio_total", "ratio_parent",
+        "procedure", "depth", "sum_e_c")}
     for name, path in EXPERIMENTS.items():
         ref = RefFrame(path=pathlib.Path(path))
         # the elected percentage column is '<metric>:Mean (I)'
@@ -89,6 +90,15 @@ def main() -> None:
             cols["callpath"].append(
                 "/".join(str(int(i)) for i in row["callpath"]))
             cols["node_type"].append(row["type"])
+            proc = row.get("procedure")
+            cols["procedure"].append(
+                proc if isinstance(proc, str) else None)
+            cols["depth"].append(len(row["callpath"]))
+            # exclusive sum as HALF_UP cents (for the flat-profile
+            # view: integer sums are reduction-order independent)
+            se = _clean(row[f"{base}:Sum (E)"])
+            cols["sum_e_c"].append(
+                None if se is None else int(math.floor(se * 100 + 0.5)))
             cols["sum_i"].append(_clean(row[f"{base}:Sum (I)"]))
             cols["mean_i"].append(_clean(row[pct]))
             sd = row[f"{base}:StdDev (I)"]
@@ -121,6 +131,9 @@ def main() -> None:
         "stddev_im": pa.array(cols["stddev_im"], pa.int64()),
         "ratio_total": pa.array(cols["ratio_total"], pa.float64()),
         "ratio_parent": pa.array(cols["ratio_parent"], pa.float64()),
+        "procedure": pa.array(cols["procedure"], pa.string()),
+        "depth": pa.array(cols["depth"], pa.int64()),
+        "sum_e_c": pa.array(cols["sum_e_c"], pa.int64()),
     })
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     pq.write_table(table, OUT)
