@@ -87,9 +87,10 @@ def main() -> None:
     # to a median-of-3; the expensive tail keeps one sample (its
     # relative noise is smaller and 3x would add minutes).
     for name, q in REGISTRY.items():
-        if name == "cct_xml_ingest":
-            # correctness-gate query over the reference's own XMLs; it
-            # ignores sf_dir, and its workload is exactly what
+        if name in ("cct_xml_ingest", "cct_flat_profile",
+                    "cct_callers_view"):
+            # correctness-gate queries over the reference's own XMLs;
+            # they ignore sf_dir, and their workload is exactly what
             # xml_load_hot_path above already measures
             continue
         samples = []

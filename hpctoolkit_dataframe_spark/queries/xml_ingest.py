@@ -110,3 +110,59 @@ def cct_flat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
                  F.sum("sum_e_c").cast("long").alias("excl_cents"),
                  F.max("depth").cast("long").alias("max_depth")))
+
+
+@register("cct_callers_view", sql=f"""
+WITH f AS (SELECT * FROM read_parquet('{FIXTURE}')),
+x AS (
+  SELECT experiment, procedure, sum_e_c,
+         CASE WHEN depth >= 2
+                THEN CAST(string_split(callpath, '/')[depth - 1] AS BIGINT)
+              WHEN depth = 1 THEN -1
+              ELSE NULL END AS parent_id
+  FROM f
+)
+SELECT x.experiment,
+       p.procedure AS caller,
+       x.procedure AS callee,
+       CAST(COUNT(*) AS BIGINT) AS n_sites,
+       CAST(SUM(x.sum_e_c) AS BIGINT) AS excl_cents
+FROM x LEFT JOIN f p
+  ON p.experiment = x.experiment AND p.id = x.parent_id
+GROUP BY x.experiment, p.procedure, x.procedure""")
+def cct_callers_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hpcviewer CALLERS VIEW: each node's exclusive metric
+    attributed to its (caller procedure, callee procedure) edge — the
+    bottom-up complement of cct_flat_profile (flat) and the CCT
+    queries (top-down).  Caller resolution is a self-join on the
+    parent id (second-to-last callpath element; -1 for depth-1 nodes,
+    whose parent is the root).  Same determinism recipe as the flat
+    view: HALF_UP cents per node, integer sums."""
+    from ..sources.hpctoolkit_xml import load_experiments
+
+    out = None
+    for name, path in EXPERIMENTS.items():
+        df, meta = load_experiments(spark, path)
+        pct = meta.meaningful_columns["percentage"]
+        base = pct[: -len(_MEAN_SUFFIX)]
+        depth = F.size("callpath")
+        part = df.select(
+            F.lit(name).alias("experiment"),
+            F.col("id").cast("long").alias("id"),
+            F.col("procedure"),
+            F.when(depth >= 2, F.try_element_at("callpath", F.lit(-2)))
+            .when(depth == 1, F.lit(-1))
+            .otherwise(F.lit(None)).cast("long").alias("parent_id"),
+            F.floor(F.col(f"`{base}:Sum (E)`") * 100 + 0.5).cast("long")
+            .alias("sum_e_c"))
+        out = part if out is None else out.unionByName(part)
+    parents = out.select(F.col("experiment").alias("p_exp"),
+                         F.col("id").alias("p_id"),
+                         F.col("procedure").alias("caller"))
+    return (out.join(parents,
+                     (F.col("experiment") == F.col("p_exp"))
+                     & (F.col("parent_id") == F.col("p_id")), "left")
+            .groupBy("experiment", "caller",
+                     F.col("procedure").alias("callee"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sites"),
+                 F.sum("sum_e_c").cast("long").alias("excl_cents")))
