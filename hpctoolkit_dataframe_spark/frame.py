@@ -18,7 +18,7 @@ import functools
 from collections.abc import Sequence
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import cct as _cct
 
@@ -186,3 +186,42 @@ class HPCtoolkitDataFrame:
             column = f"{pct} ratio of parent"
         return flame_graph(self._df, column=column,
                            title=self._meta.db_path or "", **kwargs)
+
+    def _exclusive_column(self, base_column: str | None) -> str:
+        if base_column is None:
+            pct = self._meta.meaningful_columns["percentage"]
+            base_column = f"{pct[: -len(':Mean (I)')]}:Sum (E)"
+        assert base_column in self._df.columns, (base_column,
+                                                 self._df.columns)
+        return base_column
+
+    def flat_profile(self, base_column: str | None = None) -> DataFrame:
+        """hpcviewer FLAT VIEW: total exclusive metric per procedure
+        regardless of calling context (inclusive sums would
+        double-count ancestor chains).  Defaults to the elected
+        family's ``:Sum (E)`` column.  One low-cardinality shuffle."""
+        base_column = self._exclusive_column(base_column)
+        return (self._df.groupBy("procedure")
+                .agg(F.count(F.lit(1)).alias("n_nodes"),
+                     F.sum(f"`{base_column}`").alias(base_column),
+                     F.max(F.size("callpath")).alias("max_depth")))
+
+    def callers_view(self, base_column: str | None = None) -> DataFrame:
+        """hpcviewer CALLERS VIEW: exclusive metric attributed to each
+        (caller procedure, callee procedure) edge — parent resolved by
+        a self-join on the second-to-last callpath element."""
+        base_column = self._exclusive_column(base_column)
+        depth = F.size("callpath")
+        x = self._df.select(
+            "id", F.col("procedure"),
+            F.when(depth >= 2, F.try_element_at("callpath", F.lit(-2)))
+            .when(depth == 1, F.lit(-1))
+            .otherwise(F.lit(None)).cast("long").alias("__parent_id"),
+            F.col(f"`{base_column}`").alias("__v"))
+        parents = x.select(F.col("id").alias("__p_id"),
+                           F.col("procedure").alias("caller"))
+        return (x.join(parents, F.col("__parent_id") == F.col("__p_id"),
+                       "left")
+                .groupBy("caller", F.col("procedure").alias("callee"))
+                .agg(F.count(F.lit(1)).alias("n_sites"),
+                     F.sum("__v").alias(base_column)))

@@ -272,3 +272,29 @@ def test_fast_and_distributed_paths_agree(spark, tmp_path):
                key=lambda t: t[idx])
     assert len(a) == 3454
     assert a == b
+
+
+def test_flat_profile_and_callers_view(exp1):
+    """The view trio's accounting identities: one structural layer's
+    exclusive totals reconstruct the root's inclusive value (each of
+    statement/frame covers all samples once; rel tolerance covers the
+    source data's own few-microsecond inconsistency), and the callers
+    view is a refinement of the flat view (same per-callee totals)."""
+    base = "CPUTIME (usec):Sum (E)"
+    flat = exp1.flat_profile().collect()
+    root_i = exp1.at_depth(0).df.select(
+        "`CPUTIME (usec):Sum (I)`").first()[0]
+    stmt_total = exp1.df.filter(F.col("type") == "statement").agg(
+        F.sum(f"`{base}`")).first()[0]
+    assert stmt_total == pytest.approx(root_i, rel=1e-5)
+    assert sum(r["n_nodes"] for r in flat) == 3454
+
+    callers = exp1.callers_view().collect()
+    assert sum(r["n_sites"] for r in callers) == 3454
+    by_callee: dict = {}
+    for r in callers:
+        k = r["callee"]
+        by_callee[k] = by_callee.get(k, 0.0) + (r[base] or 0.0)
+    for r in flat:
+        assert by_callee.get(r["procedure"], 0.0) == \
+            pytest.approx(r[base] or 0.0, rel=1e-9, abs=1e-6)
