@@ -54,6 +54,15 @@ def main() -> None:
     except ImportError as e:
         print(f"skipped rendering: {e}")
 
+    # the other two hpcviewer views (top-down is the CCT itself)
+    print("flat view (top procedures by exclusive time):")
+    excl = f"{pct[: -len(':Mean (I)')]}:Sum (E)"
+    h.flat_profile().orderBy(F.desc_nulls_last(f"`{excl}`")).show(
+        5, truncate=40)
+    print("callers view (top caller->callee edges):")
+    h.callers_view().orderBy(F.desc_nulls_last(f"`{excl}`")).show(
+        5, truncate=30)
+
     # the official scan API: same parser as a registered Spark format
     from hpctoolkit_dataframe_spark.sources import datasource
 
