@@ -238,3 +238,53 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("exact_dup"),
                     F.coalesce(F.col("near_dup"), F.lit(0))
                     .cast("int").alias("near_dup")))
+
+
+# ---------------------------------------------------------------------------
+# split leakage: decontaminate (shaping.py) guards n-gram overlap with
+# a benchmark; this guards NEAR-DUP leakage across a train/eval hash
+# split — an eval doc whose near-duplicate sits in train inflates
+# scores just as surely as a verbatim leak.  Composes the capped LSH
+# pair pipeline with the same content-independent hash split as
+# incremental_dedup; output is the one-row audit a pipeline publishes
+# next to its split definition.
+# ---------------------------------------------------------------------------
+_SPLIT_SQL = (f"SELECT doc_id, {hash8_sql('CAST(doc_id AS VARCHAR)')} "
+              f"% {DELTA_MOD} AS b FROM documents")
+
+_LEAKAGE_SQL = f"""
+WITH lpairs AS ({_PAIRS_SQL}),
+s AS ({_SPLIT_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs,
+       CAST(SUM(CASE WHEN (sa.b = 0) != (sb.b = 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS cross_pairs,
+       CAST(SUM(CASE WHEN sa.b = 0 AND sb.b = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS eval_internal_pairs
+FROM lpairs p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+"""
+
+
+@register("split_leakage_report", sql=_LEAKAGE_SQL, doc="""
+One-row audit of near-dup leakage across the train/eval hash split:
+how many LSH candidate pairs cross the boundary (leaked eval content)
+vs sit inside each side.""")
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    doc_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+    split = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (doc_hash % DELTA_MOD == 0).alias("is_eval"))
+    a = split.select(F.col("doc_id").alias("doc_a"),
+                     F.col("is_eval").alias("eval_a"))
+    b = split.select(F.col("doc_id").alias("doc_b"),
+                     F.col("is_eval").alias("eval_b"))
+    j = pairs.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("total_pairs"),
+        F.sum((F.col("eval_a") != F.col("eval_b")).cast("int"))
+        .cast("long").alias("cross_pairs"),
+        F.sum((F.col("eval_a") & F.col("eval_b")).cast("int"))
+        .cast("long").alias("eval_internal_pairs"))
