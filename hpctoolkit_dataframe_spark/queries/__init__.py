@@ -52,6 +52,15 @@ def hash8_sql(expr: str) -> str:
         for k in range(8)) + ")"
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable cache key for per-session DataFrame memoization.
+    ``id(spark)`` is unsafe — CPython reuses object ids after GC, so a
+    new session can alias a stale entry holding a localCheckpoint'ed
+    DataFrame bound to a stopped SparkContext.  ``applicationId`` is
+    unique per live context."""
+    return spark.sparkContext.applicationId
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                spread: bool = False) -> DataFrame:
     """Read one testdata parquet table.

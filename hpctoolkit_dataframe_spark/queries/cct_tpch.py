@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import cct as ops
-from . import hash8_sql, load_table, register
+from . import hash8_sql, load_table, register, session_key
 
 REGION_OFF = 1
 NATION_OFF = 10
@@ -91,7 +91,7 @@ def build_cct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares one build, exactly like a materialized view a real
     deployment would maintain.
     """
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _CCT_CACHE.get(key)
     if cached is not None:
         return cached

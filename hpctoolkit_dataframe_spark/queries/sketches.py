@@ -33,8 +33,10 @@ state is ~1.5KB regardless of cardinality, vs. an exact distinct's
 full value shuffle.""")
 def approx_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # ts is LONG nanoseconds (nanosAsLong contract, CLAUDE.md)
-    day = (F.col("ts") / F.lit(86_400_000_000_000)).cast("long")
+    # ts is LONG nanoseconds (nanosAsLong contract, CLAUDE.md).  Exact
+    # integer div — a double division has ~256ns ULP at epoch-nanos
+    # magnitude, enough to mis-bucket boundary timestamps.
+    day = F.expr("ts div 86400000000000")
     return (ev.groupBy(day.alias("day"))
             .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD)
                  .cast("long").alias("approx_users"),
@@ -73,7 +75,7 @@ registers yields the SAME registers as sketching the week directly
 (pinned by test_sketches.py).""")
 def approx_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    day = (F.col("ts") / F.lit(86_400_000_000_000)).cast("long")
+    day = F.expr("ts div 86400000000000")
     daily = (ev.groupBy(day.alias("day"))
              .agg(F.hll_sketch_agg("user_id").alias("sk"),
                   F.count(F.lit(1)).cast("long").alias("n_events")))

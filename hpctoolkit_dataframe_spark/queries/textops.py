@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from . import hash8_sql, load_table, register
+from . import hash8_sql, load_table, register, session_key
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 N_HASHES = 8
@@ -229,7 +229,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpointed band-key table is memoized per (session, sf_dir)
     # like build_cct: dedup_clusters and training_shard_manifest re-run
     # this pipeline, and the materialized keys are the shared prefix
-    cache_key = (id(spark), sf_dir)
+    cache_key = (session_key(spark), sf_dir)
     keys = _KEYS_CACHE.get(cache_key)
     if keys is None:
         sig = minhash_signatures(spark, sf_dir)

@@ -25,7 +25,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import load_table, register
+from . import load_table, register, session_key
 
 QUANT = 10_000
 N_QUERIES = 5
@@ -294,7 +294,7 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # like textops' band keys: embedding_dup_clusters and repeated bench
     # samples re-enter this pipeline, and the quantization + 8 plane
     # dots per vector are its shared prefix
-    cache_key = (id(spark), sf_dir)
+    cache_key = (session_key(spark), sf_dir)
     bucketed = _BUCKETED_CACHE.get(cache_key)
     if bucketed is None:
         emb = load_table(spark, sf_dir, "embeddings").select(

@@ -24,16 +24,37 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    # on disk: microsecond TIMESTAMP (current testdata vintage);
-    # normalized to LONG nanos right after read (see queries/__init__)
-    T.StructField("ts", T.TimestampNTZType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def events_schema(sf_dir: str | None = None) -> T.StructType:
+    """Read schema for the events stream.  ``ts`` on disk has changed
+    vintage across testdata generations (int64 nanos through r2,
+    microsecond TIMESTAMP from r4) — a streaming source must pin a fixed
+    read schema, so sniff the parquet footer of the actual file and pick
+    the matching ``ts`` type; either vintage is then normalized to the
+    LONG-nanos contract by ``normalize_events``.  Defaults to the
+    current-vintage TIMESTAMP when no file is available to sniff."""
+    ts_type: T.DataType = T.TimestampNTZType()
+    if sf_dir is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            arrow_t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+            if str(arrow_t).startswith("int") or str(arrow_t) == "timestamp[ns]":
+                # nanos vintage: read as LONG via nanosAsLong
+                ts_type = T.LongType()
+        except Exception:
+            pass
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+# current-vintage default (microsecond TIMESTAMP ts)
+EVENTS_SCHEMA = events_schema()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
@@ -43,7 +64,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     register_module_by_value(__name__)  # stateful fn runs worker-side
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(sf_dir))
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:

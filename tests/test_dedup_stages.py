@@ -63,8 +63,12 @@ def test_incremental_dedup_flag_semantics(spark):
         return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8],
                    16) % DELTA_MOD
     delta_ids = {r["doc_id"] for r in out}
-    assert delta_ids == {d for d in docs if bucket(d) == 0}
-    corpus_texts = {t for d, t in docs.items() if bucket(d) != 0}
+    # the query contract excludes NULL-text docs (isNotNull filter /
+    # simhash-CTE join) — mirror that in the expected set
+    assert delta_ids == {d for d, t in docs.items()
+                         if t is not None and bucket(d) == 0}
+    corpus_texts = {t for d, t in docs.items()
+                    if t is not None and bucket(d) != 0}
     for r in out:
         # exact flag == literal text membership in the corpus split
         assert r["exact_dup"] == int(docs[r["doc_id"]] in corpus_texts)

@@ -59,7 +59,7 @@ def test_weekly_merge_is_lossless_and_bounded(spark):
     rows = {r["week"]: r for r in
             REGISTRY["approx_weekly_from_daily"].fn(spark, SF_DIR).collect()}
     ev = load_table(spark, SF_DIR, "events")
-    week = F.expr("cast(ts / 86400000000000 as long) div 7")
+    week = F.expr("(ts div 86400000000000) div 7")
     direct = {r["week"]: r["direct"] for r in
               ev.groupBy(week.alias("week"))
               .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
