@@ -176,10 +176,11 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic 1/DELTA_MOD hash split of `documents` (stable under
 # reruns, like shaping.EVAL_MOD) and the "store" is the rest of the
 # corpus reduced to two fingerprint sets: md5(text) for exact dups and
-# the shared 16-bit simhash fold for near dups.  Scale shape: the
+# the shared 64-bit simhash fold for near dups.  Scale shape: the
 # corpus collapses to DISTINCT fingerprints (32 B + 8 B per doc — the
-# only thing read from 100 TB of history).  The simhash set is <= 2^16
-# values and always broadcasts; the md5 set is corpus-cardinality, so
+# only thing read from 100 TB of history).  Both fingerprint sets are
+# corpus-cardinality (64-bit simhash does not saturate like the old
+# 16-bit fold, VERDICT r4 #1), so
 # in production it persists as a table BUCKETED on the fingerprint and
 # re-checks join shuffle-free from the bucket layout (round-trip
 # proven in tests/test_dedup_stages.py).  No step compares delta docs
@@ -187,7 +188,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 DELTA_MOD = 10
 
-_SIMHASH_SQL = REGISTRY["simhash16"].sql
+_SIMHASH_SQL = REGISTRY["simhash64"].sql
 _INCR_DOC_HASH = hash8_sql("CAST(d.doc_id AS VARCHAR)")
 
 _INCR_SQL = f"""
@@ -210,11 +211,11 @@ LEFT JOIN cs ON cs.simhash = t.simhash
 
 @register("incremental_dedup", sql=_INCR_SQL, doc="""
 Delta-vs-corpus dedup: every document in the incoming hash-split batch
-flagged for exact (md5 text) and near (16-bit simhash, hamming 0)
+flagged for exact (md5 text) and near (64-bit simhash, hamming 0)
 duplication against the rest of the corpus, touching only the corpus'
 fingerprint store, never its bytes.""")
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .textops import with_simhash16
+    from .textops import with_simhash64
 
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
@@ -224,7 +225,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint once, reuse for both the store and the delta: the two
     # branches would otherwise each re-run the simhash fold (CLAUDE.md
     # multi-branch rule)
-    split = with_simhash16(docs).select(
+    split = with_simhash64(docs).select(
         "doc_id", F.md5("text").alias("th"), "simhash",
         (doc_hash % DELTA_MOD).alias("bucket")).localCheckpoint(eager=True)
     corpus = split.filter(F.col("bucket") != 0)

@@ -20,6 +20,7 @@ next lever at larger scale).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -480,9 +481,16 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit) document fingerprint from token md5 nibbles
+# SimHash (64-bit) document fingerprint from token md5 nibbles.
+#
+# WIDTH MATTERS AT SCALE (VERDICT r4 #1): the earlier 16-bit fold had
+# only 2^16 distinct fingerprints, so hamming-0 "near dup" saturates to
+# always-true past ~10^5 docs.  64 bits keeps the birthday-collision
+# rate negligible at 10^9+ documents.  The value is the SIGNED 64-bit
+# reinterpretation (bit 63 = sign) so it stays BIGINT-exact in both
+# engines.
 # ---------------------------------------------------------------------------
-@register("simhash16", sql=f"""
+SIMHASH_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents
 ),
@@ -493,59 +501,91 @@ bits AS (
                        substr(md5(t), CAST(j // 4 + 1 AS BIGINT), 1)) - 1)
                  // CAST(power(2, j % 4) AS BIGINT)) % 2 = 1
              THEN 1 ELSE -1 END) AS s
-  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN s >= 0
-                     THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN s < 0 THEN 0
+                     WHEN j = 63 THEN -9223372036854775808
+                     ELSE CAST(power(2, j) AS HUGEINT) END) AS BIGINT)
          AS simhash
-FROM bits GROUP BY doc_id""")
-def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fully narrow: one md5 per token, 16 per-row array aggregates, no
-    explode / crossJoin / shuffle (VERDICT r1 #2 replaced a 16x
-    crossJoin + two shuffled groupBys).  The first 4 hex chars of
-    md5(token) hold exactly the 16 bits the oracle's nibble arithmetic
-    reads, so each token folds to one small int and the bit tests become
-    literal shifts."""
+FROM bits GROUP BY doc_id"""
+
+
+@register("simhash64", sql=SIMHASH_SQL)
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash over whitespace tokens.  Hashing is JVM-side (one
+    md5 per token folded to a signed 64-bit long, narrow transform); the
+    64-lane ±1 bit-count fold runs as a vectorized Arrow UDF — the
+    winnow-class exception to the no-Python rule: 64 Column-lambda
+    aggregates would run interpreted per element (CLAUDE.md), while the
+    numpy fold is exact int64 math at a fraction of the cost.  Zero
+    exchanges either way (plan-asserted)."""
     # NULL text: the oracle's unnest emits no rows for that doc, so the
     # doc must be absent here too (split(NULL) would otherwise fold to
-    # a simhash-0 row)
+    # an all-ones row)
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
-    return with_simhash16(docs, "text").select("doc_id", "simhash")
+    return with_simhash64(docs, "text").select("doc_id", "simhash")
 
 
-def with_simhash16(df: DataFrame, text_col: str = "text",
+# bit j of the fingerprint reads md5 hex char j//4+1 (1-based), nibble
+# bit j%4 — i.e. shift 4*(15 - j//4) + j%4 of the 64-bit md5 prefix —
+# matching the oracle's instr()-nibble arithmetic exactly
+_SIMHASH_SHIFTS = (4 * (15 - np.arange(64) // 4)
+                   + np.arange(64) % 4).astype(np.uint64)
+
+
+def _np_simhash64(vs) -> int:
+    """Exact int64 simhash fold of per-token 64-bit md5 prefixes."""
+    a = np.asarray(vs, dtype=np.int64)
+    n = a.shape[0]
+    if n == 0:
+        return -1  # every bit-sum is 0 >= 0 -> all 64 bits set
+    ones = ((a.view(np.uint64)[:, None] >> _SIMHASH_SHIFTS[None, :])
+            & np.uint64(1)).astype(np.int64).sum(axis=0)
+    bits = (2 * ones - n >= 0).astype(np.uint64)
+    packed = int((bits << np.arange(64, dtype=np.uint64))
+                 .sum(dtype=np.uint64))
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+
+def _simhash_fold_udf():
+    # created lazily: parsing the DDL return type at import time would
+    # require an active SparkSession (CLAUDE.md)
+    from pyspark.sql import types as T
+
+    def fold(vs: pd.Series) -> pd.Series:
+        return vs.map(_np_simhash64)
+
+    return pandas_udf(fold, T.LongType())
+
+
+def with_simhash64(df: DataFrame, text_col: str = "text",
                    out: str = "simhash") -> DataFrame:
-    """Append the 16-bit simhash fingerprint of ``text_col`` — the one
-    shared fold used by the batch ``simhash16`` query and
-    ``streaming.streaming_simhash_dedup``, so the two cannot drift.
-    Works on batch and streaming frames alike (pure per-row Columns)."""
-    # v = int value of md5's first 4 hex chars; char at 1-based position
-    # p is the nibble (v >> 4*(4-p)) & 15, matching the oracle's
-    # instr('0123456789abcdef', substr(md5(t), j//4+1, 1)) - 1
-    vs = F.transform(
-        _tokens(text_col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
-    # project first so md5 runs once per token; the 16 aggregates below
-    # then re-traverse a small int array inside one codegen stage
-    df2 = df.withColumn("__vs", vs)
+    """Append the 64-bit simhash fingerprint of ``text_col`` — the one
+    shared fold used by the batch ``simhash64`` query, the incremental
+    dedup flag, and ``streaming.streaming_simhash_dedup``, so they
+    cannot drift.  Works on batch and streaming frames alike (per-row
+    scalar Arrow UDF over a JVM-hashed token array)."""
+    from .._pickle import register_module_by_value
 
-    def bit_sum(j):
-        shift = 4 * (3 - j // 4) + j % 4
-        return F.aggregate(
-            "__vs", F.lit(0).cast("long"),
-            lambda acc, v: acc + F.when(
-                F.shiftright(v, shift) % 2 == 1,
-                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
+    register_module_by_value(__name__)  # fold runs worker-side
 
-    simhash = None
-    for j in range(16):
-        term = F.when(bit_sum(j) >= 0, F.lit(1 << j).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return df2.withColumn(out, simhash.cast("long")).drop("__vs")
+    def tok_v64(t):
+        # signed-long reconstruction of md5's first 16 hex chars: the
+        # two 32-bit halves recombine as hi_signed*2^32 + lo, which
+        # never overflows a long (ANSI mode would throw if it did)
+        h = F.md5(t)
+        hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        hi_s = hi - F.when(hi >= F.lit(1 << 31).cast("long"),
+                           F.lit(1 << 32).cast("long")).otherwise(
+                               F.lit(0).cast("long"))
+        return hi_s * F.lit(1 << 32).cast("long") + lo
+
+    vs = F.transform(_tokens(text_col), tok_v64)
+    return df.withColumn(out, _simhash_fold_udf()(vs))
 
 
 # ---------------------------------------------------------------------------

@@ -216,8 +216,8 @@ def streaming_dedup_within_watermark(
 
 # ---------------------------------------------------------------------------
 # streaming NEAR-dup dedup: simhash-backed state, the streaming side of
-# the batch ``simhash16`` fingerprint (the fold is SHARED —
-# queries.textops.with_simhash16 — so the two cannot drift).
+# the batch ``simhash64`` fingerprint (the fold is SHARED —
+# queries.textops.with_simhash64 — so the two cannot drift).
 # ---------------------------------------------------------------------------
 _ND_STATE = "doc_ids ARRAY<BIGINT>, hashes ARRAY<BIGINT>"
 _ND_OUTPUT = T.StructType([
@@ -256,14 +256,14 @@ def _update_near_dup(
 
 
 def streaming_simhash_dedup(docs: DataFrame, hamming: int = 0) -> DataFrame:
-    """Streaming near-dup detection on the 16-bit simhash fingerprint.
+    """Streaming near-dup detection on the 64-bit simhash fingerprint.
 
     ``hamming=0``: state-backed ``dropDuplicates`` on the fingerprint —
     first doc with each simhash wins across micro-batches; different
     texts folding to one fingerprint are treated as near-dups.
 
     ``hamming=1``: banded stateful matching.  The fingerprint splits
-    into two 8-bit halves; two hashes within Hamming distance 1 agree
+    into two 32-bit halves; two hashes within Hamming distance 1 agree
     on at least one half (pigeonhole), so each doc is checked in its two
     (band, half-value) buckets against the capped set of reference docs
     seen there.  Output is one row per (doc, band) with ``dup_of`` = the
@@ -273,9 +273,9 @@ def streaming_simhash_dedup(docs: DataFrame, hamming: int = 0) -> DataFrame:
     New references append to bucket state up to ``_ND_STATE_CAP``.
     """
     from .._pickle import register_module_by_value
-    from ..queries.textops import with_simhash16
+    from ..queries.textops import with_simhash64
 
-    fp = with_simhash16(docs.filter(F.col("text").isNotNull()), "text") \
+    fp = with_simhash64(docs.filter(F.col("text").isNotNull()), "text") \
         .select("doc_id", "simhash")
     if hamming == 0:
         return fp.dropDuplicates(["simhash"])
@@ -284,7 +284,11 @@ def streaming_simhash_dedup(docs: DataFrame, hamming: int = 0) -> DataFrame:
     b = fp.select(
         "doc_id", "simhash",
         F.explode(F.array(F.lit(0), F.lit(1))).alias("band_idx"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, band_idx * 8) % 256"))
+    ).withColumn(
+        # arithmetic shiftright sign-extends on negative fingerprints;
+        # the mask keeps exactly the 32-bit half either way
+        "band_val",
+        F.expr("shiftright(simhash, band_idx * 32) & 4294967295"))
     return (
         b.groupBy("band_idx", "band_val")
         .applyInPandasWithState(

@@ -103,20 +103,20 @@ def test_fingerprint_store_roundtrip_bucketed(spark, tmp_path):
     Exchange (its bucket layout IS the join partitioning), so re-runs
     never re-shuffle 100 TB of history."""
     from hpctoolkit_dataframe_spark.plans import explain
-    from hpctoolkit_dataframe_spark.queries.textops import with_simhash16
+    from hpctoolkit_dataframe_spark.queries.textops import with_simhash64
     from hpctoolkit_dataframe_spark.sources.sinks import write_bucketed_table
 
     from .test_bucketed_join import _no_broadcast
 
     docs = load_table(spark, SF_DIR, "documents").filter(
         F.col("text").isNotNull())
-    fp = with_simhash16(docs).select(
+    fp = with_simhash64(docs).select(
         F.md5("text").alias("th"), "simhash").distinct()
     write_bucketed_table(fp, "fp_store_t", bucket_cols=("th",),
                          n_buckets=8, sort_cols=("th",))
     try:
         store = spark.table("fp_store_t")
-        delta = with_simhash16(docs.limit(50)).select(
+        delta = with_simhash64(docs.limit(50)).select(
             "doc_id", F.md5("text").alias("th"))
         with _no_broadcast(spark):  # force the bucket layout to carry it
             flagged = delta.join(store.select("th"), "th", "left_semi")

@@ -110,19 +110,22 @@ def test_lsh_near_dup_prunes_before_selfjoin(spark):
     assert m.start() < semi
 
 
-def test_simhash16_is_narrow(spark):
+def test_simhash64_is_narrow(spark):
     """No explode/crossJoin/shuffle: the fingerprint folds per-row
-    (VERDICT r1 #2)."""
-    df = REGISTRY["simhash16"].fn(spark, SF_DIR)
+    (VERDICT r1 #2).  The 64-lane bit-count is the winnow-class Arrow
+    exception (exactly ONE vectorized UDF; hashing stays JVM-side —
+    VERDICT r4 #2 widened the fold from 16 to 64 bits)."""
+    df = REGISTRY["simhash64"].fn(spark, SF_DIR)
     plan = explain.executed_plan(df)
     assert "CartesianProduct" not in plan and "Generate" not in plan
     assert explain.exchange_count(df) == 0
-    assert explain.python_udf_count(df) == 0
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
 def test_headline_queries_no_python_udfs(spark):
     for name in ("q1_pricing_summary", "doc_stats", "minhash_signatures",
-                 "simhash16", "knn_cosine", "events_sessions"):
+                 "repetition_ratio", "knn_cosine", "events_sessions"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         assert explain.python_udf_count(df) == 0, name
 
@@ -226,11 +229,12 @@ def test_cct_diff_single_rollup_shuffle(spark):
 
 
 def test_incremental_dedup_fingerprints_broadcast(spark):
-    """The delta joins two DISTINCT fingerprint sets.  The simhash set
-    is <= 2^16 values — always broadcastable.  The md5 set broadcasts
-    at test scale; at corpus scale it is the persisted bucketed
+    """The delta joins two DISTINCT fingerprint sets.  Both broadcast
+    at test scale; at corpus scale they are the persisted bucketed
     fingerprint store instead (tests/test_dedup_stages.py round-trip),
-    where the store side joins shuffle-free from its bucket layout."""
+    where the store side joins shuffle-free from its bucket layout.
+    The simhash fold's Arrow UDF runs inside the eager localCheckpoint,
+    so the returned plan itself stays Python-free."""
     df = REGISTRY["incremental_dedup"].fn(spark, SF_DIR)
     strategies = explain.join_strategies(df)
     assert strategies["broadcast_hash"] >= 2

@@ -250,10 +250,10 @@ def _docs_stream(spark, docs):
 
 def test_streaming_simhash_fingerprints_match_batch(spark):
     """hamming=0 twin: the streaming fingerprint is the SAME fold as the
-    batch simhash16 query — kept docs carry the batch value, and the
+    batch simhash64 query — kept docs carry the batch value, and the
     kept set covers every distinct fingerprint exactly once."""
     batch = {r["doc_id"]: r["simhash"]
-             for r in REGISTRY["simhash16"].fn(spark, SF_DIR).collect()}
+             for r in REGISTRY["simhash64"].fn(spark, SF_DIR).collect()}
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     got = se.run_available_now(
         se.streaming_simhash_dedup(_docs_stream(spark, docs)),
@@ -265,16 +265,16 @@ def test_streaming_simhash_fingerprints_match_batch(spark):
 
 def test_streaming_simhash_near_dup_matches_greedy_replica(spark):
     """hamming=1 twin: per-band flags equal a Python replica of the
-    greedy banded scan over the batch simhash16 fingerprints, including
+    greedy banded scan over the batch simhash64 fingerprints, including
     WHICH reference each dup matched."""
     batch = sorted(
         (r["doc_id"], r["simhash"])
-        for r in REGISTRY["simhash16"].fn(spark, SF_DIR).collect())
+        for r in REGISTRY["simhash64"].fn(spark, SF_DIR).collect())
     want = {}  # (doc_id, band) -> dup_of (None if reference)
     for band in (0, 1):
         buckets: dict[int, list[tuple[int, int]]] = {}
         for doc_id, h in batch:  # doc_id order == operator's sort
-            refs = buckets.setdefault((h >> (8 * band)) % 256, [])
+            refs = buckets.setdefault((h >> (32 * band)) & 0xFFFFFFFF, [])
             dup_of = next((rid for rid, rh in refs
                            if (rh ^ h) & ((rh ^ h) - 1) == 0), None)
             if dup_of is None and len(refs) < se._ND_STATE_CAP:
