@@ -215,19 +215,10 @@ flagged for exact (md5 text) and near (64-bit simhash, hamming 0)
 duplication against the rest of the corpus, touching only the corpus'
 fingerprint store, never its bytes.""")
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .textops import with_simhash64
-
-    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
-        F.col("text").isNotNull())
-    doc_hash = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-        16, 10).cast("long")
     # fingerprint once, reuse for both the store and the delta: the two
     # branches would otherwise each re-run the simhash fold (CLAUDE.md
     # multi-branch rule)
-    split = with_simhash64(docs).select(
-        "doc_id", F.md5("text").alias("th"), "simhash",
-        (doc_hash % DELTA_MOD).alias("bucket")).localCheckpoint(eager=True)
+    split = fingerprint_split(spark, sf_dir)
     corpus = split.filter(F.col("bucket") != 0)
     ce = corpus.select("th").distinct().withColumn("exact_dup", F.lit(1))
     cs = (corpus.select("simhash").distinct()
@@ -239,6 +230,143 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("exact_dup"),
                     F.coalesce(F.col("near_dup"), F.lit(0))
                     .cast("int").alias("near_dup")))
+
+
+# ---------------------------------------------------------------------------
+# snapshot-RESUMABLE incremental dedup (VERDICT r4 #5): the store is no
+# longer recomputed per run — it persists as a managed table BUCKETED on
+# the exact-dup fingerprint, run N+1 reads only that table plus the new
+# batch (zero corpus bytes, plan-asserted in tests/test_dedup_stages.py),
+# and each run appends the batch's previously-unseen fingerprints so the
+# next run resumes from the grown snapshot.  The registry query drives a
+# real two-batch sequence through the store; its oracle states the same
+# sequence declaratively (batch 1 checks against buckets >= 2, batch 2
+# against buckets >= 1 — i.e. the appended store).
+# ---------------------------------------------------------------------------
+FP_STORE_TABLE = "incr_fp_store"
+FP_STORE_BUCKETS = 8
+
+
+def fingerprint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, th, simhash, bucket) for every non-NULL-text document,
+    materialized once (the store build and every batch reuse it)."""
+    from .textops import with_simhash64
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    doc_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long")
+    return with_simhash64(docs).select(
+        "doc_id", F.md5("text").alias("th"), "simhash",
+        (doc_hash % DELTA_MOD).alias("bucket")).localCheckpoint(eager=True)
+
+
+def write_fingerprint_store(fps: DataFrame, table: str = FP_STORE_TABLE,
+                            n_buckets: int = FP_STORE_BUCKETS) -> None:
+    """Initialize the persistent store: DISTINCT (th, simhash) rows,
+    bucketed+sorted on th so exact-dup joins read bucket-aligned."""
+    from ..sources.sinks import write_bucketed_table
+
+    write_bucketed_table(fps.select("th", "simhash").distinct(), table,
+                         bucket_cols=("th",), n_buckets=n_buckets,
+                         sort_cols=("th",))
+
+
+def check_batch_against_store(spark: SparkSession, batch: DataFrame,
+                              table: str = FP_STORE_TABLE) -> DataFrame:
+    """Flag each batch doc for exact (th) / near (simhash) duplication
+    against the persisted store — the corpus' bytes are never read."""
+    store = spark.table(table)
+    ce = store.select("th").distinct().withColumn("exact_dup", F.lit(1))
+    cs = (store.select("simhash").distinct()
+          .withColumn("near_dup", F.lit(1)))
+    return (batch.join(ce, "th", "left").join(cs, "simhash", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("exact_dup"), F.lit(0))
+                    .cast("int").alias("exact_dup"),
+                    F.coalesce(F.col("near_dup"), F.lit(0))
+                    .cast("int").alias("near_dup")))
+
+
+def append_new_fingerprints(spark: SparkSession, batch: DataFrame,
+                            table: str = FP_STORE_TABLE,
+                            n_buckets: int = FP_STORE_BUCKETS) -> None:
+    """Grow the snapshot: append the batch's fingerprint PAIRS not yet
+    in the store (anti-join on th — the exact-dup key — keeps growth
+    bounded by genuinely-new content).  Appends preserve the bucket
+    spec, so later runs still join bucket-aligned."""
+    from ..sources.sinks import write_bucketed_table
+
+    store = spark.table(table)
+    new = (batch.select("th", "simhash").distinct()
+           .join(store.select("th"), "th", "left_anti"))
+    write_bucketed_table(new, table, bucket_cols=("th",),
+                         n_buckets=n_buckets, sort_cols=("th",),
+                         mode="append")
+    spark.catalog.refreshTable(table)
+
+
+def incremental_dedup_resume_frames(
+        spark: SparkSession, sf_dir: str,
+        table: str = FP_STORE_TABLE) -> tuple[DataFrame, DataFrame]:
+    """Run the two-batch store sequence; returns (batch-1 flags already
+    materialized, batch-2 flags still lazy — its executed plan proves
+    the store path never rescans the corpus)."""
+    split = fingerprint_split(spark, sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_fingerprint_store(split.filter(F.col("bucket") >= 2), table)
+    b1 = split.filter(F.col("bucket") == 1)
+    # materialize batch 1's flags BEFORE the append: they are defined
+    # against the pre-append snapshot, and a lazy plan executed later
+    # would see the appended files
+    out1 = check_batch_against_store(spark, b1, table) \
+        .localCheckpoint(eager=True)
+    append_new_fingerprints(spark, b1, table)
+    out2 = check_batch_against_store(
+        spark, split.filter(F.col("bucket") == 0), table)
+    return out1, out2
+
+
+_RESUME_SQL = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+split AS (
+  SELECT d.doc_id, md5(d.text) AS th, s.simhash,
+         {_INCR_DOC_HASH} % {DELTA_MOD} AS bucket
+  FROM documents d JOIN sh s ON s.doc_id = d.doc_id
+),
+ce1 AS (SELECT DISTINCT th FROM split WHERE bucket >= 2),
+cs1 AS (SELECT DISTINCT simhash FROM split WHERE bucket >= 2),
+ce2 AS (SELECT DISTINCT th FROM split WHERE bucket >= 1),
+cs2 AS (SELECT DISTINCT simhash FROM split WHERE bucket >= 1)
+SELECT t.doc_id, CAST(1 AS INTEGER) AS batch,
+       CAST(ce1.th IS NOT NULL AS INTEGER) AS exact_dup,
+       CAST(cs1.simhash IS NOT NULL AS INTEGER) AS near_dup
+FROM (SELECT doc_id, th, simhash FROM split WHERE bucket = 1) t
+LEFT JOIN ce1 ON ce1.th = t.th
+LEFT JOIN cs1 ON cs1.simhash = t.simhash
+UNION ALL
+SELECT t.doc_id, CAST(2 AS INTEGER) AS batch,
+       CAST(ce2.th IS NOT NULL AS INTEGER) AS exact_dup,
+       CAST(cs2.simhash IS NOT NULL AS INTEGER) AS near_dup
+FROM (SELECT doc_id, th, simhash FROM split WHERE bucket = 0) t
+LEFT JOIN ce2 ON ce2.th = t.th
+LEFT JOIN cs2 ON cs2.simhash = t.simhash
+"""
+
+
+@register("incremental_dedup_resume", sql=_RESUME_SQL, doc="""
+Two consecutive dedup runs through the PERSISTED bucketed fingerprint
+store: batch 1 (hash bucket 1) checks against the initial snapshot,
+its new fingerprints append, then batch 2 (bucket 0) checks against
+the grown snapshot — run N+1 reads only the store table plus its own
+batch, never corpus bytes.""")
+def incremental_dedup_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out1, out2 = incremental_dedup_resume_frames(spark, sf_dir)
+    one = F.lit(1).cast("int").alias("batch")
+    two = F.lit(2).cast("int").alias("batch")
+    return (out1.select("doc_id", one, "exact_dup", "near_dup")
+            .unionAll(out2.select("doc_id", two, "exact_dup", "near_dup")))
 
 
 # ---------------------------------------------------------------------------

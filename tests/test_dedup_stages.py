@@ -133,6 +133,35 @@ def test_fingerprint_store_roundtrip_bucketed(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS fp_store_t")
 
 
+def test_incremental_resume_batch2_zero_corpus_bytes(spark):
+    """VERDICT r4 #5: run N+1 of the snapshot-resumable dedup must read
+    ONLY the persisted store + its own batch.  Batch 2's executed plan
+    therefore contains no documents.parquet scan at all (the batch rows
+    come from the materialized split, the corpus side from the bucketed
+    table), and the append must be visible: re-checking batch 1 against
+    the grown snapshot flags every doc as an exact dup of itself."""
+    from hpctoolkit_dataframe_spark.plans import explain
+    from hpctoolkit_dataframe_spark.queries.dedup import (
+        check_batch_against_store, fingerprint_split,
+        incremental_dedup_resume_frames)
+
+    table = "fp_resume_t"
+    try:
+        out1, out2 = incremental_dedup_resume_frames(
+            spark, SF_DIR, table=table)
+        plan = explain.executed_plan(out2)
+        assert "documents.parquet" not in plan, plan
+        assert table in plan  # the corpus side IS the store table
+        assert out2.count() > 0 and out1.count() > 0
+        # append visibility: batch 1's own fingerprints are now stored
+        b1 = fingerprint_split(spark, SF_DIR).filter(F.col("bucket") == 1)
+        recheck = check_batch_against_store(spark, b1, table).collect()
+        assert recheck and all(r["exact_dup"] == 1 and r["near_dup"] == 1
+                               for r in recheck)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_events_loader_handles_both_ts_vintages(spark, tmp_path):
     """load_table must normalize BOTH on-disk ts vintages (int64 nanos
     through r2 testdata; microsecond TIMESTAMP from r4) to identical
