@@ -197,9 +197,17 @@ def _raw_schema(metric_ids: list[int]) -> T.StructType:
     return T.StructType(fields)
 
 
+def _expand_paths(path: str | list[str] | tuple[str, ...]) -> list[str]:
+    if isinstance(path, (list, tuple)):
+        return [f for p in path
+                for f in (sorted(_glob.glob(p)) if _glob.has_magic(p)
+                          else [p])]
+    return sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+
+
 def load_experiments(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     *,
     max_depth: int | None = None,
     skip_callsite: bool = True,
@@ -209,10 +217,11 @@ def load_experiments(
 ) -> tuple[DataFrame, CCTMetadata]:
     """Load one or many experiment XMLs into a single wide DataFrame.
 
-    ``path`` may be a file or a glob; every matched file must share the
-    first file's MetricTable ids (heterogeneous metric sets should be
-    loaded separately and unioned — same contract as the reference,
-    which is strictly one file per frame, :159).
+    ``path`` may be a file, a glob, or a list of either; every matched
+    file must share the first file's MetricTable ids (heterogeneous
+    metric sets go through ``union_heterogeneous``, which aligns them —
+    this strict mode mirrors the reference's one-file-per-frame
+    contract, :159).
 
     ``on_error``: 'fail' (reference behavior — any malformed file aborts
     the job) or 'skip' (fleet mode: a corrupt file contributes zero rows
@@ -220,9 +229,9 @@ def load_experiments(
     kill the ingest).
     """
     assert on_error in ("fail", "skip"), on_error
-    first = sorted(_glob.glob(path)) if _glob.has_magic(path) else [path]
+    first = _expand_paths(path)
     if not first:
-        raise FileNotFoundError(path)
+        raise FileNotFoundError(str(path))
     _register_self_for_pickle_by_value()
     header = None
     errors: list[tuple[str, Exception]] = []
@@ -315,7 +324,8 @@ def load_experiments(
             raw = spark.createDataFrame([], schema=schema)
     else:
         raw = (
-            spark.read.format("binaryFile").load(path)
+            spark.read.format("binaryFile")
+            .load(list(path) if isinstance(path, (list, tuple)) else path)
             .select("path", "content")
             .mapInPandas(parse_files, schema=schema)
         )
@@ -376,6 +386,78 @@ def load_experiments(
     return df, meta
 
 
+def union_heterogeneous(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    max_depth: int | None = None,
+    skip_callsite: bool = True,
+    add_percentage_columns: bool = True,
+    with_imag: bool = False,
+    on_error: str = "fail",
+) -> tuple[DataFrame, list[CCTMetadata]]:
+    """Load a fleet that MIXES MetricTable schemas into one frame
+    (VERDICT r4 #4) — e.g. CPUTIME and PAPI profiles, the two
+    checked-in reference fixtures.
+
+    Files group by their MetricTable signature; each group loads
+    through ``load_experiments`` (its strict same-ids contract intact),
+    keeping its OWN percentage election (reference R2 semantics per
+    file, frame.py:32) and ratio columns.  Groups align by null-padded
+    ``unionByName``: a profile holds NULL in every metric column its
+    schema lacks.  Returns the unioned frame plus one ``CCTMetadata``
+    per group, in group order (each carries its group's election in
+    ``meaningful_columns``).
+
+    Scale shape: grouping reads only XML HEADERS driver-side (bounded
+    work per file, no tree parse); each group then ingests through the
+    normal embarrassingly-parallel path, and the union is a zero-shuffle
+    plan node.  For a million-file fleet, group membership would come
+    from a catalog instead — the alignment logic is unchanged.
+    """
+    assert on_error in ("fail", "skip"), on_error
+    files = _expand_paths(paths)
+    if not files:
+        raise FileNotFoundError(str(paths))
+    groups: dict[tuple, list[str]] = {}
+    for p in files:
+        try:
+            with open(p, "rb") as f:
+                h = _parse_header(ET.fromstring(f.read()))
+        except Exception:
+            if on_error == "fail":
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping malformed experiment file %s", p, exc_info=True)
+            continue
+        sig = tuple(sorted(h["metrics_by_id"].items()))
+        groups.setdefault(sig, []).append(p)
+    if not groups:
+        raise ValueError(f"no parseable experiment file in {paths}")
+    frames: list[DataFrame] = []
+    metas: list[CCTMetadata] = []
+    for group in groups.values():
+        df, meta = load_experiments(
+            spark, group, max_depth=max_depth, skip_callsite=skip_callsite,
+            add_percentage_columns=add_percentage_columns,
+            with_imag=with_imag, on_error=on_error)
+        frames.append(df)
+        metas.append(meta)
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    # deterministic layout: each group's metric/ratio/imag columns in
+    # first-appearance order, then the shared location columns + key
+    tail = LOCATION_COLUMNS + ["profile_id"]
+    cols: list[str] = []
+    for df in frames:
+        cols += [c for c in df.columns if c not in tail and c not in cols]
+    out = out.select(*[F.col(f"`{c}`") for c in cols + tail])
+    return out, metas
+
+
 # Compiled-formula cache: the Column pair depends only on the formula
 # text (metric references are $N ids resolved to __raw_N columns), and
 # building the ~20 nested expressions costs ~0.3 s of Py4J round trips
@@ -387,7 +469,10 @@ _COMPILE_CACHE: dict[tuple[int, str], tuple] = {}
 def _compiled_raw_formula(frm: str):
     from pyspark import SparkContext
 
-    key = (id(SparkContext._active_spark_context), frm)
+    sc = SparkContext._active_spark_context
+    # applicationId, not id(): object ids are reused after GC, so a new
+    # context could alias stale Py4J expression handles
+    key = (sc.applicationId if sc is not None else None, frm)
     hit = _COMPILE_CACHE.get(key)
     if hit is None:
         hit = _formulas.compile_formula(

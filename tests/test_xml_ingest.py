@@ -298,3 +298,42 @@ def test_flat_profile_and_callers_view(exp1):
     for r in flat:
         assert by_callee.get(r["procedure"], 0.0) == \
             pytest.approx(r[base] or 0.0, rel=1e-9, abs=1e-6)
+
+
+def test_union_heterogeneous_mixed_fleet(spark):
+    """VERDICT r4 #4: the two checked-in fixtures mix MetricTable
+    schemas (CPUTIME vs PAPI) — one call loads both, null-padded and
+    aligned, each profile keeping its OWN percentage election
+    (reference R2 semantics per file)."""
+    from hpctoolkit_dataframe_spark.sources.hpctoolkit_xml import (
+        LOCATION_COLUMNS, union_heterogeneous)
+
+    df, metas = union_heterogeneous(spark, [EXPERIMENT1, EXPERIMENT2])
+    df = df.localCheckpoint(eager=True)
+    assert df.count() == 3454 + 2854
+    assert len(metas) == 2
+    pcts = {m.db_path: m.meaningful_columns["percentage"] for m in metas}
+    assert pcts == {EXPERIMENT1: "CPUTIME (usec):Mean (I)",
+                    EXPERIMENT2: "PAPI_MEM_WCY:Mean (I)"}
+    # layout: group columns first, shared location tail
+    assert df.columns[-len(LOCATION_COLUMNS) - 1:] == \
+        LOCATION_COLUMNS + ["profile_id"]
+    # each profile's root carries 1.0 in ITS ratio-of-total column and
+    # NULL in the other group's (null-padding, not zero-filling)
+    for m in metas:
+        own = m.meaningful_columns["percentage"] + " ratio of total"
+        other = next(p for d, p in pcts.items() if d != m.db_path) \
+            + " ratio of total"
+        root = df.filter((F.col("profile_id") == m.db_path)
+                         & (F.col("id") == -1)).first()
+        assert root is not None
+        assert root[own] == pytest.approx(1.0)
+        assert root[other] is None
+        # and its metric columns from the other schema are NULL too
+        other_base = next(mm for mm in metas if mm.db_path != m.db_path)
+        some_other_metric = sorted(other_base.metrics_by_id.values())[0]
+        assert root[some_other_metric] is None
+    # strict mode unchanged: the same mixed list still errors loudly
+    with pytest.raises(ValueError, match="MetricTable ids"):
+        load_experiments(spark, [EXPERIMENT1, EXPERIMENT2],
+                         add_percentage_columns=False)
