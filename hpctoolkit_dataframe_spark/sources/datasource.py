@@ -62,6 +62,10 @@ class HPCToolkitXMLDataSource(DataSource):
       pushdown: pruned subtrees are never materialized)
     - ``skip_callsite`` (bool, default true): splice callsite nodes
       like the reference's default walk
+    - ``on_error`` ('fail' default | 'skip'): same fleet-mode contract
+      as ``load_experiments`` — 'skip' drops a malformed or
+      schema-mismatched file WHOLE (never silently null-pads) with a
+      warning; 'fail' aborts the scan
     """
 
     @classmethod
@@ -69,10 +73,20 @@ class HPCToolkitXMLDataSource(DataSource):
         return "hpctoolkit"
 
     def schema(self) -> T.StructType:
-        first = _matched_files(self.options.get("path"))[0]
-        with open(first, "rb") as f:
-            header = _parse_header(ET.fromstring(f.read()))
-        return _raw_schema(sorted(header["metrics_by_id"]))
+        on_error = str(self.options.get("on_error", "fail")).lower()
+        errors: list[str] = []
+        for candidate in _matched_files(self.options.get("path")):
+            try:
+                with open(candidate, "rb") as f:
+                    header = _parse_header(ET.fromstring(f.read()))
+                return _raw_schema(sorted(header["metrics_by_id"]))
+            except Exception as e:  # schema comes from the first
+                if on_error != "skip":  # PARSEABLE file in skip mode
+                    raise
+                errors.append(f"{candidate}: {e}")
+        raise ValueError(
+            f"no parseable experiment file in "
+            f"{self.options.get('path')}: {errors}")
 
     def reader(self, schema: T.StructType) -> "_HPCToolkitReader":
         return _HPCToolkitReader(dict(self.options), schema)
@@ -85,17 +99,42 @@ class _HPCToolkitReader(DataSourceReader):
         self._max_depth = int(md) if md is not None else None
         self._skip_callsite = str(
             options.get("skip_callsite", "true")).lower() != "false"
+        self._on_error = str(options.get("on_error", "fail")).lower()
+        if self._on_error not in ("fail", "skip"):
+            raise ValueError(f"on_error must be fail|skip: {self._on_error}")
         self._files = _matched_files(options.get("path"))
 
     def partitions(self) -> list[_FilePartition]:
         return [_FilePartition(p) for p in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        with open(partition.path, "rb") as f:
-            content = f.read()
-        _, rows = parse_experiment_rows(
-            content, partition.path, max_depth=self._max_depth,
-            skip_callsite=self._skip_callsite)
+        try:
+            with open(partition.path, "rb") as f:
+                content = f.read()
+            file_header, rows = parse_experiment_rows(
+                content, partition.path, max_depth=self._max_depth,
+                skip_callsite=self._skip_callsite)
+            # same contract as load_experiments (ADVICE r1): a file whose
+            # MetricTable differs from the scan schema must error or be
+            # skipped WHOLE — silent null-padding makes wrong rows
+            file_ids = sorted(file_header["metrics_by_id"])
+            schema_ids = sorted(
+                int(c[len("__raw_"):]) for c in self._columns
+                if c.startswith("__raw_"))
+            if file_ids != schema_ids:
+                raise ValueError(
+                    f"{partition.path}: MetricTable ids {file_ids} differ "
+                    f"from the scan schema's {schema_ids}; heterogeneous "
+                    "metric sets must be loaded separately and unioned")
+        except Exception:
+            if self._on_error == "fail":
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping malformed experiment file %s", partition.path,
+                exc_info=True)
+            return
         for r in rows:
             yield tuple(
                 list(r["callpath"]) if c == "callpath" else r.get(c)

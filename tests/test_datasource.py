@@ -8,7 +8,6 @@ from hpctoolkit_dataframe_spark.sources.hpctoolkit_xml import (
     parse_experiment_rows)
 
 XML1 = "/root/reference/test/data/experiment1.xml"
-GLOB = "/root/reference/test/data/experiment*.xml"
 
 
 def _expected(max_depth=None):
@@ -44,9 +43,73 @@ def test_datasource_depth_pushdown(spark):
         sorted(len(r["callpath"]) for r in want)
 
 
-def test_datasource_glob_partitions(spark):
+def test_datasource_glob_partitions(spark, tmp_path):
+    # homogeneous fleet (two copies of experiment1): the checked-in
+    # experiment2 has a DIFFERENT MetricTable and now rejects loudly
+    # (test_datasource_heterogeneous_rejected) instead of misaligning
+    import shutil
+
     datasource.register(spark)
-    df = spark.read.format("hpctoolkit").load(GLOB)
+    shutil.copy(XML1, tmp_path / "exp_a.xml")
+    shutil.copy(XML1, tmp_path / "exp_b.xml")
+    df = spark.read.format("hpctoolkit").load(str(tmp_path / "exp_*.xml"))
     assert df.rdd.getNumPartitions() == 2  # one partition per file
-    assert df.count() == 6308              # 3454 + 2854 (FIXTURES §3)
+    assert df.count() == 6908              # 2 x 3454 (FIXTURES §3)
     assert df.select("profile_id").distinct().count() == 2
+
+
+def test_datasource_option_matrix_callsite_and_depth(spark):
+    """VERDICT r4 #8: the same max_depth/skip_callsite matrix the
+    load_experiments tests pin, through the official scan API."""
+    datasource.register(spark)
+    # splice off (reference include mode) at depth 5; fresh reader per
+    # read — DataFrameReader accumulates options across load() calls
+    counts = dict(spark.read.format("hpctoolkit").option("max_depth", 5)
+                  .option("skip_callsite", "false").load(XML1)
+                  .groupBy("type").count().collect())
+    assert counts == {"procedure frame": 3, "callsite": 2, "root": 1}
+    # splice on (default) at depth 4: the depth histogram golden
+    hist = dict(spark.read.format("hpctoolkit").option("max_depth", 4)
+                .load(XML1)
+                .groupBy(F.size("callpath").alias("d")).count().collect())
+    assert hist == {0: 1, 1: 1, 2: 1, 3: 1, 4: 3}
+
+
+def test_datasource_on_error_matrix(spark, tmp_path):
+    """Corrupt file in the glob: default fails the scan, 'skip' keeps
+    the good file's rows — including when the corrupt file sorts FIRST
+    (schema inference must skip past it too)."""
+    import shutil
+
+    import pytest
+
+    datasource.register(spark)
+    shutil.copy(XML1, tmp_path / "exp_good.xml")
+    # sorts before exp_good.xml -> also exercises schema() skip-scan
+    (tmp_path / "aaa_corrupt.xml").write_text("<not-valid-xml")
+    glob = str(tmp_path / "*.xml")
+    with pytest.raises(Exception):
+        spark.read.format("hpctoolkit").load(glob).collect()
+    df = (spark.read.format("hpctoolkit").option("on_error", "skip")
+          .load(glob))
+    assert df.count() == 3454
+    assert df.select("profile_id").distinct().count() == 1
+
+
+def test_datasource_heterogeneous_rejected(spark, tmp_path):
+    """A file whose MetricTable differs from the scan schema must fail
+    the scan or be skipped whole — never silently null-pad (same
+    contract as load_experiments, ADVICE r1)."""
+    import pytest
+
+    from .test_xml_ingest import mini_metric_xml
+
+    datasource.register(spark)
+    (tmp_path / "h_a.xml").write_text(mini_metric_xml(2))
+    (tmp_path / "h_b.xml").write_text(mini_metric_xml(9))
+    glob = str(tmp_path / "h_*.xml")
+    with pytest.raises(Exception, match="MetricTable ids"):
+        spark.read.format("hpctoolkit").load(glob).collect()
+    df = (spark.read.format("hpctoolkit").option("on_error", "skip")
+          .load(glob))
+    assert df.select("profile_id").distinct().count() == 1

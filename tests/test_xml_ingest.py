@@ -219,12 +219,10 @@ def test_cct_xml_ingest_gate_fixture(spark):
     assert counts == {"experiment1": 3454, "experiment2": 2854}
 
 
-def test_heterogeneous_metric_table_rejected(spark, tmp_path):
-    """A glob file whose MetricTable differs from the driver schema must
-    error (on_error='fail') or be skipped whole (on_error='skip') — not
-    silently NULL-pad / drop metric columns (ADVICE r1)."""
-    def mini_xml(metric_id):
-        return f"""<?xml version="1.0"?>
+def mini_metric_xml(metric_id):
+    """Minimal experiment whose MetricTable has the single id given —
+    shared with test_datasource's heterogeneous-rejection twin."""
+    return f"""<?xml version="1.0"?>
 <HPCToolkitExperiment version="2.1">
 <SecCallPathProfile i="0" n="m">
 <SecHeader>
@@ -238,8 +236,13 @@ def test_heterogeneous_metric_table_rejected(spark, tmp_path):
 </SecCallPathProfile>
 </HPCToolkitExperiment>"""
 
-    (tmp_path / "h_a.xml").write_text(mini_xml(2))
-    (tmp_path / "h_b.xml").write_text(mini_xml(9))
+
+def test_heterogeneous_metric_table_rejected(spark, tmp_path):
+    """A glob file whose MetricTable differs from the driver schema must
+    error (on_error='fail') or be skipped whole (on_error='skip') — not
+    silently NULL-pad / drop metric columns (ADVICE r1)."""
+    (tmp_path / "h_a.xml").write_text(mini_metric_xml(2))
+    (tmp_path / "h_b.xml").write_text(mini_metric_xml(9))
     glob = str(tmp_path / "h_*.xml")
     with pytest.raises(ValueError, match="MetricTable ids"):
         load_experiments(spark, glob, add_percentage_columns=False)
