@@ -105,3 +105,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
 from . import cct_tpch, multimodal, relational, textops, vectors, xml_ingest  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401  (after textops: reuses its registered SQL)
 from . import pipeline, shaping, sketches  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-gate window ordering (VERDICT r4 #1/#3).  The external
+# correctness gate hashes the FIRST 50 registry entries only, so the
+# window is rotated each round until every query has earned a driver
+# row (rotation log: COVERAGE.md §"Driver-gate rotation").  Round 5
+# fronts everything WITHOUT an r4 driver row — the XML ingest trio
+# (the end-to-end proof of S1-S5/A1/R1/R2) and the whole LLM-pipeline
+# suite — plus 8 high-value keepers; the 42 remaining r4-green TPC-H/
+# CCT/events entries move behind the window.
+# ---------------------------------------------------------------------------
+_GATE_ORDER = [
+    # XML ingest path (reference end-to-end)
+    "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
+    # dedup suite
+    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "lsh_verified_pairs", "dedup_clusters", "embedding_dup_clusters",
+    "incremental_dedup", "incremental_dedup_resume",
+    "split_leakage_report", "decontaminate", "ngram_jaccard_pairs",
+    "winnow_fingerprints", "simhash64",
+    # ANN / vectors
+    "knn_cosine", "ivf_ann", "ivf_ann_trained", "kmeans_centroids",
+    "embedding_centroids", "lsh_near_dup_pairs",
+    # text analysis / quality
+    "doc_stats", "lang_guess", "repetition_ratio", "quality_top_decile",
+    "bpe_token_stats", "token_df_vocab", "source_token_totals",
+    "posting_lists", "top_terms_per_doc", "keyword_search_topk",
+    # shaping / packing / reporting
+    "doc_chunks", "pack_sequences", "stratified_sample",
+    "training_shard_manifest", "corpus_report", "user_value_history",
+    "events_zscore_outliers",
+    # sketches (no oracle by design: rows-only driver check)
+    "approx_daily_uniques", "approx_value_percentiles",
+    "approx_weekly_from_daily",
+    # keepers already green in r4 (one per major family)
+    "cct_hot_path", "cct_flame_widths", "cct_ratio_of_parent_walkup",
+    "q1_pricing_summary", "q5_region_revenue", "events_asof_attribution",
+    "events_sessions", "media_frame_sample",
+]
+assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
+_missing = set(_GATE_ORDER) - set(REGISTRY)
+assert not _missing, sorted(_missing)
+_ordered = {n: REGISTRY[n] for n in _GATE_ORDER}
+_ordered.update((n, q) for n, q in REGISTRY.items() if n not in _ordered)
+REGISTRY.clear()
+REGISTRY.update(_ordered)

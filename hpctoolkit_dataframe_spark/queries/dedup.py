@@ -307,6 +307,21 @@ def append_new_fingerprints(spark: SparkSession, batch: DataFrame,
     spark.catalog.refreshTable(table)
 
 
+def drop_fingerprint_store(spark: SparkSession,
+                           table: str = FP_STORE_TABLE) -> None:
+    """DROP the store AND its managed location: a session that died
+    mid-run leaves an orphaned warehouse directory the fresh session's
+    catalog does not know about, and the next CREATE then fails with
+    LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def incremental_dedup_resume_frames(
         spark: SparkSession, sf_dir: str,
         table: str = FP_STORE_TABLE) -> tuple[DataFrame, DataFrame]:
@@ -314,7 +329,7 @@ def incremental_dedup_resume_frames(
     materialized, batch-2 flags still lazy — its executed plan proves
     the store path never rescans the corpus)."""
     split = fingerprint_split(spark, sf_dir)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    drop_fingerprint_store(spark, table)
     write_fingerprint_store(split.filter(F.col("bucket") >= 2), table)
     b1 = split.filter(F.col("bucket") == 1)
     # materialize batch 1's flags BEFORE the append: they are defined
