@@ -124,7 +124,7 @@ _GATE_ORDER = [
     "lsh_verified_pairs", "dedup_clusters", "embedding_dup_clusters",
     "incremental_dedup", "incremental_dedup_resume",
     "split_leakage_report", "decontaminate", "ngram_jaccard_pairs",
-    "winnow_fingerprints", "simhash64",
+    "winnow_fingerprints", "simhash64", "simhash_near_dup_pairs",
     # ANN / vectors
     "knn_cosine", "ivf_ann", "ivf_ann_trained", "kmeans_centroids",
     "embedding_centroids", "lsh_near_dup_pairs",
@@ -140,7 +140,7 @@ _GATE_ORDER = [
     "approx_daily_uniques", "approx_value_percentiles",
     "approx_weekly_from_daily",
     # keepers already green in r4 (one per major family)
-    "cct_hot_path", "cct_flame_widths", "cct_ratio_of_parent_walkup",
+    "cct_hot_path", "cct_flame_widths",
     "q1_pricing_summary", "q5_region_revenue", "events_asof_attribution",
     "events_sessions", "media_frame_sample",
 ]

@@ -561,6 +561,90 @@ def _simhash_fold_udf():
     return pandas_udf(fold, T.LongType())
 
 
+# ---------------------------------------------------------------------------
+# banded near-dup pairs over the 64-bit simhash: 4 bands of 16 bits —
+# two fingerprints within hamming distance 3 agree on at least one band
+# (pigeonhole), so recall is EXACT for hamming <= 3; the per-band
+# bucket cap guards degenerate content exactly like the minhash band
+# cap and hyperplane bucket cap (same failure class, same recipe).  At
+# larger corpus scale the band width trades off: wider bands (2 x 32,
+# the streaming variant's layout) collide less but only guarantee
+# hamming <= 1 — the banding is a parameter, the plan shape is not.
+# ---------------------------------------------------------------------------
+SIMHASH_HAMMING_K = 3
+SIMHASH_BAND_CAP = 64
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({SIMHASH_SQL}),
+bands AS (
+  -- unsigned reinterpretation before the shift: DuckDB's // truncates
+  -- toward zero while an arithmetic shift floors, so negative
+  -- fingerprints would land off-by-one; on the non-negative HUGEINT
+  -- the two agree (Spark twin: shiftrightunsigned)
+  SELECT doc_id, simhash, b.band_idx,
+         CAST(((CAST(simhash AS HUGEINT)
+                + CASE WHEN simhash < 0
+                  THEN CAST(18446744073709551616 AS HUGEINT)
+                  ELSE 0 END)
+               // CAST(power(2, 16 * b.band_idx) AS HUGEINT)) % 65536
+              AS BIGINT) AS band_val
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) b
+),
+rare AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {SIMHASH_BAND_CAP}
+),
+pruned AS (
+  SELECT bb.* FROM bands bb
+  SEMI JOIN rare r ON r.band_idx = bb.band_idx AND r.band_val = bb.band_val
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM pruned a JOIN pruned b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_K}"""
+
+
+@register("simhash_near_dup_pairs", sql=_SIMHASH_PAIRS_SQL, doc="""
+Near-duplicate pairs within hamming distance 3 on the 64-bit simhash:
+banded candidate generation (4 x 16-bit bands, exact recall at <= 3 by
+pigeonhole), per-band hot-bucket cap BELOW the self-join, then an
+exact bit_count verify.  DuckDB floor division twins Spark's
+arithmetic shiftright on negative fingerprints.""")
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the fold once: both self-join sides and the cap
+    # branch would otherwise re-run it (CLAUDE.md multi-branch rule)
+    fp = simhash64(spark, sf_dir) \
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id") \
+        .localCheckpoint(eager=True)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).withColumn("band_val",
+                 F.expr("shiftrightunsigned(simhash, band_idx * 16)"
+                        " & 65535"))
+    rare = (bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= SIMHASH_BAND_CAP)
+            .drop("__n"))
+    pruned = bands.join(rare, ["band_idx", "band_val"], "left_semi")
+    a = pruned.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sa"), "band_idx", "band_val")
+    b = pruned.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sb"), "band_idx", "band_val")
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sa", "sb").distinct())
+    hamming = F.bit_count(F.expr("sa ^ sb")).cast("long")
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_K))
+
+
 def with_simhash64(df: DataFrame, text_col: str = "text",
                    out: str = "simhash") -> DataFrame:
     """Append the 64-bit simhash fingerprint of ``text_col`` — the one

@@ -123,6 +123,24 @@ def test_simhash64_is_narrow(spark):
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
+def test_simhash_near_dup_cap_below_self_join(spark):
+    """Same contract as the minhash band cap and hyperplane bucket cap:
+    the per-band frequency cap must semi-join BELOW the doc_a < doc_b
+    self-join, so a degenerate band bucket can never materialize the
+    quadratic candidate set."""
+    import re
+
+    df = REGISTRY["simhash_near_dup_pairs"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    semi = plan.find("LeftSemi")
+    assert semi != -1, "band cap is not a semi-join"
+    m = re.search(r"doc_a#\d+L? < doc_b#\d+", plan)
+    assert m is not None
+    assert m.start() < semi
+    # the fold itself ran inside the checkpoint: plan stays Python-free
+    assert explain.python_udf_count(df) == 0
+
+
 def test_headline_queries_no_python_udfs(spark):
     for name in ("q1_pricing_summary", "doc_stats", "minhash_signatures",
                  "repetition_ratio", "knn_cosine", "events_sessions"):
