@@ -183,32 +183,58 @@ def main() -> None:
           f"{comps:,} components in {time.time()-t0:.1f}s")
 
     # 7) incremental dedup shape at history scale: a 10k-doc delta
-    #    checked against a 2M-doc corpus FINGERPRINT store (md5 + 16-bit
+    #    checked against a 2M-doc corpus FINGERPRINT store (md5 + 64-bit
     #    simhash) — two semi-joins against fingerprints, corpus bytes
     #    never touched.  Half the delta overlaps the corpus by
     #    construction; the flag counts prove the joins are real.
     n_corp, n_delta = 2_000_000 * scale, 10_000
     corpus_fp = spark.range(n_corp, numPartitions=par).select(
         F.md5(F.col("id").cast("string")).alias("th"),
-        (F.xxhash64("id") % 65_536).alias("simhash"))
+        F.xxhash64("id").alias("simhash"))
     # delta ids 0..4999 collide with corpus ids, 5000.. are fresh
     delta = spark.range(n_delta).select(
         F.col("id").alias("doc_id"),
         F.md5(F.when(F.col("id") < n_delta // 2, F.col("id"))
               .otherwise(F.col("id") + n_corp).cast("string")).alias("th"),
-        (F.xxhash64(F.when(F.col("id") < n_delta // 2, F.col("id"))
-                    .otherwise(F.col("id") + n_corp)) % 65_536)
-        .alias("simhash"))
+        F.xxhash64(F.when(F.col("id") < n_delta // 2, F.col("id"))
+                   .otherwise(F.col("id") + n_corp)).alias("simhash"))
     t0 = time.time()
     exact = delta.join(corpus_fp.select("th").distinct(),
                        "th", "left_semi").count()
     near = delta.join(corpus_fp.select("simhash").distinct(),
                       "simhash", "left_semi").count()
     assert exact == n_delta // 2, exact
-    assert near >= n_delta // 2, near  # 16-bit fingerprint collides more
+    # 64-bit fingerprints: no birthday collisions at 2M, near == exact
+    assert near == n_delta // 2, near
     print(f"incremental_dedup {n_delta:,}-doc delta vs {n_corp:,}-doc "
           f"fingerprint store: {exact:,} exact / {near:,} near flags "
           f"in {time.time()-t0:.1f}s")
+
+    # 8) banded simhash near-dups with a DEGENERATE band bucket: 20% of
+    #    100k docs are identical boilerplate, so all four of their band
+    #    buckets hold 20k members (uncapped: 4 * 20k^2/2 = 8*10^8
+    #    candidate pairs).  SIMHASH_BAND_CAP must exclude them below the
+    #    self-join while the well-spread docs still pair normally; also
+    #    exercises the Arrow simhash64 fold at 100k-doc volume.
+    from hpctoolkit_dataframe_spark.queries.textops import (
+        simhash_near_dup_pairs,
+    )
+
+    n_docs = 100_000 * scale
+    docs = spark.range(n_docs, numPartitions=par).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(boiler)).otherwise(
+            F.concat_ws(" ", *[F.md5(F.concat(F.col("id").cast("string"),
+                                              F.lit(f":{i}")))
+                               for i in range(9)])).alias("text"),
+        F.lit("en").alias("lang"), F.lit("synthetic").alias("source"))
+    with tempfile.TemporaryDirectory(prefix="scale_simdocs_") as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        t0 = time.time()
+        rows = mat(simhash_near_dup_pairs(spark, tmp))
+        print(f"simhash_near_dup_pairs {n_docs:,} docs, 20% one "
+              f"boilerplate: {rows:,} pairs in {time.time()-t0:.1f}s "
+              f"(hot bands capped)")
 
 
 if __name__ == "__main__":
