@@ -138,3 +138,47 @@ def test_hot_path_matches_python_reference(spark, t, threshold):
             break
         current = best
     assert got == sorted(chain)
+
+
+def _py_simhash64(tokens):
+    """Pure-Python replica of the 64-bit simhash spec: bit j reads md5
+    hex char j//4+1 (1-based), nibble bit j%4; token sums +1/-1; bit
+    set when the sum is >= 0; signed 64-bit reinterpretation."""
+    import hashlib
+
+    sums = [0] * 64
+    for t in tokens:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for j in range(64):
+            nib = int(h[j // 4], 16)
+            sums[j] += 1 if (nib >> (j % 4)) & 1 else -1
+    v = sum(1 << j for j in range(64) if sums[j] >= 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@given(st.lists(
+    st.lists(st.text(alphabet=st.characters(
+        codec="ascii", exclude_characters=" \t\n\r\x0b\x0c",
+        exclude_categories=("Cc",)), min_size=1, max_size=8),
+        min_size=0, max_size=12),
+    min_size=1, max_size=24))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_simhash64_matches_python_reference(spark, docs_tokens):
+    """One Spark job checks a batch of random token lists against the
+    pure-Python spec — guards the JVM signed-reconstruction + Arrow
+    fold against nibble/shift drift (incl. the empty-token-list -> all
+    bits set edge and the sign bit)."""
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries.textops import with_simhash64
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in with_simhash64(df).select("doc_id", "simhash").collect()}
+    for i, toks in enumerate(docs_tokens):
+        # F.split on "" yields [""], mirroring str.split semantics of
+        # the joined text — replicate exactly
+        want = _py_simhash64(" ".join(toks).split(" "))
+        assert got[i] == want, (i, toks, got[i], want)
