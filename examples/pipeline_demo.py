@@ -58,6 +58,20 @@ def main() -> None:
     print("delta-vs-corpus dedup flags (fingerprint store only):")
     incr.show(5)
 
+    print("banded simhash near-dup pairs (64-bit, hamming <= 3):")
+    REGISTRY["simhash_near_dup_pairs"].fn(spark, sf_dir) \
+        .orderBy("hamming", "doc_a").show(5)
+
+    from pyspark.sql import functions as F
+    print("snapshot-resumable dedup: two batches through the persisted "
+          "bucketed store (batch 2 reads zero corpus bytes):")
+    REGISTRY["incremental_dedup_resume"].fn(spark, sf_dir) \
+        .groupBy("batch").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("exact_dup").alias("exact_dups"),
+            F.sum("near_dup").alias("near_dups")) \
+        .orderBy("batch").show()
+
     print("keyword retrieval (quantized-integer idf):")
     REGISTRY["keyword_search_topk"].fn(spark, sf_dir).show(5)
 
