@@ -617,6 +617,26 @@ pigeonhole), per-band hot-bucket cap BELOW the self-join, then an
 exact bit_count verify.  DuckDB floor division twins Spark's
 arithmetic shiftright on negative fingerprints.""")
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_banded_pairs(spark, sf_dir)
+
+
+def simhash_banded_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_bands: int = 4,
+    band_cap: int = SIMHASH_BAND_CAP,
+    hamming_k: int = SIMHASH_HAMMING_K,
+) -> DataFrame:
+    """Banded near-dup pairs, band layout as the scale knob: ``n_bands``
+    bands of 64/n_bands bits guarantee recall for hamming <= n_bands-1.
+    Small corpora use 4 x 16 (exact at <= 3); a 10^9-doc corpus
+    saturates 16-bit buckets (2^16 values/band) and switches to 2 x 32
+    — exact at <= 1, buckets stay selective.  Candidates(2 bands) is a
+    SUBSET of candidates(4 bands) by nesting (test-pinned)."""
+    assert 64 % n_bands == 0, n_bands
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     # materialize the fold once: both self-join sides and the cap
     # branch would otherwise re-run it (CLAUDE.md multi-branch rule)
     fp = simhash64(spark, sf_dir) \
@@ -624,13 +644,14 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)]))
+        .alias("band_idx"),
     ).withColumn("band_val",
-                 F.expr("shiftrightunsigned(simhash, band_idx * 16)"
-                        " & 65535"))
+                 F.expr(f"shiftrightunsigned(simhash, band_idx * {width})"
+                        f" & {mask}"))
     rare = (bands.groupBy("band_idx", "band_val")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= SIMHASH_BAND_CAP)
+            .filter(F.col("__n") <= band_cap)
             .drop("__n"))
     pruned = bands.join(rare, ["band_idx", "band_val"], "left_semi")
     a = pruned.select(F.col("doc_id").alias("doc_a"),
@@ -642,7 +663,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "sa", "sb").distinct())
     hamming = F.bit_count(F.expr("sa ^ sb")).cast("long")
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= SIMHASH_HAMMING_K))
+            .filter(F.col("hamming") <= hamming_k))
 
 
 def with_simhash64(df: DataFrame, text_col: str = "text",

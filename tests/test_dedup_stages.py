@@ -192,3 +192,36 @@ def test_events_loader_handles_both_ts_vintages(spark, tmp_path):
         got[vintage] = sorted(r["ts"] for r in df.select("ts").collect())
     assert got["nanos"] == got["timestamp"] == \
         sorted(m * 1000 for m in micros)
+
+
+def test_simhash_band_layouts_nest_and_guarantee_recall(spark):
+    """The band layout is the scale knob: 2 x 32-bit bands (the 1e9-doc
+    configuration) must produce a SUBSET of the 4 x 16-bit candidates
+    (agreeing on a 32-bit half implies agreeing on both its 16-bit
+    halves), and each layout's recall guarantee — every pair within
+    hamming <= n_bands-1 — must hold exactly vs brute force."""
+    from hpctoolkit_dataframe_spark.queries.textops import (
+        simhash_banded_pairs)
+
+    big = 10**9  # cap off: isolate the banding property itself
+    pairs = {}
+    for nb in (2, 4):
+        pairs[nb] = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                     for r in simhash_banded_pairs(
+                         spark, SF_DIR, n_bands=nb, band_cap=big,
+                         hamming_k=6).collect()}
+    assert set(pairs[2]) <= set(pairs[4])
+    fps = sorted((r["doc_id"], r["simhash"]) for r in
+                 REGISTRY["simhash64"].fn(spark, SF_DIR).collect())
+    brute = {}
+    for i, (da, sa) in enumerate(fps):
+        for db, sb in fps[i + 1:]:
+            h = bin((sa ^ sb) & (2**64 - 1)).count("1")
+            if h <= 6:
+                brute[(da, db)] = h
+    for nb in (2, 4):
+        guaranteed = {p for p, h in brute.items() if h <= nb - 1}
+        assert guaranteed <= set(pairs[nb])
+        # and no invented pairs/distances: everything emitted is real
+        for p, h in pairs[nb].items():
+            assert brute.get(p) == h
