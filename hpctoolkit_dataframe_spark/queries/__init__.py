@@ -105,6 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
 from . import cct_tpch, multimodal, relational, textops, vectors, xml_ingest  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401  (after textops: reuses its registered SQL)
 from . import pipeline, shaping, sketches  # noqa: E402,F401
+from . import bpe  # noqa: E402,F401  (after textops: reuses its tokenizer)
 
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering (VERDICT r4 #1/#3).  The external
@@ -138,10 +139,10 @@ _GATE_ORDER = [
     "events_zscore_outliers",
     # sketches (no oracle by design: rows-only driver check)
     "approx_daily_uniques", "approx_value_percentiles",
-    "approx_weekly_from_daily",
+    "approx_weekly_from_daily", "bpe_train_merges",
     # keepers already green in r4 (one per major family)
     "cct_hot_path", "cct_flame_widths",
-    "q1_pricing_summary", "q5_region_revenue", "events_asof_attribution",
+    "q1_pricing_summary", "events_asof_attribution",
     "events_sessions", "media_frame_sample",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
