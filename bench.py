@@ -82,6 +82,17 @@ def main() -> None:
     xml_samples = sorted(bench_xml(spark) for _ in range(3))
     timings["xml_load_hot_path"] = round(xml_samples[1], 3)
 
+    # the memoized CCT build (a materialized view in a real deployment)
+    # is a one-time cost that would otherwise land on whichever CCT
+    # query the registry order puts first, distorting its median;
+    # measure it once, explicitly
+    t0 = time.time()
+    try:
+        REGISTRY["cct_nodes"].fn(spark, SF_DIR).count()
+        timings["cct_build"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["cct_build"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # shared machine: single samples wobble +-50% (CLAUDE.md), making
     # round-over-round deltas uninterpretable.  Sub-5s queries re-run
     # to a median-of-3; the expensive tail keeps one sample (its
