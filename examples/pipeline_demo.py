@@ -79,6 +79,10 @@ def main() -> None:
     REGISTRY["corpus_report"].fn(spark, sf_dir).orderBy(
         "lang", "source").show(8)
 
+    print("BPE tokenizer training (first 10 merges from corpus "
+          "word counts):")
+    REGISTRY["bpe_train_merges"].fn(spark, sf_dir).show(10)
+
 
 if __name__ == "__main__":
     main()

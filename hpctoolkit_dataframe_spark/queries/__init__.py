@@ -113,9 +113,10 @@ from . import bpe  # noqa: E402,F401  (after textops: reuses its tokenizer)
 # window is rotated each round until every query has earned a driver
 # row (rotation log: COVERAGE.md §"Driver-gate rotation").  Round 5
 # fronts everything WITHOUT an r4 driver row — the XML ingest trio
-# (the end-to-end proof of S1-S5/A1/R1/R2) and the whole LLM-pipeline
-# suite — plus 8 high-value keepers; the 42 remaining r4-green TPC-H/
-# CCT/events entries move behind the window.
+# (the end-to-end proof of S1-S5/A1/R1/R2), the whole LLM-pipeline
+# suite and the round-5-new queries — plus 6 high-value keepers; the
+# remaining 44 r4-green TPC-H/CCT/events entries move behind the
+# window.
 # ---------------------------------------------------------------------------
 _GATE_ORDER = [
     # XML ingest path (reference end-to-end)
