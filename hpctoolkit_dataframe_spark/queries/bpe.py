@@ -170,3 +170,90 @@ def _merge_apply_udf(a: str, b: str):
             lambda s: list(_merge_word(tuple(s), a, b, merged)))
 
     return pandas_udf(apply, T.ArrayType(T.StringType()))
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE: apply a trained merge table to the corpus — at 100 TB this
+# is the actual heavy operation (training sees only word counts; encode
+# touches every byte).  The merge-rank dict is vocabulary-sized and
+# broadcasts inside the Arrow UDF closure; per-batch word memoization
+# makes the amortized cost one merge-walk per DISTINCT word per batch.
+# ---------------------------------------------------------------------------
+def encode_word(word: str, ranks: dict) -> list[str]:
+    """Classic BPE apply: repeatedly merge the lowest-rank adjacent
+    pair until none remains.  Pure function — shared by the Spark UDF
+    and the tests' twin."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple], *,
+               text_col: str = "text",
+               out: str = "tokens") -> DataFrame:
+    """Append a ``tokens`` array column: whitespace pre-tokenization
+    (the corpus' convention), then the trained merges applied per word.
+    Vectorized Arrow UDF with a per-batch word cache — a 10^6-row batch
+    of natural text re-encodes each distinct word once."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .._pickle import register_module_by_value
+
+    register_module_by_value(__name__)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            toks: list[str] = []
+            for w in t.split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_word(w, ranks)
+                toks.extend(got)
+            return toks
+
+        return texts.map(one)
+
+    return docs.withColumn(
+        out, pandas_udf(enc, T.ArrayType(T.StringType()))(F.col(text_col)))
+
+
+_ENCODE_CACHE: dict = {}
+
+
+@register("bpe_encode_stats", sql=None, doc="""
+Tokenize the corpus with the merges trained on it (train via the
+bounded word-count path, encode via a vectorized Arrow UDF): per-doc
+BPE token count and an md5 digest of the token stream.  Iterative
+train + per-word merge walk => no SQL oracle (rows-only driver check);
+the encoding is pinned by a pure-Python twin in tests.""")
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import session_key
+
+    key = (session_key(spark), sf_dir)
+    merges = _ENCODE_CACHE.get(key)
+    if merges is None:
+        wc = word_counts(spark, sf_dir)
+        top = (wc.orderBy(F.col("c").desc(), F.col("w"))
+               .limit(VOCAB_CAP).collect())
+        merges = train_bpe([(r["w"], r["c"]) for r in top])
+        _ENCODE_CACHE[key] = merges
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "|")).alias("tok_digest"))

@@ -80,3 +80,29 @@ def test_distributed_path_matches_driver_path(spark):
     counts = [(r["w"], r["c"]) for r in word_counts(spark, SF_DIR).collect()]
     want = train_bpe(counts, n_merges=8)
     assert dist == want
+
+
+def test_encode_stats_matches_python_twin(spark):
+    """bpe_encode_stats is rows-only at the driver; this twin IS its
+    value gate: every doc's token count and digest must equal a pure-
+    Python encode with the same trained merges, and the tokens must
+    reconstruct the original words (lossless segmentation)."""
+    import hashlib
+
+    from hpctoolkit_dataframe_spark.queries import load_table
+    from hpctoolkit_dataframe_spark.queries.bpe import encode_word
+
+    out = {r["doc_id"]: (r["n_tokens"], r["tok_digest"]) for r in
+           REGISTRY["bpe_encode_stats"].fn(spark, SF_DIR).collect()}
+    counts = [(r["w"], r["c"]) for r in word_counts(spark, SF_DIR).collect()]
+    ranks = {(m[1], m[2]): m[0] for m in train_bpe(counts)}
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, SF_DIR, "documents").collect()
+            if r["text"] is not None}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        toks = [t for w in text.split() for t in encode_word(w, ranks)]
+        digest = hashlib.md5("|".join(toks).encode()).hexdigest()
+        assert out[doc_id] == (len(toks), digest), doc_id
+        # lossless: stripping the merge structure recovers the words
+        assert "".join(toks).split(END_OF_WORD)[:-1] == text.split()
