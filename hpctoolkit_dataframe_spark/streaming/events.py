@@ -453,3 +453,47 @@ def streaming_view_purchase_pairs(
         "user_id", "purchase_id", "view_id",
         F.unix_micros("p_t").alias("purchase_us"),
         F.unix_micros("v_t").alias("view_us"))
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the snapshot-resumable incremental dedup
+# (queries/dedup.py): a CONTINUOUS document stream checked against the
+# persisted bucketed fingerprint store, with each micro-batch's new
+# fingerprints appended before the next batch arrives — foreachBatch is
+# the idiomatic bridge because the store round-trip (table read +
+# bucketed append) is a batch-side effect the pure streaming operators
+# cannot express.  Each batch's flags bind to the store AS OF batch
+# start (collected before the append), exactly like the batch
+# sequence's semantics; stream-of-two-batches == batch two-batch run is
+# twin-tested.
+# ---------------------------------------------------------------------------
+def run_store_dedup_stream(docs_stream: DataFrame, table: str,
+                           query_name: str = "store_dedup") -> list[Any]:
+    """Drain a document stream (availableNow) through the persisted
+    fingerprint store ``table`` (must exist — create it with
+    queries.dedup.write_fingerprint_store).  Returns the per-batch flag
+    rows (doc_id, batch_id, exact_dup, near_dup); a production job
+    would write them to a sink inside the same foreachBatch."""
+    from ..queries.dedup import (append_new_fingerprints,
+                                 check_batch_against_store)
+    from ..queries.textops import with_simhash64
+
+    spark = docs_stream.sparkSession
+    out: list[Any] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = with_simhash64(
+            batch_df.filter(F.col("text").isNotNull())).select(
+            "doc_id", F.md5("text").alias("th"), "simhash") \
+            .localCheckpoint(eager=True)
+        flags = check_batch_against_store(spark, batch, table) \
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        # materialize BEFORE the append: the flags are defined against
+        # the store as of batch start
+        out.extend(flags.collect())
+        append_new_fingerprints(spark, batch, table)
+
+    q = (docs_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return out

@@ -501,3 +501,56 @@ def test_dedup_within_watermark_drops_near_duplicates(spark, tmp_path):
         "ddww_t", output_mode="append")
     ids = sorted(r["event_id"] for r in got)
     assert ids == [1, 2, 4]  # id 3 deduped within the watermark
+
+
+def test_streaming_store_dedup_matches_batch_resume_sequence(spark, tmp_path):
+    """foreachBatch store round-trip twin: streaming batch-1 docs then
+    batch-2 docs through the persisted fingerprint store must emit
+    EXACTLY the flags of the batch incremental_dedup_resume sequence
+    (check -> append -> check), including the append being visible to
+    the later micro-batch only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries.dedup import (
+        drop_fingerprint_store, fingerprint_split,
+        incremental_dedup_resume_frames, write_fingerprint_store)
+
+    table = "fp_stream_t"
+    try:
+        # batch reference: the two-batch sequence through its own table
+        out1, out2 = incremental_dedup_resume_frames(
+            spark, SF_DIR, table="fp_stream_ref_t")
+        want = {(r["doc_id"], b): (r["exact_dup"], r["near_dup"])
+                for b, frame in ((0, out1), (1, out2))
+                for r in frame.collect()}
+
+        # streaming side: same initial store, same two batches as files
+        split = fingerprint_split(spark, SF_DIR)
+        drop_fingerprint_store(spark, table)
+        write_fingerprint_store(split.filter(F.col("bucket") >= 2), table)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ids = {b: [r["doc_id"] for r in
+                   split.filter(F.col("bucket") == (1 - b)).collect()]
+               for b in (0, 1)}  # batch0 = bucket1, batch1 = bucket0
+        stream_dir = tmp_path / "stream"
+        stream_dir.mkdir()
+        for b in (0, 1):
+            docs.filter(F.col("doc_id").isin(ids[b])).coalesce(1) \
+                .write.mode("overwrite").parquet(str(tmp_path / f"b{b}"))
+            part = next((tmp_path / f"b{b}").glob("*.parquet"))
+            dst = stream_dir / f"batch{b}.parquet"
+            part.rename(dst)
+            os.utime(dst, (1_700_000_000 + b * 60,) * 2)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(stream_dir)))
+        got_rows = se.run_store_dedup_stream(stream, table,
+                                             query_name="storededup_t")
+        got = {(r["doc_id"], r["batch_id"]): (r["exact_dup"], r["near_dup"])
+               for r in got_rows}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_stream_t")
+        spark.sql("DROP TABLE IF EXISTS fp_stream_ref_t")
