@@ -468,12 +468,16 @@ def streaming_view_purchase_pairs(
 # twin-tested.
 # ---------------------------------------------------------------------------
 def run_store_dedup_stream(docs_stream: DataFrame, table: str,
-                           query_name: str = "store_dedup") -> list[Any]:
+                           query_name: str = "store_dedup",
+                           sink_path: str | None = None) -> list[Any]:
     """Drain a document stream (availableNow) through the persisted
     fingerprint store ``table`` (must exist — create it with
-    queries.dedup.write_fingerprint_store).  Returns the per-batch flag
-    rows (doc_id, batch_id, exact_dup, near_dup); a production job
-    would write them to a sink inside the same foreachBatch."""
+    queries.dedup.write_fingerprint_store).
+
+    With ``sink_path`` the per-batch flags append to that parquet sink
+    distributed-side — the production shape, zero driver collect — and
+    the return value is empty; without it the flags are returned as
+    rows (test/notebook convenience, batch-scale collect)."""
     from ..queries.dedup import (append_new_fingerprints,
                                  check_batch_against_store)
     from ..queries.textops import with_simhash64
@@ -490,7 +494,10 @@ def run_store_dedup_stream(docs_stream: DataFrame, table: str,
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         # materialize BEFORE the append: the flags are defined against
         # the store as of batch start
-        out.extend(flags.collect())
+        if sink_path is not None:
+            flags.write.mode("append").parquet(sink_path)
+        else:
+            out.extend(flags.collect())
         append_new_fingerprints(spark, batch, table)
 
     q = (docs_stream.writeStream.foreachBatch(process)

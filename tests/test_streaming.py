@@ -551,6 +551,21 @@ def test_streaming_store_dedup_matches_batch_resume_sequence(spark, tmp_path):
         got = {(r["doc_id"], r["batch_id"]): (r["exact_dup"], r["near_dup"])
                for r in got_rows}
         assert got == want
+
+        # production shape: flags land in a parquet sink distributed-
+        # side (zero driver collect), same values
+        drop_fingerprint_store(spark, table)
+        write_fingerprint_store(split.filter(F.col("bucket") >= 2), table)
+        sink = str(tmp_path / "flags_sink")
+        stream2 = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(stream_dir)))
+        assert se.run_store_dedup_stream(
+            stream2, table, query_name="storededup_sink_t",
+            sink_path=sink) == []
+        sunk = {(r["doc_id"], r["batch_id"]): (r["exact_dup"], r["near_dup"])
+                for r in spark.read.parquet(sink).collect()}
+        assert sunk == want
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_stream_t")
         spark.sql("DROP TABLE IF EXISTS fp_stream_ref_t")
