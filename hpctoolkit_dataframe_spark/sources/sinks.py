@@ -53,3 +53,27 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    range_cols: Sequence[str],
+    n_files: int | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partitions before writing — the
+    min/max-pruning layout for time-series and key-range scans at
+    100 TB.  Each output file covers a disjoint range of ``range_cols``
+    and is internally sorted, so parquet row-group statistics let a
+    range predicate skip everything outside its window (the pushdown is
+    free; the LAYOUT is what makes the statistics selective — a random
+    layout gives every row group the full min/max span and prunes
+    nothing).  Disjointness is test-pinned per file."""
+    cols = list(range_cols)
+    out = (df.repartitionByRange(n_files, *cols) if n_files
+           else df.repartitionByRange(*cols))
+    out = out.sortWithinPartitions(*cols)
+    out.write.format(format).mode(mode).save(path)

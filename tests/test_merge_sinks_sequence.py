@@ -75,3 +75,39 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(profile_id" in explain.plan_string(
         pruned) or "profile_id" in " ".join(explain.pushed_filters(pruned)) \
         or pruned.count() == 1  # pruning visible in plan on most builds
+
+
+def test_range_sorted_layout_gives_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted's contract: per-file [min, max] ranges of the
+    range column are pairwise disjoint (the property that makes parquet
+    min/max statistics selective under a range predicate), the rows
+    survive intact, and a range filter still pushes to the scan."""
+    import pyarrow.parquet as pq
+
+    from hpctoolkit_dataframe_spark.plans import explain
+    from hpctoolkit_dataframe_spark.queries import load_table
+    from hpctoolkit_dataframe_spark.sources import sinks
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_ranged")
+    sinks.write_range_sorted(ev, out, range_cols=("ts",), n_files=8)
+
+    spans = []
+    total = 0
+    for f in sorted((tmp_path / "events_ranged").glob("*.parquet")):
+        t = pq.read_table(f, columns=["ts"])
+        total += t.num_rows
+        if t.num_rows:
+            col = t.column("ts").to_pylist()
+            spans.append((min(col), max(col)))
+    assert total == ev.count()
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint (boundary ties may touch)
+
+    back = spark.read.parquet(out)
+    mid = sorted(s[0] for s in spans)[len(spans) // 2]
+    filtered = back.filter(back.ts >= mid)
+    pushed = explain.pushed_filters(filtered)
+    assert any("ts" in p for p in pushed), pushed
+    assert filtered.count() == ev.filter(ev.ts >= mid).count()
