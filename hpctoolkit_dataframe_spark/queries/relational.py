@@ -432,9 +432,12 @@ GROUP BY 1, 2""")
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")  # ts is LONG nanoseconds
     return (
+        # exact integer div end-to-end (CLAUDE.md): at MICROsecond
+        # magnitude the double division happens to be ULP-safe (micros
+        # < 2^53 and quotients sit >= 2.8e-10 from integers), but the
+        # nanos twin of this pattern mis-bucketed — don't keep the trap
         ev.withColumn("hour_epoch_s",
-                      (F.expr("ts div 1000") / F.lit(3600000000)).cast("long")
-                      * 3600)
+                      F.expr("((ts div 1000) div 3600000000) * 3600"))
         .groupBy("hour_epoch_s", "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
