@@ -236,6 +236,30 @@ def main() -> None:
               f"boilerplate: {rows:,} pairs in {time.time()-t0:.1f}s "
               f"(hot bands capped)")
 
+    # 9) distributed BPE training at a vocabulary the driver path would
+    #    cap: ~900k distinct synthetic words.  Each round is one
+    #    vocab-scale pair-count shuffle + a 1-row argmax + an Arrow
+    #    merge apply; per-round localCheckpoint keeps lineage flat.
+    from hpctoolkit_dataframe_spark.queries.bpe import (
+        bpe_train_distributed,
+    )
+
+    n_docs = 100_000 * scale
+    docs = spark.range(n_docs, numPartitions=par).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.md5(F.concat(F.col("id").cast("string"),
+                                          F.lit(f":{i}")))
+                           for i in range(9)]).alias("text"),
+        F.lit("en").alias("lang"), F.lit("synthetic").alias("source"))
+    with tempfile.TemporaryDirectory(prefix="scale_bpedocs_") as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        t0 = time.time()
+        merges = bpe_train_distributed(spark, tmp, n_merges=4).collect()
+        assert len(merges) == 4, merges
+        print(f"bpe_train_distributed {n_docs:,} docs (~900k-word "
+              f"vocab), 4 merges in {time.time()-t0:.1f}s: "
+              f"{[(m['left'], m['right']) for m in merges]}")
+
 
 if __name__ == "__main__":
     main()
