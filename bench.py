@@ -93,6 +93,16 @@ def main() -> None:
     except Exception as exc:
         errors["cct_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # same treatment for PQ codebook training (memoized per session)
+    t0 = time.time()
+    try:
+        from hpctoolkit_dataframe_spark.queries.vectors import _pq_train
+
+        _pq_train(spark, SF_DIR)
+        timings["pq_train"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["pq_train"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # shared machine: single samples wobble +-50% (CLAUDE.md), making
     # round-over-round deltas uninterpretable.  Sub-5s queries re-run
     # to a median-of-3; the expensive tail keeps one sample (its

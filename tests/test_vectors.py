@@ -41,3 +41,35 @@ def test_lloyd_inertia_non_increasing(spark):
         _, assigned = V._lloyd(emb, iters)
         costs.append(assigned.agg(F.sum("d")).collect()[0][0])
     assert costs[1] <= costs[0]
+
+
+def test_pq_adc_distance_is_reconstruction_distance(spark):
+    """Definitional PQ property: adc_d must equal the exact integer L2
+    between the query's subvectors and the NEIGHBOR'S RECONSTRUCTION
+    (its per-subspace codebook centroids) — verified in pure Python
+    from the trained codebooks and emitted codes."""
+    from hpctoolkit_dataframe_spark.queries.vectors import (
+        M_SUB, SUBDIM, _pq_train)
+
+    emb, cents, _ = _pq_train(spark, SF_DIR)
+    cent = {(r["m"], r["cell"]): r["ce"] for r in cents.collect()}
+    codes = {r["vec_id"]: [int(c) for c in r["code"].split("/")]
+             for r in REGISTRY["pq_codes"].fn(spark, SF_DIR).collect()}
+    qe = {r["vec_id"]: r["qe"] for r in emb.collect()}
+    rows = REGISTRY["pq_ann"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        q = qe[r["query_id"]]
+        want = 0
+        for m in range(M_SUB):
+            sub = q[m * SUBDIM:(m + 1) * SUBDIM]
+            ce = cent[(m, codes[r["neighbor_id"]][m])]
+            want += sum((a - b) * (a - b) for a, b in zip(sub, ce))
+        assert r["adc_d"] == want, r
+    # regression floor vs brute force: 8-code codebooks on L2-ranked
+    # ADC vs cosine-ranked ground truth — recall@3 measured 0.33 at
+    # sf0.001; a real deployment widens K_PQ and probes via IVF first
+    knn = {(r["query_id"], r["neighbor_id"]) for r in
+           REGISTRY["knn_cosine"].fn(spark, SF_DIR).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(knn & pq) / len(knn) >= 0.2
