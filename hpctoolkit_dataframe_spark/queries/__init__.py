@@ -106,6 +106,7 @@ from . import cct_tpch, multimodal, relational, textops, vectors, xml_ingest  # 
 from . import dedup  # noqa: E402,F401  (after textops: reuses its registered SQL)
 from . import pipeline, shaping, sketches  # noqa: E402,F401
 from . import bpe  # noqa: E402,F401  (after textops: reuses its tokenizer)
+from . import tpch_gap  # noqa: E402,F401  (post-r5-window: r6 rotation picks up)
 
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering (VERDICT r4 #1/#3).  The external

@@ -267,3 +267,30 @@ def test_lsh_verified_pairs_no_python_and_no_cartesian(spark):
     assert strategies["cartesian"] == 0
     assert strategies["broadcast_nested_loop"] == 0
     assert explain.python_udf_count(df) == 0
+
+
+def test_tpch_gap_dims_broadcast_no_cartesian(spark):
+    # Q2/Q16/Q20/Q21 shapes: every dimension (part/supplier/nation/
+    # region) must broadcast; the only shuffles are the lineitem
+    # reductions.  A sort-merge join against a dim table or any
+    # cartesian product is a scale regression.
+    for name, min_bc in [("q2_min_cost_supplier", 2),
+                         ("q16_supplier_counts", 2),
+                         ("q20_dominant_suppliers", 2),
+                         ("q21_waiting_suppliers", 1)]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        strategies = explain.join_strategies(df)
+        assert strategies["broadcast_hash"] >= min_bc, name
+        assert strategies["cartesian"] == 0, name
+        assert strategies["broadcast_nested_loop"] == 0, name
+        assert explain.python_udf_count(df) == 0, name
+
+
+def test_q21_single_lineitem_pass(spark):
+    # the EXISTS/NOT-EXISTS pair must NOT become two extra correlated
+    # self-joins over lineitem: the per-order qualifier runs over the
+    # checkpointed join output, so the executed plan contains zero
+    # parquet lineitem scans beyond the checkpoint's one-time build.
+    df = REGISTRY["q21_waiting_suppliers"].fn(spark, SF_DIR)
+    plan = explain.executed_plan(df)
+    assert plan.lower().count("parquetscan") <= 1  # broadcast supplier only
