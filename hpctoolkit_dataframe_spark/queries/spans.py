@@ -1,0 +1,141 @@
+"""Substring-level duplicate detection (Lee et al., "Deduplicating
+Training Data Makes Language Models Better"): find maximal word spans
+that recur VERBATIM across distinct documents — the granularity
+document-level MinHash/SimHash cannot see (a boilerplate paragraph
+pasted into thousands of otherwise-unique pages).
+
+Method (the distributed analog of the paper's suffix-array scan):
+tokenize, slide a K-word window, mark every position whose K-gram
+occurs in >= 2 distinct docs, then merge consecutive marked positions
+into maximal spans with the pos - row_number() island trick.  The
+whole pipeline is shuffles on k-gram keys — no suffix sort, no
+driver-side state — so it scales with cluster width.
+
+Spark groups on ``xxhash64(gram)`` (8 bytes shuffled per position
+instead of the ~40-byte gram text); the oracle groups on the gram
+string itself.  Only positions survive to the output, so the two agree
+unless xxhash64 collides — negligible below ~2^32 distinct grams; for
+a 100 TB corpus widen to the (hash, length) pair or two independent
+hashes before trusting a dup mark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import load_table, register
+
+SPAN_K = 8  # words per window; spans shorter than this are invisible
+
+
+def _positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): one row per K-gram position.  ANSI guard: an
+    empty sequence bound would generate a DESCENDING sequence(1, 0) =
+    [1, 0], so short docs must map to an empty array explicitly."""
+    ws = F.split(F.col("text"), r"\s+")
+    n = F.size(ws) - SPAN_K + 1
+    grams = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.struct(
+            j.alias("pos"),
+            F.xxhash64(F.array_join(F.slice(ws, j, SPAN_K), " "))
+            .alias("h")))).otherwise(F.array())
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(grams).alias("g"))
+            .select("doc_id", F.col("g.pos").alias("pos"),
+                    F.col("g.h").alias("h")))
+
+
+def _dup_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions whose K-gram recurs in >= 2 distinct docs.  The
+    position table feeds both the dup-key aggregate and the join side —
+    checkpoint so tokenize+slide+hash runs once."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pos = _positions(docs).localCheckpoint(eager=True)
+    dup = (pos.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("h"))
+    # shuffle semi-join on the 8-byte key: the dup set is unbounded at
+    # corpus scale, so it must NOT need to broadcast
+    return pos.join(dup, "h", "left_semi"), pos
+
+
+_POS_SQL = f"""
+words AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, j AS pos,
+         array_to_string(list_slice(ws, j, j + {SPAN_K - 1}), ' ') AS h
+  FROM words, UNNEST(range(1, greatest(len(ws) - {SPAN_K} + 2, 1))) AS t(j)
+),
+dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d ON d.h = p.h)"""
+
+
+@register("duplicate_spans", sql=f"""
+WITH {_POS_SQL},
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(COUNT(*) + {SPAN_K} - 1 AS BIGINT) AS span_words
+FROM isl GROUP BY doc_id, grp""")
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated spans per document: word offset +
+    length of every verbatim region shared with at least one other
+    doc.  Consecutive duplicated positions collapse via the
+    pos - row_number() island id — one window + one groupBy, both
+    partitioned by doc_id (a single doc-key shuffle)."""
+    hits, _ = _dup_hits(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (isl.groupBy("doc_id", "grp")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.count(F.lit(1)) + SPAN_K - 1).cast("long")
+                 .alias("span_words"))
+            .select("doc_id", "span_start", "span_words"))
+
+
+@register("duplicate_span_stats", sql=f"""
+WITH {_POS_SQL},
+per_doc AS (
+  SELECT p.doc_id, COUNT(*) AS n_pos FROM pos p GROUP BY p.doc_id),
+hit_doc AS (
+  SELECT doc_id, COUNT(*) AS n_hit FROM hits GROUP BY doc_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(h.doc_id) AS BIGINT) AS docs_with_dup,
+       CAST(SUM(COALESCE(h.n_hit, 0)) AS BIGINT) AS dup_positions,
+       CAST(SUM(p.n_pos) AS BIGINT) AS total_positions,
+       CAST(SUM(COALESCE(h.n_hit, 0)) AS DOUBLE)
+         / CAST(SUM(p.n_pos) AS DOUBLE) AS dup_frac
+FROM per_doc p
+JOIN documents d ON d.doc_id = p.doc_id
+LEFT JOIN hit_doc h ON h.doc_id = p.doc_id
+GROUP BY d.source""")
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health rollup: per source, how much of the text is
+    verbatim-duplicated elsewhere (the number a pretraining-data owner
+    tracks per crawl/source).  Fraction is ONE long->double division
+    of exact integer position counts."""
+    hits, pos = _dup_hits(spark, sf_dir)
+    per_doc = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    hit_doc = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    # doc_id -> source is corpus-sized: a plain doc-key shuffle join,
+    # NOT a broadcast (AQE may still pick broadcast at toy scale)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (per_doc
+            .join(docs, "doc_id")
+            .join(hit_doc, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count("n_hit").cast("long").alias("docs_with_dup"),
+                 F.sum(F.coalesce("n_hit", F.lit(0))).cast("long")
+                 .alias("dup_positions"),
+                 F.sum("n_pos").cast("long").alias("total_positions"),
+                 (F.sum(F.coalesce("n_hit", F.lit(0))).cast("double")
+                  / F.sum("n_pos").cast("double")).alias("dup_frac")))
