@@ -107,7 +107,7 @@ from . import dedup  # noqa: E402,F401  (after textops: reuses its registered SQ
 from . import pipeline, shaping, sketches  # noqa: E402,F401
 from . import bpe  # noqa: E402,F401  (after textops: reuses its tokenizer)
 from . import tpch_gap  # noqa: E402,F401  (post-r5-window: r6 rotation picks up)
-from . import spans  # noqa: E402,F401
+from . import pii, spans  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering (VERDICT r4 #1/#3).  The external
