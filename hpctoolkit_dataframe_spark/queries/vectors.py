@@ -738,3 +738,113 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= TOP_K)
             .select("query_id", "neighbor_id", "rk", "adc_d"))
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed (the production layout: probe coarse cells, then
+# ADC-scan only the probed cells' CODES).  Coarse quantizer = the same
+# deterministic Lloyd's as ivf_ann_trained; fine codes = pq_codes'
+# per-subspace codebooks over the raw vectors (flat PQ — residual
+# encoding would change the oracle story without changing the plan
+# shape).  At 100 TB: the coarse assignment prunes ~(1 - n_probe/
+# n_cells) of the corpus BEFORE any distance work, and what remains is
+# scanned as M_SUB-byte codes against broadcast lookup tables.
+# ---------------------------------------------------------------------------
+_IVFPQ_PROBE_SQL = f"""probe AS (
+  SELECT a.vec_id AS query_id, c.cell,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_L2_SQL} ASC, c.cell ASC) AS prk
+  FROM e a CROSS JOIN (SELECT cell, ce AS qe FROM c{_K}) c
+  WHERE a.vec_id < {N_QUERIES}
+),
+ivf_cand AS (
+  SELECT p.query_id, s.vec_id
+  FROM probe p JOIN s{_K} s ON s.cell = p.cell
+  WHERE p.prk <= {N_PROBE} AND s.vec_id != p.query_id
+)"""
+
+
+@register("ivfpq_ann", sql=f"""
+WITH {_kmeans_ctes()},
+{_pq_ctes()},
+codes AS (
+  SELECT b0s{_K}.vec_id, {', '.join(f'b{m}s{_K}.cell AS k{m}'
+                                    for m in range(M_SUB))}
+  FROM b0s{_K}
+  {_CODE_JOINS}
+),
+{_ADC_TABLES},
+{_IVFPQ_PROBE_SQL},
+scored AS (
+  SELECT c.query_id, x.vec_id AS neighbor_id,
+         CAST({' + '.join(f't{m}.d' for m in range(M_SUB))} AS BIGINT)
+           AS adc_d
+  FROM ivf_cand c
+  JOIN codes x ON x.vec_id = c.vec_id
+  JOIN t0 ON t0.query_id = c.query_id AND t0.cell = x.k0
+{_ADC_JOINS.replace('t0.query_id', 'c.query_id')}
+)
+SELECT query_id, neighbor_id, rk, adc_d FROM (
+  SELECT query_id, neighbor_id, adc_d,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_d ASC, neighbor_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}""")
+def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the trained coarse cells, then rank ONLY those cells'
+    members by PQ asymmetric distance.  The coarse centroid table and
+    every per-query ADC lookup table broadcast; the corpus contributes
+    one coarse-assignment row and one code row per vector — no
+    full-dimension distance against any non-probed vector anywhere in
+    the plan."""
+    from pyspark.sql import Window
+
+    emb = _quantized_corpus(spark, sf_dir)
+    coarse_cents, coarse_assigned = _lloyd(emb)
+    _, pq_cents, pq_assigned = _pq_train(spark, sf_dir)
+    codes = pq_assigned.groupBy("vec_id").agg(
+        *[F.max(F.when(F.col("m") == m, F.col("cell"))).alias(f"k{m}")
+          for m in range(M_SUB)])
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("__d").asc(), F.col("cell").asc())
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(coarse_cents))
+        .withColumn("__d", l2)
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell"))
+    cand = (
+        probes.join(coarse_assigned.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id"))
+    # per-query ADC lookup tables, same construction as pq_ann
+    qsub = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.array(*[
+            F.slice("qe", m * SUBDIM + 1, SUBDIM) for m in range(M_SUB)
+        ])).alias("m", "qe"))
+    table = (qsub.join(F.broadcast(pq_cents), "m").withColumn("d", l2)
+             .select("query_id", "m", "cell", "d")
+             .localCheckpoint(eager=True))
+    scored = cand.join(codes, "vec_id")
+    for m in range(M_SUB):
+        t = table.filter(F.col("m") == m).select(
+            "query_id", F.col("cell").alias(f"k{m}"),
+            F.col("d").alias(f"d{m}"))
+        scored = scored.join(F.broadcast(t), ["query_id", f"k{m}"])
+    adc = None
+    for m in range(M_SUB):
+        adc = F.col(f"d{m}") if adc is None else adc + F.col(f"d{m}")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("neighbor_id").asc())
+    return (scored
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    adc.cast("long").alias("adc_d"))
+            .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id", "rk", "adc_d"))

@@ -73,3 +73,40 @@ def test_pq_adc_distance_is_reconstruction_distance(spark):
            REGISTRY["knn_cosine"].fn(spark, SF_DIR).collect()}
     pq = {(r["query_id"], r["neighbor_id"]) for r in rows}
     assert len(knn & pq) / len(knn) >= 0.2
+
+
+def test_ivfpq_candidates_respect_probed_cells(spark):
+    """Composition contract: every ivfpq neighbor must (a) be ADC-scored
+    identically to pq_ann's scoring (same codebooks), and (b) live in
+    one of the query's N_PROBE probed coarse cells."""
+    emb = V._quantized_corpus(spark, SF_DIR)
+    cents, assigned = V._lloyd(emb)
+    cell_of = {r.vec_id: r.cell for r in
+               assigned.select("vec_id", "cell").collect()}
+    # recompute each query's probed cells exactly as the query does
+    probes = {}
+    cent_rows = cents.collect()
+    qe = {r.vec_id: r.qe for r in
+          emb.filter(F.col("vec_id") < V.N_QUERIES).collect()}
+    for qid, q in qe.items():
+        ds = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(q, c.ce)), c.cell)
+            for c in cent_rows)
+        probes[qid] = {cell for _, cell in ds[:V.N_PROBE]}
+    rows = REGISTRY["ivfpq_ann"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert cell_of[r.neighbor_id] in probes[r.query_id], r
+
+
+def test_ivfpq_subset_of_pq_ranking(spark):
+    """With the same codes, ivfpq's ranked list per query must be the
+    pq_ann ADC ordering RESTRICTED to the probed cells — i.e. every
+    (query, neighbor, adc_d) triple in ivfpq appears with the same
+    adc_d in an unrestricted ADC scan."""
+    full = {(r.query_id, r.neighbor_id): r.adc_d
+            for r in REGISTRY["pq_ann"].fn(spark, SF_DIR).collect()}
+    for r in REGISTRY["ivfpq_ann"].fn(spark, SF_DIR).collect():
+        got = full.get((r.query_id, r.neighbor_id))
+        if got is not None:  # pq_ann keeps only ITS top-k
+            assert got == r.adc_d, r
