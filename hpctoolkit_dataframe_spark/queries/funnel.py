@@ -1,0 +1,153 @@
+"""Product-analytics patterns over the events stream: multi-step
+funnel conversion and cohort retention — the two queries every
+event-warehouse team runs daily, expressed in the repo's exact-integer
+event-time convention (LONG nanoseconds in Spark, epoch_us in the
+oracle, all bucketing by integer division).
+
+The funnel's step matching is the bucketed interval join
+(operators/interval.py) — each "next step within H" probe is one hash
+equi-join on (user, time-bucket), never a nested-loop inequality join,
+so the plan survives hot users and 100x data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.interval import interval_join
+from . import load_table, register
+
+FUNNEL_H_US = 86_400_000_000  # step-to-step horizon: 24h in microseconds
+_US_PER_DAY = 86_400_000_000
+_US_PER_WEEK = 7 * _US_PER_DAY
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    return ev.select("event_id", "user_id", "event_type",
+                     F.expr("ts div 1000").alias("ts_us"))
+
+
+@register("funnel_view_click_purchase", sql=f"""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'view'),
+c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase'),
+vc AS (
+  SELECT v.event_id, v.user_id, v.ts_us AS v_ts,
+         CAST(MIN(c.ts_us) AS BIGINT) AS c_ts
+  FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + {FUNNEL_H_US}
+  GROUP BY v.event_id, v.user_id, v.ts_us
+),
+vcp AS (
+  SELECT DISTINCT vc.event_id, vc.v_ts
+  FROM vc JOIN p ON p.user_id = vc.user_id
+       AND p.ts_us > vc.c_ts AND p.ts_us <= vc.c_ts + {FUNNEL_H_US}
+),
+per_day_v AS (
+  SELECT ts_us // {_US_PER_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_views
+  FROM v GROUP BY 1),
+per_day_c AS (
+  SELECT v_ts // {_US_PER_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_clicked
+  FROM vc GROUP BY 1),
+per_day_p AS (
+  SELECT v_ts // {_US_PER_DAY} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_purchased
+  FROM vcp GROUP BY 1)
+SELECT a.day, a.n_views,
+       CAST(COALESCE(b.n_clicked, 0) AS BIGINT) AS n_clicked,
+       CAST(COALESCE(p.n_purchased, 0) AS BIGINT) AS n_purchased,
+       CAST(COALESCE(b.n_clicked, 0) AS DOUBLE)
+         / CAST(a.n_views AS DOUBLE) AS click_rate,
+       CAST(COALESCE(p.n_purchased, 0) AS DOUBLE)
+         / CAST(a.n_views AS DOUBLE) AS purchase_rate
+FROM per_day_v a
+LEFT JOIN per_day_c b ON b.day = a.day
+LEFT JOIN per_day_p p ON p.day = a.day""")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step funnel (view -> first click within 24h -> purchase within
+    24h of THAT click), reported per view-day.  Funnel attribution is
+    earliest-next-step; each step is a bucketed interval join + a
+    min-aggregate on the view id, so per-step cost is one (user,
+    bucket) hash join regardless of user skew."""
+    e = _events_us(spark, sf_dir)
+    v = (e.filter(F.col("event_type") == "view")
+         .select("event_id", "user_id", F.col("ts_us").alias("v_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("ts_us").alias("c_point")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts_us").alias("p_point")))
+    # step 1: first click in (v_ts, v_ts + H]
+    vc = (interval_join(
+        c, v.withColumn("lo", F.col("v_ts") + 1)
+            .withColumn("hi", F.col("v_ts") + FUNNEL_H_US),
+        point_ts="c_point", lo="lo", hi="hi", on="user_id",
+        bucket_width=FUNNEL_H_US)
+        .groupBy("event_id", "user_id", "v_ts")
+        .agg(F.min("c_point").cast("long").alias("c_ts")))
+    # step 2: any purchase in (c_ts, c_ts + H]
+    vcp = (interval_join(
+        p, vc.withColumn("lo", F.col("c_ts") + 1)
+             .withColumn("hi", F.col("c_ts") + FUNNEL_H_US),
+        point_ts="p_point", lo="lo", hi="hi", on="user_id",
+        bucket_width=FUNNEL_H_US)
+        .select("event_id", "v_ts").distinct())
+    day = lambda col: F.expr(f"{col} div {_US_PER_DAY}").alias("day")  # noqa: E731
+    per_v = v.groupBy(day("v_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"))
+    per_c = vc.groupBy(day("v_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicked"))
+    per_p = vcp.groupBy(day("v_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchased"))
+    return (per_v.join(per_c, "day", "left").join(per_p, "day", "left")
+            .select(
+        "day", "n_views",
+        F.coalesce("n_clicked", F.lit(0)).cast("long").alias("n_clicked"),
+        F.coalesce("n_purchased", F.lit(0)).cast("long")
+        .alias("n_purchased"),
+        (F.coalesce("n_clicked", F.lit(0)).cast("double")
+         / F.col("n_views").cast("double")).alias("click_rate"),
+        (F.coalesce("n_purchased", F.lit(0)).cast("double")
+         / F.col("n_views").cast("double")).alias("purchase_rate")))
+
+
+@register("cohort_retention", sql=f"""
+WITH e AS (SELECT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // {_US_PER_WEEK} AS week
+           FROM events),
+first_w AS (SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort_w
+            FROM e GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM e),
+cohort_size AS (SELECT cohort_w, COUNT(*) AS n0 FROM first_w GROUP BY 1)
+SELECT f.cohort_w,
+       CAST(a.week - f.cohort_w AS BIGINT) AS offset_w,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS DOUBLE) / CAST(s.n0 AS DOUBLE) AS retention
+FROM active a
+JOIN first_w f ON f.user_id = a.user_id
+JOIN cohort_size s ON s.cohort_w = f.cohort_w
+GROUP BY f.cohort_w, offset_w, s.n0""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by their first
+    active week; each later week's survivors as a count + fraction of
+    the cohort.  Week ids are exact integer division of epoch_us —
+    the repo's standard cross-engine time bucketing."""
+    e = (_events_us(spark, sf_dir)
+         .select("user_id",
+                 F.expr(f"ts_us div {_US_PER_WEEK}").alias("week")))
+    active = e.distinct()  # one row per (user, active week)
+    first_w = active.groupBy("user_id").agg(
+        F.min("week").cast("long").alias("cohort_w"))
+    size = first_w.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).alias("n0"))
+    return (active.join(first_w, "user_id")
+            .groupBy("cohort_w",
+                     (F.col("week") - F.col("cohort_w")).cast("long")
+                     .alias("offset_w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .join(F.broadcast(size), "cohort_w")
+            .select("cohort_w", "offset_w", "n_users",
+                    (F.col("n_users").cast("double")
+                     / F.col("n0").cast("double")).alias("retention")))

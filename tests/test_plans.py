@@ -294,3 +294,17 @@ def test_q21_single_lineitem_pass(spark):
     df = REGISTRY["q21_waiting_suppliers"].fn(spark, SF_DIR)
     plan = explain.executed_plan(df)
     assert plan.lower().count("parquetscan") <= 1  # broadcast supplier only
+
+
+def test_funnel_steps_are_hash_joins(spark):
+    # both funnel steps must run as bucketed hash equi-joins (the
+    # interval_join contract) — an inequality-only fallback would be a
+    # BroadcastNestedLoop that dies at scale
+    df = REGISTRY["funnel_view_click_purchase"].fn(spark, SF_DIR)
+    strategies = explain.join_strategies(df)
+    assert strategies["cartesian"] == 0
+    assert strategies["broadcast_nested_loop"] == 0
+    assert explain.python_udf_count(df) == 0
+    df2 = REGISTRY["cohort_retention"].fn(spark, SF_DIR)
+    assert explain.join_strategies(df2)["cartesian"] == 0
+    assert explain.python_udf_count(df2) == 0
