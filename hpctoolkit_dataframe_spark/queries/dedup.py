@@ -432,3 +432,61 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("cross_pairs"),
         F.sum((F.col("eval_a") & F.col("eval_b")).cast("int"))
         .cast("long").alias("eval_internal_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph — "which documents sit at the center
+# of a duplication web" (boilerplate hubs rank highest).  Fixed
+# deterministic iterations in EXACT integer arithmetic: ranks scaled to
+# 1e12, per-edge contribution (r * 85) div (100 * deg) — positive
+# BIGINTs, so DuckDB's truncating // and Spark's div floor identically
+# and the oracle is hash-exact (the usual float PageRank would drift
+# with aggregation order).  Per iteration: one join + one groupBy on
+# the node key; edges checkpoint once and re-broadcast nothing.
+# ---------------------------------------------------------------------------
+PR_SCALE = 1_000_000_000_000  # initial rank per node
+PR_ITERS = 3
+_PR_BASE = 15 * PR_SCALE // 100
+
+
+def _pr_iter_sql(k: int) -> str:
+    return f"""r{k} AS (
+  SELECT dg.n, CAST({_PR_BASE} + COALESCE(SUM(x.c), 0) AS BIGINT) AS r
+  FROM deg dg LEFT JOIN (
+    SELECT e.d AS n, (r.r * 85) // (100 * sdeg.deg) AS c
+    FROM e JOIN r{k - 1} r ON r.n = e.s JOIN deg sdeg ON sdeg.n = e.s
+  ) x ON x.n = dg.n GROUP BY dg.n)"""
+
+
+@register("pagerank_dup_graph", sql=f"""
+WITH pairs AS ({_PAIRS_SQL}),
+e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+deg AS (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+r0 AS (SELECT n, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+{', '.join(_pr_iter_sql(k) for k in range(1, PR_ITERS + 1))}
+SELECT deg.n AS doc_id, deg.deg, r{PR_ITERS}.r AS rank_e12
+FROM deg JOIN r{PR_ITERS} ON r{PR_ITERS}.n = deg.n""")
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    e = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+         .union(pairs.select(F.col("doc_b").alias("s"),
+                             F.col("doc_a").alias("d"))))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    edges = (e.join(deg, "s")
+             .select("s", "d", "deg")
+             .localCheckpoint(eager=True))  # reused every iteration
+    nodes = deg.withColumnRenamed("s", "n").localCheckpoint(eager=True)
+    r = nodes.select("n", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (edges.join(r, edges.s == r.n)
+                   .select(F.col("d").alias("n"),
+                           F.expr("(r * 85) div (100 * deg)").alias("c")))
+        r = (nodes.join(contrib.groupBy("n").agg(F.sum("c").alias("sc")),
+                        "n", "left")
+             .select("n", (F.lit(_PR_BASE)
+                           + F.coalesce("sc", F.lit(0)))
+                     .cast("long").alias("r")))
+    return (nodes.join(r, "n")
+            .select(F.col("n").alias("doc_id"), "deg",
+                    F.col("r").alias("rank_e12")))

@@ -139,3 +139,82 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_pos").cast("long").alias("total_positions"),
                  (F.sum(F.coalesce("n_hit", F.lit(0))).cast("double")
                   / F.sum("n_pos").cast("double")).alias("dup_frac")))
+
+
+@register("duplicate_word_coverage", sql=f"""
+WITH {_POS_SQL},
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_K} - 1 AS e
+  FROM isl GROUP BY doc_id, grp),
+-- word-coverage intervals of nearby spans can OVERLAP (two islands
+-- separated by < K positions): classic interval union via cummax
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM spans),
+merged AS (
+  SELECT doc_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked),
+cov AS (
+  SELECT doc_id, CAST(SUM(ln) AS BIGINT) AS covered FROM (
+    SELECT doc_id, MAX(e) - MIN(s) + 1 AS ln
+    FROM merged GROUP BY doc_id, grp) GROUP BY doc_id),
+nw AS (SELECT doc_id, source, len(ws) AS n_words FROM words
+       JOIN documents USING (doc_id))
+SELECT nw.source,
+       CAST(SUM(nw.n_words) AS BIGINT) AS total_words,
+       CAST(SUM(COALESCE(cov.covered, 0)) AS BIGINT) AS covered_words,
+       CAST(SUM(COALESCE(cov.covered, 0)) AS DOUBLE)
+         / CAST(SUM(nw.n_words) AS DOUBLE) AS covered_frac
+FROM nw LEFT JOIN cov ON cov.doc_id = nw.doc_id
+GROUP BY nw.source""")
+def duplicate_word_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-WORD fraction per source (the deletion budget
+    of a span-level dedup pass): span word-intervals [start, start+len)
+    can overlap when two islands sit closer than K positions, so they
+    merge first — the cummax interval-union window (new group whenever
+    this start clears every previous end) — and only then sum."""
+    from pyspark.sql import Window
+
+    hits, pos = _dup_hits(spark, sf_dir)
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (hits
+             .withColumn("grp", F.col("pos") - F.row_number().over(w_isl))
+             .groupBy("doc_id", "grp")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + SPAN_K - 1).alias("e")))
+    w_prev = (Window.partitionBy("doc_id").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    merged = (spans
+              .withColumn("new_grp",
+                          (F.col("s") > F.coalesce(F.max("e").over(w_prev),
+                                                   F.lit(-1)))
+                          .cast("int"))
+              .withColumn("mgrp", F.sum("new_grp").over(w_run)))
+    cov = (merged.groupBy("doc_id", "mgrp")
+           .agg((F.max("e") - F.min("s") + 1).alias("ln"))
+           .groupBy("doc_id")
+           .agg(F.sum("ln").cast("long").alias("covered")))
+    docs = load_table(spark, sf_dir, "documents")
+    nw = (docs.filter(F.col("text").isNotNull())
+          .select("doc_id", "source",
+                  F.size(F.split(F.col("text"), r"\s+")).alias("n_words")))
+    return (nw.join(cov, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.sum("n_words").cast("long").alias("total_words"),
+                 F.sum(F.coalesce("covered", F.lit(0))).cast("long")
+                 .alias("covered_words"),
+                 (F.sum(F.coalesce("covered", F.lit(0))).cast("double")
+                  / F.sum("n_words").cast("double"))
+                 .alias("covered_frac")))

@@ -225,3 +225,21 @@ def test_simhash_band_layouts_nest_and_guarantee_recall(spark):
         # and no invented pairs/distances: everything emitted is real
         for p, h in pairs[nb].items():
             assert brute.get(p) == h
+
+
+def test_pagerank_integer_invariants(spark):
+    """Exact-integer PageRank sanity: every rank >= the damping base;
+    total mass never exceeds the injected mass and loses at most 1 unit
+    per edge-contribution floor per iteration.  (No hub assertion: the
+    LSH dup graph is a union of near-cliques, where PageRank is
+    correctly near-uniform — ranks differ only by floor rounding.)"""
+    from hpctoolkit_dataframe_spark.queries.dedup import (
+        PR_ITERS, PR_SCALE, _PR_BASE)
+
+    rows = REGISTRY["pagerank_dup_graph"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.rank_e12 >= _PR_BASE for r in rows)
+    total = sum(r.rank_e12 for r in rows)
+    n_edges = sum(r.deg for r in rows)
+    assert total <= PR_SCALE * len(rows)
+    assert total >= PR_SCALE * len(rows) - PR_ITERS * n_edges - 1
