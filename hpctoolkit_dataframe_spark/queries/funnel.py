@@ -151,3 +151,42 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cohort_w", "offset_w", "n_users",
                     (F.col("n_users").cast("double")
                      / F.col("n0").cast("double")).alias("retention")))
+
+
+@register("event_sequence_matches", sql="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(event_type, ' '
+                    ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS s
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(s, 'view click purchase')) AS BIGINT)
+         AS n_vcp,
+       CAST(len(regexp_extract_all(s, 'error error')) AS BIGINT)
+         AS n_error_bursts,
+       CAST(len(regexp_extract_all(s, 'signup')) AS BIGINT) AS n_signups
+FROM seq""")
+def event_sequence_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: each user's event stream as an ordered
+    type sequence, patterns counted by non-overlapping regex scan
+    (leftmost, advance-past-match — identical in Java regex and RE2).
+    Contiguous-triple conversions, repeated-error bursts, signups.
+    The per-user collect is bounded by one user's activity (the same
+    contract as sessionization); ordering ties break on event_id so
+    the sequence is deterministic."""
+    e = _events_us(spark, sf_dir)
+    seq = (e.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type"))),
+                        lambda x: x["event_type"]), " ").alias("s")))
+    return seq.select(
+        "user_id", "n_events",
+        F.regexp_count("s", F.lit("view click purchase")).cast("long")
+        .alias("n_vcp"),
+        F.regexp_count("s", F.lit("error error")).cast("long")
+        .alias("n_error_bursts"),
+        F.regexp_count("s", F.lit("signup")).cast("long").alias("n_signups"))

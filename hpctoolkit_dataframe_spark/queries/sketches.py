@@ -84,3 +84,71 @@ def approx_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("approx_users"),
                  F.sum("n_events").cast("long").alias("n_events"))
             .orderBy("week"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters.  Unlike the HLL/GK entries above,
+# CMS is pure integer arithmetic over OUR OWN md5-derived hash rows, so
+# it is bit-identical cross-engine and earns a full hash-exact oracle.
+# Batch construction pre-aggregates per token (counters[i][b] =
+# SUM of token counts hashing there — identical to per-occurrence
+# increments by commutativity, at |vocab| x D hashes instead of
+# |stream| x D); the streaming path increments per occurrence with the
+# same cells.  D x W = 4 x 512 BIGINT cells — fixed memory, mergeable
+# by cell-wise addition no matter how many partitions/days built them.
+# ---------------------------------------------------------------------------
+CMS_D = 4
+CMS_W = 512
+
+
+def _cms_hash_sql(i_expr: str, tok_expr: str) -> str:
+    from . import hash8_sql
+    return (hash8_sql(f"CAST({i_expr} AS VARCHAR) || ':' || {tok_expr}")
+            + f" % {CMS_W}")
+
+
+@register("cms_heavy_hitters", sql=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+exact_c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_c
+            FROM toks GROUP BY tok),
+cells AS (
+  SELECT tok, i, {_cms_hash_sql('i', 'tok')} AS b, exact_c
+  FROM exact_c CROSS JOIN (SELECT unnest(range({CMS_D})) AS i)),
+counters AS (SELECT i, b, CAST(SUM(exact_c) AS BIGINT) AS c
+             FROM cells GROUP BY i, b),
+est AS (
+  SELECT cells.tok, CAST(MIN(co.c) AS BIGINT) AS est_c
+  FROM cells
+  JOIN counters co ON co.i = cells.i AND co.b = cells.b
+  GROUP BY cells.tok)
+SELECT e.tok, e.exact_c, est.est_c
+FROM exact_c e JOIN est ON est.tok = e.tok""")
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every distinct token with its exact count and its count-min
+    estimate (min over D counter rows).  The CMS overestimate-only
+    contract (est_c >= exact_c, tight unless buckets collide) is
+    test-pinned; the oracle pins the exact counter arithmetic."""
+    from . import load_table as _lt
+
+    toks = (_lt(spark, sf_dir, "documents", spread=True)
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(F.split("text", r"\s+")).alias("tok")))
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_c"))
+    exact = exact.localCheckpoint(eager=True)  # feeds cells + output
+    cms_b = F.conv(F.substring(F.md5(
+        F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+        1, 8), 16, 10).cast("long") % CMS_W
+    cells = (exact
+             .select("tok", "exact_c",
+                     F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
+                     .alias("i"))
+             .withColumn("b", cms_b))
+    counters = cells.groupBy("i", "b").agg(
+        F.sum("exact_c").cast("long").alias("c"))
+    est = (cells.join(counters, ["i", "b"])
+           .groupBy("tok")
+           .agg(F.min("c").cast("long").alias("est_c")))
+    return exact.join(est, "tok").select("tok", "exact_c", "est_c")

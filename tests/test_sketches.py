@@ -73,3 +73,40 @@ def test_weekly_merge_is_lossless_and_bounded(spark):
         assert r["approx_users"] == direct[w]          # lossless merge
         e = exact[w]
         assert abs(r["approx_users"] - e) <= max(2, 0.15 * e)
+
+
+def test_cms_overestimates_only_and_merges(spark):
+    """CMS contracts: (a) estimate >= exact for every token, with
+    equality whenever no other token collides in ALL D rows; (b) the
+    counter table is mergeable — cell-wise SUM of per-source sketches
+    equals the global sketch (the property that lets per-day/partition
+    sketches roll up without re-reading data)."""
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries import load_table
+    from hpctoolkit_dataframe_spark.queries.sketches import CMS_D, CMS_W
+
+    rows = REGISTRY["cms_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.est_c >= r.exact_c for r in rows)
+    # vocabulary (~31) << W=512: expect zero all-rows collisions here
+    assert all(r.est_c == r.exact_c for r in rows)
+
+    # mergeability: global counters == sum of per-source counters
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull())
+    cms_b = F.conv(F.substring(F.md5(
+        F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+        1, 8), 16, 10).cast("long") % CMS_W
+    cells = (docs.select("source",
+                         F.explode(F.split("text", r"\s+")).alias("tok"))
+             .select("source", "tok",
+                     F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
+                     .alias("i"))
+             .withColumn("b", cms_b))
+    per_source = cells.groupBy("source", "i", "b").count()
+    merged = {(r["i"], r["b"]): r["sum(count)"] for r in
+              per_source.groupBy("i", "b").agg(F.sum("count")).collect()}
+    global_ = {(r["i"], r["b"]): r["count"] for r in
+               cells.groupBy("i", "b").count().collect()}
+    assert merged == global_
