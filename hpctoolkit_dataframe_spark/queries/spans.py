@@ -23,9 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import load_table, register
+from . import load_table, register, session_key
 
 SPAN_K = 8  # words per window; spans shorter than this are invisible
+
+_HITS_CACHE: dict = {}
 
 
 def _positions(docs: DataFrame) -> DataFrame:
@@ -49,7 +51,13 @@ def _positions(docs: DataFrame) -> DataFrame:
 def _dup_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positions whose K-gram recurs in >= 2 distinct docs.  The
     position table feeds both the dup-key aggregate and the join side —
-    checkpoint so tokenize+slide+hash runs once."""
+    checkpoint so tokenize+slide+hash runs once.  Memoized per
+    (session, sf_dir) like the LSH bucketed table: three registry
+    queries consume the same hits."""
+    cache_key = (session_key(spark), sf_dir)
+    hit = _HITS_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents", spread=True)
     pos = _positions(docs).localCheckpoint(eager=True)
     dup = (pos.groupBy("h")
@@ -58,7 +66,9 @@ def _dup_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("h"))
     # shuffle semi-join on the 8-byte key: the dup set is unbounded at
     # corpus scale, so it must NOT need to broadcast
-    return pos.join(dup, "h", "left_semi"), pos
+    hits = pos.join(dup, "h", "left_semi").localCheckpoint(eager=True)
+    _HITS_CACHE[cache_key] = (hits, pos)
+    return hits, pos
 
 
 _POS_SQL = f"""

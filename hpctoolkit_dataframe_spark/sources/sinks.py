@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_profiles(
@@ -76,4 +76,62 @@ def write_range_sorted(
     out = (df.repartitionByRange(n_files, *cols) if n_files
            else df.repartitionByRange(*cols))
     out = out.sortWithinPartitions(*cols)
+    out.write.format(format).mode(mode).save(path)
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Column expression interleaving ``bits`` bits of each column's
+    min/max-normalized value — the Morton (Z-order) curve key.  Rows
+    close on the curve are close in EVERY listed dimension, so sorting
+    by this key gives parquet row-group min/max statistics that prune
+    under MULTI-column box predicates (a single-column range sort can
+    only ever prune its own column).
+
+    The per-column [min, max] calibration is one bounded 1-row
+    aggregate; the interleave itself is pure JVM bit arithmetic (shift/
+    and/or), no UDF.  Columns must be numeric; NULLs map to 0."""
+    stats = df.agg(*[f(c).alias(f"{n}_{c}") for c in cols
+                     for n, f in (("mn", F.min), ("mx", F.max))]).head()
+    parts = []
+    for j, c in enumerate(cols):
+        lo = float(stats[f"mn_{c}"])
+        hi = float(stats[f"mx_{c}"])
+        span = (hi - lo) or 1.0
+        # scale into [0, 2^bits - 1] — double math is calibration only
+        # (layout quality), never a correctness surface
+        scaled = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(F.lit(0), F.floor(
+                (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - lo)
+                * ((1 << bits) / span)).cast("long")))
+        for k in range(bits):
+            parts.append(F.shiftleft(
+                F.shiftrightunsigned(scaled, k).bitwiseAND(F.lit(1)),
+                k * len(cols) + j))
+    key = parts[0]
+    for p in parts[1:]:
+        key = key.bitwiseOR(p)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_cols: Sequence[str],
+    n_files: int | None = None,
+    bits: int = 16,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustering writer: range-partition + sort on the Morton
+    key of ``zorder_cols`` so each output file covers a compact box in
+    the multi-dimensional key space.  The companion to
+    ``write_range_sorted`` (1-D) for workloads filtering on SEVERAL
+    columns at once (user x time, tenant x day).  Box-predicate file
+    pruning is test-pinned against the 1-D layout."""
+    key = zorder_key(df, zorder_cols, bits=bits)
+    out = (df.repartitionByRange(n_files, key) if n_files
+           else df.repartitionByRange(key))
+    out = out.sortWithinPartitions(key)
     out.write.format(format).mode(mode).save(path)

@@ -111,3 +111,59 @@ def test_range_sorted_layout_gives_disjoint_file_ranges(spark, tmp_path):
     pushed = explain.pushed_filters(filtered)
     assert any("ts" in p for p in pushed), pushed
     assert filtered.count() == ev.filter(ev.ts >= mid).count()
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
+    """write_zordered's contract: under a 2-D box predicate
+    (user range x time range), the per-file (user_id, ts) bounding
+    boxes overlap the query box in FEWER files than a 1-D ts-sorted
+    layout of the same data — and the data itself round-trips."""
+    import pyarrow.parquet as pq
+
+    from hpctoolkit_dataframe_spark.queries import load_table
+    from hpctoolkit_dataframe_spark.sources import sinks
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    sinks.write_zordered(ev, zdir, zorder_cols=("user_id", "ts"),
+                         n_files=16)
+    sinks.write_range_sorted(ev, ldir, range_cols=("ts",), n_files=16)
+
+    # the discriminating box is NARROW in the dimension the 1-D layout
+    # cannot prune: one user across the full time range — a ts-sorted
+    # layout must touch every file, z-order only the user's curve cells
+    us_all = sorted(r.user_id for r in ev.select("user_id").collect())
+    u_lo = u_hi = us_all[len(us_all) // 2]
+    t = sorted(r.ts for r in ev.select("ts").collect())
+    t_lo, t_hi = t[0], t[-1]
+
+    def overlapping_files(d):
+        total, hit = 0, 0
+        import pathlib
+        for f in sorted(pathlib.Path(d).glob("*.parquet")):
+            tab = pq.read_table(f, columns=["user_id", "ts"])
+            if not tab.num_rows:
+                continue
+            total += 1
+            us = tab.column("user_id").to_pylist()
+            ts = tab.column("ts").to_pylist()
+            if (min(us) <= u_hi and max(us) >= u_lo
+                    and min(ts) <= t_hi and max(ts) >= t_lo):
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = overlapping_files(zdir)
+    l_hit, l_total = overlapping_files(ldir)
+    assert z_total >= 8 and l_total >= 8
+    # ts-sorted files all span every user -> l_hit == l_total; the
+    # z-layout must confine one user to at most half the files
+    assert l_hit == l_total
+    assert z_hit <= z_total // 2, (z_hit, z_total, l_hit, l_total)
+    # correctness: the box query returns identical rows either way
+    back = spark.read.parquet(zdir)
+    box = ((F.col("user_id").between(u_lo, u_hi))
+           & (F.col("ts").between(t_lo, t_hi)))
+    assert (sorted(r.event_id for r in back.filter(box)
+                   .select("event_id").collect())
+            == sorted(r.event_id for r in ev.filter(box)
+                      .select("event_id").collect()))
