@@ -504,3 +504,37 @@ def run_store_dedup_stream(docs_stream: DataFrame, table: str,
          .queryName(query_name).trigger(availableNow=True).start())
     q.awaitTermination(120)
     return out
+
+
+def run_gram_store_stream(docs_stream: DataFrame, table: str,
+                          query_name: str = "gram_store_dedup",
+                          sink_path: str | None = None) -> list[Any]:
+    """Substring-level twin of run_store_dedup_stream: drain a document
+    stream through the persisted K-GRAM store (create it with
+    queries.spans.write_gram_store).  Each micro-batch reports, per
+    doc, how many of its K-gram positions are already known to the
+    store (dup_pos / n_pos), then appends its genuinely new grams —
+    the corpus' bytes are never re-read."""
+    from ..queries.spans import (_positions, append_new_grams,
+                                 check_spans_against_store)
+
+    spark = docs_stream.sparkSession
+    out: list[Any] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pos = _positions(batch_df.filter(F.col("text").isNotNull())) \
+            .localCheckpoint(eager=True)
+        flags = check_spans_against_store(spark, pos, table) \
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        # materialize BEFORE the append: flags are defined against the
+        # store as of batch start
+        if sink_path is not None:
+            flags.write.mode("append").parquet(sink_path)
+        else:
+            out.extend(flags.collect())
+        append_new_grams(spark, pos, table)
+
+    q = (docs_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return out

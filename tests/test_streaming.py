@@ -569,3 +569,56 @@ def test_streaming_store_dedup_matches_batch_resume_sequence(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_stream_t")
         spark.sql("DROP TABLE IF EXISTS fp_stream_ref_t")
+
+
+def test_streaming_gram_store_matches_batch_sequence(spark, tmp_path):
+    """Substring-dedup store twin: streaming batch-1 then batch-2 docs
+    through the persisted gram store must emit EXACTLY the per-doc
+    (n_pos, dup_pos) flags of the batch incremental_span_frames
+    sequence, with batch 1's new grams visible to batch 2 only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries.dedup import \
+        drop_fingerprint_store
+    from hpctoolkit_dataframe_spark.queries.spans import (
+        _positions, incremental_span_frames, span_split, write_gram_store)
+
+    try:
+        out1, out2 = incremental_span_frames(
+            spark, SF_DIR, table="gram_store_ref_t")
+        want = {(r["doc_id"], b): (r["n_pos"], r["dup_pos"])
+                for b, frame in ((0, out1), (1, out2))
+                for r in frame.collect()}
+
+        split = span_split(spark, SF_DIR)
+        drop_fingerprint_store(spark, "gram_store_t")
+        write_gram_store(_positions(split.filter(F.col("bucket") >= 2)),
+                         "gram_store_t")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ids = {b: [r["doc_id"] for r in
+                   split.filter(F.col("bucket") == (1 - b)).collect()]
+               for b in (0, 1)}
+        stream_dir = tmp_path / "stream"
+        stream_dir.mkdir()
+        for b in (0, 1):
+            docs.filter(F.col("doc_id").isin(ids[b])).coalesce(1) \
+                .write.mode("overwrite").parquet(str(tmp_path / f"b{b}"))
+            part = next((tmp_path / f"b{b}").glob("*.parquet"))
+            dst = stream_dir / f"batch{b}.parquet"
+            part.rename(dst)
+            os.utime(dst, (1_700_000_000 + b * 60,) * 2)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(stream_dir)))
+        got_rows = se.run_gram_store_stream(stream, "gram_store_t",
+                                            query_name="gramstore_t")
+        got = {(r["doc_id"], r["batch_id"]): (r["n_pos"], r["dup_pos"])
+               for r in got_rows}
+        assert got == want
+        # the split seeds real overlap: some doc must flag fully-known
+        assert any(np == dp for (np, dp) in got.values())
+    finally:
+        for t in ("gram_store_t", "gram_store_ref_t"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
