@@ -103,6 +103,16 @@ def main() -> None:
     except Exception as exc:
         errors["pq_train"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # and for the duplicate-span hit table (memoized; three consumers)
+    t0 = time.time()
+    try:
+        from hpctoolkit_dataframe_spark.queries.spans import _dup_hits
+
+        _dup_hits(spark, SF_DIR)
+        timings["span_hits_build"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["span_hits_build"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # shared machine: single samples wobble +-50% (CLAUDE.md), making
     # round-over-round deltas uninterpretable.  Sub-5s queries re-run
     # to a median-of-3; the expensive tail keeps one sample (its

@@ -308,3 +308,21 @@ def test_funnel_steps_are_hash_joins(spark):
     df2 = REGISTRY["cohort_retention"].fn(spark, SF_DIR)
     assert explain.join_strategies(df2)["cartesian"] == 0
     assert explain.python_udf_count(df2) == 0
+
+
+def test_registry_wide_plan_census(spark):
+    """Every registry query's executed plan, audited at once: zero
+    row-at-a-time Python UDFs anywhere, zero cartesian products, Arrow
+    stages and broadcast-scalar nested-loop joins only where
+    documented (tools/plan_census.py allowlists).  This is the global
+    scale-viability gate — the per-query tests above go deeper on the
+    headliners, this one guarantees no NEW query regresses the floor."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import plan_census
+
+    rows = plan_census.census(spark, SF_DIR, list(REGISTRY))
+    bad = plan_census.violations(rows)
+    assert not bad, bad
