@@ -848,3 +848,100 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rk", F.row_number().over(w_rank).cast("long"))
             .filter(F.col("rk") <= TOP_K)
             .select("query_id", "neighbor_id", "rk", "adc_d"))
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance: the persisted, append-only cell store.  The
+# coarse codebook is trained ONCE (the expensive pass); from then on
+# new vectors stream in, get assigned to their nearest fixed cell, and
+# append to a cell-bucketed table — queries probe cells against the
+# store without ever touching raw history.  The vector-index analog of
+# the fingerprint/gram stores.
+# ---------------------------------------------------------------------------
+VEC_STORE_TABLE = "ivf_cell_store"
+VEC_STORE_BUCKETS = 8
+
+
+def assign_to_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, qe, n2, cell): nearest-centroid assignment by exact
+    integer L2 with the (d, cell) tie-break — the same rule the trainer
+    and the oracle use.  ``cents`` is N_CELLS rows — always broadcast."""
+    from pyspark.sql import Window
+
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__d").asc(), F.col("cell").asc())
+    return (emb.crossJoin(F.broadcast(cents))
+            .withColumn("__d", l2)
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+            .select("vec_id", "qe", "n2", "cell"))
+
+
+def write_vector_store(assigned: DataFrame,
+                       table: str = VEC_STORE_TABLE,
+                       n_buckets: int = VEC_STORE_BUCKETS) -> None:
+    """Initialize the store bucketed on cell: a probe of N_PROBE cells
+    reads N_PROBE buckets' files, nothing else."""
+    from ..sources.sinks import write_bucketed_table
+
+    write_bucketed_table(assigned.select("vec_id", "qe", "n2", "cell"),
+                         table, bucket_cols=("cell",),
+                         n_buckets=n_buckets, sort_cols=("cell",))
+
+
+def append_to_vector_store(assigned: DataFrame,
+                           table: str = VEC_STORE_TABLE,
+                           n_buckets: int = VEC_STORE_BUCKETS) -> None:
+    from ..sources.sinks import write_bucketed_table
+
+    write_bucketed_table(assigned.select("vec_id", "qe", "n2", "cell"),
+                         table, bucket_cols=("cell",),
+                         n_buckets=n_buckets, sort_cols=("cell",),
+                         mode="append")
+    assigned.sparkSession.catalog.refreshTable(table)
+
+
+def probe_cells(queries_emb: DataFrame, cents: DataFrame,
+                cells: DataFrame) -> DataFrame:
+    """Top-k cosine against an assigned-cells frame: probe N_PROBE
+    nearest cells per query, rank only those cells' vectors.  ``cells``
+    may be an in-memory assignment (twin tests) or the persisted store
+    (``ivf_probe_store``) — identical semantics either way."""
+    from pyspark.sql import Window
+
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__d").asc(), F.col("cell").asc())
+    probes = (queries_emb.crossJoin(F.broadcast(cents))
+              .withColumn("__d", l2)
+              .withColumn("prk", F.row_number().over(w))
+              .filter(F.col("prk") <= N_PROBE)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("qe").alias("qqe"),
+                      F.col("n2").alias("qn2"), "cell"))
+    cand = probes.join(cells.withColumnRenamed("cell", "vcell"),
+                       (F.col("vcell") == F.col("cell"))
+                       & (F.col("vec_id") != F.col("query_id")))
+    cos = (_dot(F.col("qqe"), F.col("qe")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double"))
+              * F.sqrt(F.col("n2").cast("double"))))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        cos.alias("cos"))
+            .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id", "rk", "cos"))
+
+
+def ivf_probe_store(spark: SparkSession, queries_emb: DataFrame,
+                    cents: DataFrame,
+                    table: str = VEC_STORE_TABLE) -> DataFrame:
+    """probe_cells against the PERSISTED cell store — the query path of
+    the maintained index (twin-pinned equal to the in-memory probe)."""
+    return probe_cells(queries_emb, cents, spark.table(table))

@@ -538,3 +538,31 @@ def run_gram_store_stream(docs_stream: DataFrame, table: str,
          .queryName(query_name).trigger(availableNow=True).start())
     q.awaitTermination(120)
     return out
+
+
+def run_vector_index_stream(emb_stream: DataFrame, cents: DataFrame,
+                            table: str,
+                            query_name: str = "ivf_index") -> int:
+    """IVF index maintenance as a stream: each micro-batch of raw
+    embeddings is quantized, assigned to its nearest FIXED coarse cell
+    (the codebook trained once up front — broadcast, never retrained
+    mid-stream), and appended to the cell-bucketed store.  Queries run
+    ivf_probe_store against the table between or during batches.
+    Returns the number of micro-batches processed."""
+    from ..queries.vectors import (append_to_vector_store, assign_to_cells,
+                                   _norm2, _qint)
+
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        emb = batch_df.select(
+            "vec_id", _qint(F.col("embedding")).alias("qe"),
+            _norm2(F.col("embedding")).alias("n2"))
+        append_to_vector_store(assign_to_cells(emb, cents), table)
+        n_batches += 1
+
+    q = (emb_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return n_batches

@@ -622,3 +622,64 @@ def test_streaming_gram_store_matches_batch_sequence(spark, tmp_path):
     finally:
         for t in ("gram_store_t", "gram_store_ref_t"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_ivf_index_matches_batch_probe(spark, tmp_path):
+    """Vector-index maintenance twin: train the coarse codebook once,
+    stream the non-query corpus into the cell store in two
+    micro-batches, then probe the STORE — rows must EQUAL probe_cells
+    over the identical in-memory assignment (same integer inputs ->
+    bit-identical cosines)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries import load_table
+    from hpctoolkit_dataframe_spark.queries import vectors as V
+    from hpctoolkit_dataframe_spark.queries.dedup import \
+        drop_fingerprint_store
+
+    table = "ivf_store_t"
+    try:
+        emb_all = V._quantized_corpus(spark, SF_DIR)
+        cents, _ = V._lloyd(emb_all)
+        cents = cents.localCheckpoint(eager=True)
+
+        corpus_ids = sorted(r.vec_id for r in
+                            emb_all.filter(F.col("vec_id") >= V.N_QUERIES)
+                            .select("vec_id").collect())
+        half = corpus_ids[len(corpus_ids) // 2]
+        raw = load_table(spark, SF_DIR, "embeddings")
+        stream_dir = tmp_path / "emb_stream"
+        stream_dir.mkdir()
+        for b, cond in ((0, (F.col("vec_id") >= V.N_QUERIES)
+                         & (F.col("vec_id") < half)),
+                        (1, F.col("vec_id") >= half)):
+            raw.filter(cond).coalesce(1).write.mode("overwrite") \
+                .parquet(str(tmp_path / f"eb{b}"))
+            part = next((tmp_path / f"eb{b}").glob("*.parquet"))
+            dst = stream_dir / f"batch{b}.parquet"
+            part.rename(dst)
+            os.utime(dst, (1_700_000_000 + b * 60,) * 2)
+
+        drop_fingerprint_store(spark, table)  # location hygiene
+        V.write_vector_store(
+            V.assign_to_cells(emb_all, cents).filter(F.lit(False)), table)
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(stream_dir)))
+        assert se.run_vector_index_stream(stream, cents, table) == 2
+
+        queries = emb_all.filter(F.col("vec_id") < V.N_QUERIES)
+        got = {(r.query_id, r.rk): (r.neighbor_id, r.cos)
+               for r in V.ivf_probe_store(spark, queries, cents, table)
+               .collect()}
+        corpus = emb_all.filter(F.col("vec_id") >= V.N_QUERIES)
+        want = {(r.query_id, r.rk): (r.neighbor_id, r.cos)
+                for r in V.probe_cells(
+                    queries, cents,
+                    V.assign_to_cells(corpus, cents)).collect()}
+        assert got == want
+        assert len(got) == V.N_QUERIES * V.TOP_K
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
