@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import load_table, register, session_key
+from . import hash8_sql, load_table, register, session_key
 
 SPAN_K = 8  # words per window; spans shorter than this are invisible
 
@@ -305,3 +305,95 @@ def incremental_span_frames(
     append_new_grams(spark, p1, table)
     p2 = _positions(split.filter(F.col("bucket") == 0))
     return out1, check_spans_against_store(spark, p2, table)
+
+
+@register("corpus_without_dup_spans", sql=f"""
+WITH {_POS_SQL},
+own AS (
+  SELECT h, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
+  FROM pos GROUP BY h),
+foreign_pos AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN own o ON o.h = p.h
+  WHERE o.nd >= 2 AND p.doc_id <> o.owner),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM foreign_pos),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SPAN_K} - 1 AS e
+  FROM isl GROUP BY doc_id, grp),
+removed AS (
+  SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS idx
+  FROM spans, UNNEST(range(s, e + 1)) AS t(j)),
+w AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS idx, ws[CAST(j AS BIGINT)] AS word
+  FROM words, UNNEST(range(1, len(ws) + 1)) AS t(j)),
+kept AS (
+  SELECT w.doc_id, w.idx, w.word FROM w
+  LEFT JOIN removed r ON r.doc_id = w.doc_id AND r.idx = w.idx
+  WHERE r.idx IS NULL),
+cleaned AS (
+  SELECT doc_id,
+         COALESCE(string_agg(word, ' ' ORDER BY idx), '') AS ctext,
+         COUNT(*) AS n_after
+  FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, len(ws) AS n_before FROM words)
+SELECT b.doc_id,
+       CAST(b.n_before AS BIGINT) AS n_before,
+       CAST(COALESCE(c.n_after, 0) AS BIGINT) AS n_after,
+       CAST({hash8_sql("COALESCE(c.ctext, '')")} AS BIGINT) AS cleaned_h
+FROM base b LEFT JOIN cleaned c ON c.doc_id = b.doc_id""")
+def corpus_without_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE dedup pass (Lee et al. §4: delete all but one
+    occurrence of each duplicated span): every duplicated K-gram's
+    canonical owner is the MIN doc_id containing it; every other doc
+    removes the words covered by its foreign duplicated positions.
+    Output per doc: word counts before/after and an md5-derived hash
+    of the cleaned text, so the oracle pins the exact surviving bytes
+    without shipping corpus-sized strings through the compare.
+
+    Scale shape: ownership is one gram-key aggregate over the position
+    table; removal indexes explode only from FOREIGN-dup intervals
+    (bounded by total duplicated volume); the rebuild is one doc-key
+    shuffle.  Zero Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    _, pos = _dup_hits(spark, sf_dir)
+    own = pos.groupBy("h").agg(
+        F.min("doc_id").alias("owner"),
+        F.count_distinct("doc_id").alias("nd"))
+    foreign = (pos.join(own, "h")
+               .filter((F.col("nd") >= 2)
+                       & (F.col("doc_id") != F.col("owner")))
+               .select("doc_id", "pos"))
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (foreign
+             .withColumn("grp", F.col("pos") - F.row_number().over(w_isl))
+             .groupBy("doc_id", "grp")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + SPAN_K - 1).alias("e")))
+    removed = (spans
+               .select("doc_id", F.explode(
+                   F.sequence(F.col("s"), F.col("e"))).alias("idx"))
+               .distinct())
+    ws = F.split(F.col("text"), r"\s+")
+    words = docs.select(
+        "doc_id", F.posexplode(ws).alias("idx0", "word")
+    ).select("doc_id", (F.col("idx0") + 1).cast("long").alias("idx"),
+             "word")
+    kept = words.join(removed, ["doc_id", "idx"], "left_anti")
+    cleaned = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_after"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("idx", "word"))),
+                            lambda x: x["word"]), " ").alias("ctext")))
+    base = docs.select("doc_id", F.size(ws).cast("long").alias("n_before"))
+    cleaned_h = F.conv(F.substring(F.md5(
+        F.coalesce("ctext", F.lit(""))), 1, 8), 16, 10).cast("long")
+    return (base.join(cleaned, "doc_id", "left")
+            .select("doc_id", "n_before",
+                    F.coalesce("n_after", F.lit(0)).cast("long")
+                    .alias("n_after"),
+                    cleaned_h.alias("cleaned_h")))

@@ -86,3 +86,32 @@ def test_span_plan_no_python_no_cartesian(spark):
         assert strategies["cartesian"] == 0, name
         assert strategies["broadcast_nested_loop"] == 0, name
         assert explain.python_udf_count(df) == 0, name
+
+
+def test_cleaner_keeps_owners_and_strips_foreign_copies(spark):
+    """corpus_without_dup_spans invariants against the sibling span
+    queries: docs without any dup span survive verbatim; something is
+    actually removed; and the total removal is bounded by (strictly
+    less than) the total duplicated-word coverage, because each span's
+    canonical owner keeps its copy."""
+    from pyspark.sql import functions as F
+
+    rows = {r.doc_id: r for r in
+            REGISTRY["corpus_without_dup_spans"].fn(spark, SF_DIR)
+            .collect()}
+    span_docs = {r.doc_id for r in
+                 REGISTRY["duplicate_spans"].fn(spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.n_after <= r.n_before
+        if r.doc_id not in span_docs:
+            assert r.n_after == r.n_before, r
+    removed_total = sum(r.n_before - r.n_after for r in rows.values())
+    assert removed_total > 0
+    covered_total = (REGISTRY["duplicate_word_coverage"]
+                     .fn(spark, SF_DIR)
+                     .agg(F.sum("covered_words")).head()[0])
+    assert removed_total < covered_total
+    # a doc whose duplicated span has a smaller-id twin loses words
+    assert any(r.n_after < r.n_before and r.doc_id in span_docs
+               for r in rows.values())
