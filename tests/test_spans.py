@@ -115,3 +115,48 @@ def test_cleaner_keeps_owners_and_strips_foreign_copies(spark):
     # a doc whose duplicated span has a smaller-id twin loses words
     assert any(r.n_after < r.n_before and r.doc_id in span_docs
                for r in rows.values())
+
+
+def _py_spans(texts):
+    """Pure-Python reference for the whole duplicate-spans pipeline."""
+    from collections import defaultdict
+
+    grams = defaultdict(set)   # gram -> docs containing it
+    pos_lists = {}
+    for d, t in enumerate(texts):
+        ws = t.split(" ") if t else [""]
+        pos_lists[d] = [tuple(ws[i:i + SPAN_K])
+                        for i in range(len(ws) - SPAN_K + 1)]
+        for g in pos_lists[d]:
+            grams[g].add(d)
+    out = set()
+    for d, gl in pos_lists.items():
+        run_start = None
+        for i, g in enumerate(gl):
+            dup = len(grams[g]) >= 2
+            if dup and run_start is None:
+                run_start = i
+            if (not dup or i == len(gl) - 1) and run_start is not None:
+                end = i if dup else i - 1
+                out.add((d, run_start + 1, end - run_start + SPAN_K))
+                run_start = None
+    return out
+
+
+def test_spans_match_python_reference_property(spark):
+    """Property test: random small-vocab corpora (forced collisions)
+    — the distributed pipeline must equal the brute-force reference
+    on every example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c", "d", "e"])
+    text = st.lists(word, min_size=0, max_size=3 * SPAN_K).map(" ".join)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(text, min_size=2, max_size=5))
+    def run(texts):
+        assert _spans_of(spark, texts) == _py_spans(texts)
+
+    run()

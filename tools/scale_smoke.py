@@ -260,6 +260,62 @@ def main() -> None:
               f"vocab), 4 merges in {time.time()-t0:.1f}s: "
               f"{[(m['left'], m['right']) for m in merges]}")
 
+    # 10) substring-level dup spans at 100k docs (~6M k-gram
+    #     positions), 10% of docs sharing one pasted boilerplate
+    #     paragraph: the dup-mark aggregate + semi-join + island pass
+    #     must stay gram/doc-key shuffles (no broadcast of the dup set,
+    #     no per-doc driver state)
+    from hpctoolkit_dataframe_spark.queries.spans import (
+        SPAN_K, duplicate_spans)
+
+    n_docs = 100_000 * scale
+    boiler = " ".join(f"bp{i}" for i in range(3 * SPAN_K))
+    docs = spark.range(n_docs, numPartitions=par).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0,
+               F.concat(F.md5(F.col("id").cast("string")),
+                        F.lit(" " + boiler + " "),
+                        F.md5(F.concat(F.col("id").cast("string"),
+                                       F.lit("x")))))
+        .otherwise(F.concat_ws(" ", *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{i}")))
+            for i in range(2 * SPAN_K)])).alias("text"),
+        F.lit("en").alias("lang"), F.lit("synthetic").alias("source"))
+    with tempfile.TemporaryDirectory(prefix="scale_spandocs_") as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        t0 = time.time()
+        rows = mat(duplicate_spans(spark, tmp))
+        # every 10th doc carries the boilerplate -> one span per such doc
+        assert rows >= n_docs // 10, rows
+        print(f"duplicate_spans {n_docs:,} docs, 10% boilerplate: "
+              f"{rows:,} spans in {time.time()-t0:.1f}s")
+
+    # 11) funnel over 10M synthetic events / 100k users: two bucketed
+    #     interval joins — per-step cost one (user, bucket) hash join,
+    #     immune to per-user event skew
+    from hpctoolkit_dataframe_spark.queries.funnel import (
+        funnel_view_click_purchase)
+
+    n_ev = 10_000_000 * scale
+    ev = spark.range(n_ev, numPartitions=par).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000)
+             + (F.xxhash64("id") % 2_592_000_000_000))).alias("ts"),
+        (F.col("id") % 100_000).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("error")),
+            ((F.xxhash64("id", F.lit(7)) % 4) + 5) % 4 + 1)
+        .alias("event_type"),
+        F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+    with tempfile.TemporaryDirectory(prefix="scale_funnel_") as tmp:
+        ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        t0 = time.time()
+        rows = mat(funnel_view_click_purchase(spark, tmp))
+        print(f"funnel 3-step over {n_ev:,} events / 100k users: "
+              f"{rows:,} day rows in {time.time()-t0:.1f}s")
+
 
 if __name__ == "__main__":
     main()
