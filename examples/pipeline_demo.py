@@ -83,6 +83,34 @@ def main() -> None:
           "word counts):")
     REGISTRY["bpe_train_merges"].fn(spark, sf_dir).show(10)
 
+    print("substring-level duplicate spans (8-word windows):")
+    REGISTRY["duplicate_spans"].fn(spark, sf_dir).orderBy(
+        "doc_id", "span_start").show(8)
+
+    print("per-source duplicated-word fraction (deletion budget):")
+    REGISTRY["duplicate_word_coverage"].fn(spark, sf_dir).orderBy(
+        "source").show(5)
+
+    print("span dedup applied (keep-first-owner; words before/after):")
+    REGISTRY["corpus_without_dup_spans"].fn(spark, sf_dir).filter(
+        "n_after < n_before").orderBy("doc_id").show(5)
+
+    print("PII scrub census (injected contact lines, redacted + "
+          "fingerprinted):")
+    REGISTRY["pii_redact_stats"].fn(spark, sf_dir).orderBy("source").show(5)
+
+    print("IVF-PQ composed ANN (probe trained cells, ADC-scan codes):")
+    REGISTRY["ivfpq_ann"].fn(spark, sf_dir).orderBy(
+        "query_id", "rk").show(9)
+
+    print("funnel: view -> click(24h) -> purchase(24h), per view-day:")
+    REGISTRY["funnel_view_click_purchase"].fn(spark, sf_dir).orderBy(
+        "day").show(5)
+
+    print("weekly cohort retention triangle:")
+    REGISTRY["cohort_retention"].fn(spark, sf_dir).orderBy(
+        "cohort_w", "offset_w").show(8)
+
 
 if __name__ == "__main__":
     main()

@@ -306,8 +306,8 @@ def main() -> None:
         F.element_at(
             F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
                     F.lit("error")),
-            ((F.xxhash64("id", F.lit(7)) % 4) + 5) % 4 + 1)
-        .alias("event_type"),
+            (((F.xxhash64("id", F.lit(7)) % 4) + 5) % 4 + 1)
+            .cast("int")).alias("event_type"),
         F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
     with tempfile.TemporaryDirectory(prefix="scale_funnel_") as tmp:
         ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
