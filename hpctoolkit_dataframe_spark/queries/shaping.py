@@ -210,3 +210,67 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_hits").cast("double")
                      / F.col("n_shingles").cast("double"))
                     .alias("contam_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# mixture_plan: source-weighted data mixing — the epoch plan that
+# decides how many copies of each document a training run will see
+# (upweight scarce high-quality sources, downweight bulk crawl).
+# Weights are scaled-integer cents; the fractional part becomes an
+# extra copy for the deterministic hash fraction of docs, so the
+# REALIZED per-source factor converges to the target weight with zero
+# randomness (reruns are byte-identical).  Pure per-row arithmetic +
+# one source rollup — a map stage at any scale.
+# ---------------------------------------------------------------------------
+_W_SQL = ("(100 + (CAST(COALESCE(regexp_extract(source, '[0-9]+', 0), '0')"
+          " AS BIGINT) % 3) * 75)")
+
+
+@register("mixture_plan", sql=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars, {_W_SQL} AS w_e2,
+         {hash8_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 AS frac_h
+  FROM documents WHERE text IS NOT NULL),
+planned AS (
+  SELECT source, n_chars, w_e2,
+         w_e2 // 100 + CASE WHEN frac_h < w_e2 % 100 THEN 1 ELSE 0 END
+           AS copies
+  FROM d)
+SELECT source,
+       CAST(MAX(w_e2) AS BIGINT) AS weight_e2,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(copies) AS BIGINT) AS planned_docs,
+       CAST(SUM(copies * n_chars) AS BIGINT) AS planned_chars,
+       CAST(SUM(copies) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS realized_factor
+FROM planned GROUP BY source""")
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan under deterministic fractional
+    upsampling: target weight (integer cents, derived from the source
+    id here; a config table in production), planned doc/char volumes,
+    and the realized factor — which the test pins to within 1/sqrt(n)
+    of the target (hash-fraction convergence, no RNG)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    w_e2 = (100 + (F.coalesce(
+        F.regexp_extract("source", "[0-9]+", 0).cast("long"),
+        F.lit(0)) % 3) * 75)
+    frac_h = F.conv(F.substring(F.md5(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 100
+    copies = (F.expr("w_e2 div 100")
+              + F.when(F.col("frac_h") < F.col("w_e2") % 100, 1)
+              .otherwise(0))
+    return (docs.select("source", "n_chars",
+                        w_e2.cast("long").alias("w_e2"),
+                        frac_h.alias("frac_h"))
+            .withColumn("copies", copies)
+            .groupBy("source")
+            .agg(F.max("w_e2").cast("long").alias("weight_e2"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("copies").cast("long").alias("planned_docs"),
+                 F.sum(F.col("copies") * F.col("n_chars")).cast("long")
+                 .alias("planned_chars"),
+                 (F.sum("copies").cast("double")
+                  / F.count(F.lit(1)).cast("double"))
+                 .alias("realized_factor")))

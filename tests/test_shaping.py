@@ -104,3 +104,19 @@ def test_doc_chunks_is_narrow(spark):
     df = REGISTRY["doc_chunks"].fn(spark, SF_DIR)
     assert explain.exchange_count(df) == 0
     assert explain.python_udf_count(df) == 0
+
+
+def test_mixture_plan_converges_to_target_weights(spark):
+    """Deterministic fractional upsampling: the realized per-source
+    factor must sit within the hash-fraction convergence band of the
+    target weight, and planned_docs must be reproducible (no RNG)."""
+    rows = REGISTRY["mixture_plan"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        target = r.weight_e2 / 100.0
+        # binomial-ish band: +-3/sqrt(n) around the target fraction
+        assert abs(r.realized_factor - target) <= 3.0 / (r.n_docs ** 0.5), r
+        assert r.planned_chars >= r.planned_docs  # every doc has chars
+    again = {r.source: r.planned_docs
+             for r in REGISTRY["mixture_plan"].fn(spark, SF_DIR).collect()}
+    assert again == {r.source: r.planned_docs for r in rows}
