@@ -135,3 +135,29 @@ def write_zordered(
            else df.repartitionByRange(key))
     out = out.sortWithinPartitions(key)
     out.write.format(format).mode(mode).save(path)
+
+
+def write_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    format: str = "json",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the training corpus the manifest describes: canonical
+    + quality-passing documents joined back to their text, written as
+    one directory per hash shard (``shard=N/``) in a line-oriented
+    format a data loader streams directly.  Partition count inside each
+    shard follows the cluster — at 100 TB each shard directory is many
+    files, and the loader shards by DIRECTORY, preserving the
+    manifest's deterministic doc->shard assignment."""
+    from ..queries import REGISTRY, load_table
+
+    manifest = (REGISTRY["training_shard_manifest"].fn(spark, sf_dir)
+                .filter(F.col("quality_pass") == 1)
+                .select("doc_id", "shard"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    (docs.join(manifest, "doc_id")
+     .repartition("shard")
+     .write.partitionBy("shard").format(format).mode(mode).save(path))

@@ -167,3 +167,29 @@ def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
                    .select("event_id").collect())
             == sorted(r.event_id for r in ev.filter(box)
                       .select("event_id").collect()))
+
+
+def test_training_shards_export_round_trips(spark, tmp_path):
+    """write_training_shards: shard=N directories, JSONL content, and
+    the exported (doc_id, shard) set equals the manifest's
+    quality-passing canonical rows exactly."""
+    from hpctoolkit_dataframe_spark.queries import REGISTRY
+    from hpctoolkit_dataframe_spark.sources import sinks
+
+    out = str(tmp_path / "shards")
+    sinks.write_training_shards(spark, "/root/testdata/sf0.001", out)
+    back = spark.read.json(out)
+    want = {(r.doc_id, r.shard) for r in
+            REGISTRY["training_shard_manifest"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .filter(F.col("quality_pass") == 1)
+            .select("doc_id", "shard").collect()}
+    got = {(r.doc_id, r.shard) for r in
+           back.select("doc_id", "shard").collect()}
+    assert got == want
+    shard_dirs = {p.name for p in (tmp_path / "shards").iterdir()
+                  if p.name.startswith("shard=")}
+    assert shard_dirs == {f"shard={s}" for _, s in want}
+    # text survives the JSON round trip
+    one = back.filter(F.col("text").isNotNull()).head()
+    assert one is not None and len(one.text) > 0
