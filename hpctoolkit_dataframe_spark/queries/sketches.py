@@ -152,3 +152,42 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("tok")
            .agg(F.min("c").cast("long").alias("est_c")))
     return exact.join(est, "tok").select("tok", "exact_c", "est_c")
+
+
+def cms_counters(toks: DataFrame) -> DataFrame:
+    """(i, b, c) counter cells for a token frame — per-batch exact
+    counts pre-aggregate first (identical to per-occurrence increments
+    by commutativity), then hash into D x W cells."""
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c0"))
+    cms_b = F.conv(F.substring(F.md5(
+        F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+        1, 8), 16, 10).cast("long") % CMS_W
+    return (exact
+            .select("tok", "c0",
+                    F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
+                    .alias("i"))
+            .withColumn("b", cms_b)
+            .groupBy("i", "b")
+            .agg(F.sum("c0").cast("long").alias("c")))
+
+
+def cms_estimate_tokens(spark: SparkSession, store_path: str,
+                        toks: DataFrame) -> DataFrame:
+    """min-over-rows estimates for each distinct token in ``toks``,
+    against the APPEND-ONLY counter store: cell-wise SUM of every
+    appended batch's counters IS the merged sketch (mergeability is
+    the data structure's point), then D lookups per token."""
+    counters = (spark.read.parquet(store_path)
+                .groupBy("i", "b").agg(F.sum("c").cast("long").alias("c")))
+    cand = toks.select("tok").distinct()
+    cms_b = F.conv(F.substring(F.md5(
+        F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+        1, 8), 16, 10).cast("long") % CMS_W
+    cells = (cand
+             .select("tok", F.explode(F.sequence(F.lit(0),
+                                                 F.lit(CMS_D - 1)))
+                     .alias("i"))
+             .withColumn("b", cms_b))
+    return (cells.join(counters, ["i", "b"])
+            .groupBy("tok")
+            .agg(F.min("c").cast("long").alias("est_c")))

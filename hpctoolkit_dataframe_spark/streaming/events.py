@@ -566,3 +566,28 @@ def run_vector_index_stream(emb_stream: DataFrame, cents: DataFrame,
          .queryName(query_name).trigger(availableNow=True).start())
     q.awaitTermination(120)
     return n_batches
+
+
+def run_cms_stream(docs_stream: DataFrame, store_path: str,
+                   query_name: str = "cms_maintain") -> int:
+    """Mergeable-sketch maintenance: each micro-batch's token stream
+    becomes a D x W counter table appended to the store; the merged
+    sketch at any time is the cell-wise SUM of all appended batches —
+    exactly equal to a batch-built CMS over everything seen (pinned by
+    the streaming twin test).  State per batch is <= D*W cells no
+    matter how many tokens arrived."""
+    from ..queries.sketches import cms_counters
+
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        toks = (batch_df.filter(F.col("text").isNotNull())
+                .select(F.explode(F.split("text", r"\s+")).alias("tok")))
+        cms_counters(toks).write.mode("append").parquet(store_path)
+        n_batches += 1
+
+    q = (docs_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return n_batches

@@ -683,3 +683,42 @@ def test_streaming_ivf_index_matches_batch_probe(spark, tmp_path):
         assert len(got) == V.N_QUERIES * V.TOP_K
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Mergeable-sketch maintenance twin: CMS counters appended per
+    micro-batch, cell-wise summed at read time, must give estimates
+    IDENTICAL to the batch cms_heavy_hitters over the full corpus —
+    exact equality, because CMS construction is pure integer
+    arithmetic and merging is associative addition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries.sketches import \
+        cms_estimate_tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for b, cond in ((0, F.col("doc_id") % 2 == 0),
+                    (1, F.col("doc_id") % 2 == 1)):
+        docs.filter(cond).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"cb{b}"))
+        part = next((tmp_path / f"cb{b}").glob("*.parquet"))
+        dst = stream_dir / f"batch{b}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + b * 60,) * 2)
+    store = str(tmp_path / "cms_store")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(stream_dir)))
+    assert se.run_cms_stream(stream, store) == 2
+
+    toks = (docs.filter(F.col("text").isNotNull())
+            .select(F.explode(F.split("text", r"\s+")).alias("tok")))
+    got = {r.tok: r.est_c for r in
+           cms_estimate_tokens(spark, store, toks).collect()}
+    want = {r.tok: r.est_c for r in
+            REGISTRY["cms_heavy_hitters"].fn(spark, SF_DIR).collect()}
+    assert got == want
