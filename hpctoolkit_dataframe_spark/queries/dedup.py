@@ -490,3 +490,35 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nodes.join(r, "n")
             .select(F.col("n").alias("doc_id"), "deg",
                     F.col("r").alias("rank_e12")))
+
+
+@register("triangle_count_dup_graph", sql=f"""
+WITH pairs AS ({_PAIRS_SQL}),
+e AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+      FROM pairs),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges""")
+def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the near-dup graph — the clustering-
+    coefficient numerator (dup graphs are clique-heavy, so triangles
+    per edge distinguish boilerplate webs from chance pairs).  Edges
+    orient low->high once, so each triangle materializes exactly once
+    via two hash joins (the standard distributed formulation; at scale
+    the first join's fan-out is bounded by orienting each edge at its
+    LOWER-degree endpoint — unnecessary at fixture degrees)."""
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    e = (pairs.select(F.least("doc_a", "doc_b").alias("a"),
+                      F.greatest("doc_a", "doc_b").alias("b"))
+         .distinct().localCheckpoint(eager=True))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+           .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b"))))
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
+        F.broadcast(e.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_edges"))))

@@ -190,3 +190,77 @@ def event_sequence_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("s", F.lit("error error")).cast("long")
         .alias("n_error_bursts"),
         F.regexp_count("s", F.lit("signup")).cast("long").alias("n_signups"))
+
+
+@register("ab_test_purchase_value", sql=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN {{h}} % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+  FROM (SELECT DISTINCT user_id FROM events)),
+p AS (
+  SELECT e.user_id, CAST(ROUND(e.value * 100) AS BIGINT) AS v_c
+  FROM events e WHERE e.event_type = 'purchase'),
+g AS (
+  SELECT u.grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p.v_c) AS BIGINT) AS s,
+         CAST(SUM(p.v_c * p.v_c) AS BIGINT) AS ss
+  FROM p JOIN u ON u.user_id = p.user_id GROUP BY u.grp)
+SELECT a.n AS n_a, b.n AS n_b,
+       CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a_c,
+       CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b_c,
+       (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+       / sqrt(
+           (CAST(a.ss AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+              * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)))
+             / CAST(a.n AS DOUBLE)
+           + (CAST(b.ss AS DOUBLE) / CAST(b.n AS DOUBLE)
+              - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                * (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
+             / CAST(b.n AS DOUBLE)) AS welch_t
+FROM (SELECT * FROM g WHERE grp = 'A') a
+CROSS JOIN (SELECT * FROM g WHERE grp = 'B') b""".format(
+    h="(" + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS "
+        f"VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)) + ")"))
+def ab_test_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split A/B comparison of purchase value: users split by a
+    deterministic md5 coin (rerun-stable, no RNG), per-arm mean and a
+    Welch t statistic computed from EXACT integer (sum, sum-of-squares)
+    aggregates — every double derives from identical BIGINTs on both
+    engines, so even sqrt-of-variance hashes exactly.  The aggregate
+    is one purchase-row shuffle; the final stats are a 2-row join."""
+    ev = load_table(spark, sf_dir, "events", spread=True)
+    coin = F.conv(F.substring(F.md5(
+        F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 2
+    u = (ev.select("user_id").distinct()
+         .select("user_id",
+                 F.when(coin == 0, "A").otherwise("B").alias("grp")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id",
+                 F.round(F.col("value") * 100).cast("long").alias("v_c")))
+    g = (p.join(u, "user_id").groupBy("grp")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("v_c").cast("long").alias("s"),
+              F.sum(F.col("v_c") * F.col("v_c")).cast("long").alias("ss")))
+    a = g.filter(F.col("grp") == "A").select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"))
+    b = g.filter(F.col("grp") == "B").select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"))
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    var_over_n = lambda s, ss, n: (  # noqa: E731
+        (F.col(ss).cast("double") / F.col(n).cast("double")
+         - mean(s, n) * mean(s, n)) / F.col(n).cast("double"))
+    return (a.crossJoin(b)
+            .select("n_a", "n_b",
+                    mean("s_a", "n_a").alias("mean_a_c"),
+                    mean("s_b", "n_b").alias("mean_b_c"),
+                    ((mean("s_a", "n_a") - mean("s_b", "n_b"))
+                     / F.sqrt(var_over_n("s_a", "ss_a", "n_a")
+                              + var_over_n("s_b", "ss_b", "n_b")))
+                    .alias("welch_t")))

@@ -47,6 +47,8 @@ SCALAR_BNLJ_OK = {
     "cct_flame_widths", "customer_spend_deciles",
     "training_shard_manifest", "corpus_report",   # quality threshold scalar
     "cct_hot_path", "cct_hot_path_batch",         # root-metric scalar probe
+    "triangle_count_dup_graph",                   # 1-row edge-count join
+    "ab_test_purchase_value",                     # 2 one-row arm frames
 }
 
 
