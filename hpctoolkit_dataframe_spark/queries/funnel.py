@@ -264,3 +264,44 @@ def ab_test_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.sqrt(var_over_n("s_a", "ss_a", "n_a")
                               + var_over_n("s_b", "ss_b", "n_b")))
                     .alias("welch_t")))
+
+
+@register("stickiness_dau_wau", sql=f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} AS day
+  FROM events),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM a GROUP BY day),
+contrib AS (
+  SELECT user_id, CAST(j AS BIGINT) AS report_day
+  FROM a, UNNEST(range(day, day + 7)) AS t(j)),
+wau AS (
+  SELECT report_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY report_day)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day""")
+def stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness per day.  The trailing
+    distinct is computed WITHOUT a window-over-sets: each (user,
+    active-day) row contributes to the 7 report days it stays "weekly
+    active" for (a bounded explode), then one distinct count per
+    report day — the shape that scales, since per-day user sets never
+    materialize as arrays.  Days with events always have a WAU row, so
+    the join never drops observed days."""
+    a = (_events_us(spark, sf_dir)
+         .select("user_id",
+                 F.expr(f"ts_us div {_US_PER_DAY}").alias("day"))
+         .distinct()
+         .localCheckpoint(eager=True))  # feeds dau + contrib branches
+    dau = a.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = a.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+        .alias("report_day"))
+    wau = (contrib.groupBy(F.col("report_day").alias("day"))
+           .agg(F.count_distinct("user_id").cast("long").alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    (F.col("dau").cast("double")
+                     / F.col("wau").cast("double")).alias("stickiness")))
