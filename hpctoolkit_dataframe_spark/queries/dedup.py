@@ -501,7 +501,8 @@ tri AS (
   FROM e e1 JOIN e e2 ON e2.a = e1.b
   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
-       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges""")
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+FROM tri""")
 def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the near-dup graph — the clustering-
     coefficient numerator (dup graphs are clique-heavy, so triangles
