@@ -591,3 +591,106 @@ def run_cms_stream(docs_stream: DataFrame, store_path: str,
          .queryName(query_name).trigger(availableNow=True).start())
     q.awaitTermination(120)
     return n_batches
+
+
+def run_funnel_stream(events_stream: DataFrame, prefix: str,
+                      horizon_us: int | None = None,
+                      query_name: str = "funnel_stream") -> "DataFrame":
+    """Multi-step funnel (view -> first click within H -> purchase
+    within H of that click) as an INCREMENTAL computation over
+    event-time-ordered micro-batches, with two persisted state tables:
+
+    - ``{prefix}_views``: views still awaiting their first click
+    - ``{prefix}_vc``:    views matched to a click, awaiting purchase
+
+    Per batch: arriving views append to the wait-set; arriving clicks
+    claim the earliest qualifying click per waiting view (batch order
+    is event-time order, so the first batch containing a qualifying
+    click holds the GLOBAL first — the in-order contract the streaming
+    as-of twin also uses); arriving purchases complete matched views.
+    Entries whose window closed before the batch's max timestamp are
+    purged, so state is bounded by one horizon of traffic regardless
+    of stream length.  Completions/matches accumulate in
+    ``{prefix}_out`` (event_id, v_ts, stage) — the twin test folds
+    them per view-day and compares against the batch funnel query."""
+    from ..queries.funnel import FUNNEL_H_US
+
+    h = horizon_us or FUNNEL_H_US
+    spark = events_stream.sparkSession
+
+    def _table(name: str, schema: str) -> None:
+        if not spark.catalog.tableExists(name):
+            spark.createDataFrame([], schema).write.saveAsTable(name)
+
+    _table(f"{prefix}_views", "event_id long, user_id long, v_ts long")
+    _table(f"{prefix}_vc",
+           "event_id long, user_id long, v_ts long, c_ts long")
+    _table(f"{prefix}_out",
+           "event_id long, v_ts long, stage string, batch_id long")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "event_id", "user_id", "event_type",
+            F.expr("ts div 1000").alias("ts_us")).localCheckpoint(True)
+        hi = b.agg(F.max("ts_us")).head()[0]
+        if hi is None:
+            return
+        views = (b.filter(F.col("event_type") == "view")
+                 .select("event_id", "user_id",
+                         F.col("ts_us").alias("v_ts")))
+        clicks = (b.filter(F.col("event_type") == "click")
+                  .select(F.col("user_id").alias("c_user"),
+                          F.col("ts_us").alias("c_ts")))
+        purchases = (b.filter(F.col("event_type") == "purchase")
+                     .select(F.col("user_id").alias("p_user"),
+                             F.col("ts_us").alias("p_ts")))
+
+        # 1) wait-set = persisted waiting views + this batch's views
+        waiting = (spark.table(f"{prefix}_views")
+                   .unionByName(views).localCheckpoint(True))
+        # 2) claim first qualifying click per waiting view
+        matched = (waiting.join(
+            clicks, (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + h))
+            .groupBy("event_id", "user_id", "v_ts")
+            .agg(F.min("c_ts").alias("c_ts"))
+            .localCheckpoint(True))
+        # 3) completed funnels: purchases against persisted + fresh vc
+        vc_all = (spark.table(f"{prefix}_vc")
+                  .unionByName(matched).localCheckpoint(True))
+        done = (vc_all.join(
+            purchases, (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + h))
+            .select("event_id", "v_ts").distinct()
+            .localCheckpoint(True))
+
+        # emit stage records (append-only result log)
+        out = (matched.select("event_id", "v_ts",
+                              F.lit("clicked").alias("stage"))
+               .unionByName(views.select(
+                   "event_id", "v_ts", F.lit("view").alias("stage")))
+               .unionByName(done.select(
+                   "event_id", "v_ts", F.lit("purchased").alias("stage"))))
+        out.withColumn("batch_id", F.lit(batch_id).cast("long")) \
+            .write.mode("append").saveAsTable(f"{prefix}_out")
+
+        # 4) advance state: drop matched + expired views; keep vc rows
+        #    that are neither completed nor expired
+        next_views = (waiting
+                      .join(matched.select("event_id"), "event_id",
+                            "left_anti")
+                      .filter(F.col("v_ts") + h >= hi))
+        next_vc = (vc_all
+                   .join(done.select("event_id"), "event_id", "left_anti")
+                   .filter(F.col("c_ts") + h >= hi))
+        next_views.write.mode("overwrite").saveAsTable(f"{prefix}_views")
+        next_vc.write.mode("overwrite").saveAsTable(f"{prefix}_vc")
+        for t in ("views", "vc", "out"):
+            spark.catalog.refreshTable(f"{prefix}_{t}")
+
+    q = (events_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(f"{prefix}_out")

@@ -722,3 +722,75 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     want = {r.tok: r.est_c for r in
             REGISTRY["cms_heavy_hitters"].fn(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Multi-step funnel twin: the streamed stage log (view / clicked /
+    purchased per view event), accumulated across three event-time-
+    ordered micro-batches through the persisted wait-set stores, must
+    fold into EXACTLY the batch funnel's per-day counts — including
+    funnels whose click and purchase arrive in different batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries import REGISTRY, load_table
+    from hpctoolkit_dataframe_spark.queries.dedup import \
+        drop_fingerprint_store
+
+    prefix = "funnel_t"
+    try:
+        for t in ("views", "vc", "out"):
+            drop_fingerprint_store(spark, f"{prefix}_{t}")
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id",
+            "event_type", "value", "props").toPandas()
+        ev = ev.sort_values("ts_us")
+        thirds = [ev.iloc[:len(ev) // 3],
+                  ev.iloc[len(ev) // 3:2 * len(ev) // 3],
+                  ev.iloc[2 * len(ev) // 3:]]
+        for i, part in enumerate(thirds):
+            table = pa.Table.from_pydict({
+                "event_id": part["event_id"].astype("int64"),
+                "ts": pa.array(part["ts_us"].astype("int64").tolist(),
+                               pa.timestamp("us")),
+                "user_id": part["user_id"].astype("int64"),
+                "event_type": part["event_type"],
+                "value": part["value"],
+                "props": part["props"],
+            })
+            p = tmp_path / f"batch{i}.parquet"
+            pq.write_table(table, p)
+            os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+        stream = se.normalize_events(
+            spark.readStream.schema(se.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(str(tmp_path)))
+        out = se.run_funnel_stream(stream, prefix)
+        day = F.expr("v_ts div 86400000000").alias("day")
+        got = {(r.day, r.stage): r.n for r in
+               out.groupBy(day, "stage")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        want = {}
+        for r in REGISTRY["funnel_view_click_purchase"].fn(
+                spark, SF_DIR).collect():
+            want[(r.day, "view")] = r.n_views
+            if r.n_clicked:
+                want[(r.day, "clicked")] = r.n_clicked
+            if r.n_purchased:
+                want[(r.day, "purchased")] = r.n_purchased
+        assert got == want
+        # cross-batch funnels actually exercised: some view's later
+        # stage must land in a LATER micro-batch than the view itself
+        stage_batches = {}
+        for r in out.collect():
+            stage_batches.setdefault(r.event_id, {})[r.stage] = r.batch_id
+        assert any(
+            st.get("clicked", 0) > st["view"] or
+            st.get("purchased", 0) > st["view"]
+            for st in stage_batches.values() if "view" in st)
+    finally:
+        for t in ("views", "vc", "out"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
