@@ -694,3 +694,117 @@ def run_funnel_stream(events_stream: DataFrame, prefix: str,
          .queryName(query_name).trigger(availableNow=True).start())
     q.awaitTermination(180)
     return spark.table(f"{prefix}_out")
+
+
+def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
+                          lateness_us: int,
+                          horizon_us: int | None = None,
+                          query_name: str = "funnel_ooo") -> "DataFrame":
+    """Out-of-order-safe funnel: unlike run_funnel_stream (which
+    claims clicks eagerly and therefore requires event-time-ordered
+    batches), this variant buffers raw arrivals and resolves each
+    stage only when the WATERMARK (max event time seen - allowed
+    lateness) passes the window end — at which point every qualifying
+    click/purchase within the lateness contract has arrived, so the
+    decision equals the batch query's on ANY arrival order.
+
+    State: raw view/click/purchase buffers bounded by ~2 horizons of
+    event-time traffic (a click can serve views up to H older, which
+    resolve up to H later), plus the resolved-awaiting-purchase set.
+    Emission is deferred by up to lateness + horizon — the classic
+    correctness/latency trade the eager variant sits on the other
+    side of.  Drain the final windows by appending a sentinel event
+    beyond max_ts + lateness + 2H (the twin test does)."""
+    from ..queries.funnel import FUNNEL_H_US
+
+    h = horizon_us or FUNNEL_H_US
+    spark = events_stream.sparkSession
+
+    def _table(name: str, schema: str) -> None:
+        if not spark.catalog.tableExists(name):
+            spark.createDataFrame([], schema).write.saveAsTable(name)
+
+    _table(f"{prefix}_rv", "event_id long, user_id long, v_ts long")
+    _table(f"{prefix}_rc", "user_id long, c_ts long")
+    _table(f"{prefix}_rp", "user_id long, p_ts long")
+    _table(f"{prefix}_vc",
+           "event_id long, user_id long, v_ts long, c_ts long")
+    _table(f"{prefix}_wm", "wm long")
+    _table(f"{prefix}_out", "event_id long, v_ts long, stage string")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "event_id", "user_id", "event_type",
+            F.expr("ts div 1000").alias("ts_us")).localCheckpoint(True)
+        hi = b.agg(F.max("ts_us")).head()[0]
+        if hi is None:
+            return
+        prev = spark.table(f"{prefix}_wm").agg(F.max("wm")).head()[0]
+        wm = max(hi - lateness_us, prev if prev is not None else -2**62)
+
+        views = (spark.table(f"{prefix}_rv").unionByName(
+            b.filter(F.col("event_type") == "view")
+            .select("event_id", "user_id", F.col("ts_us").alias("v_ts")))
+            .localCheckpoint(True))
+        clicks = (spark.table(f"{prefix}_rc").unionByName(
+            b.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts_us").alias("c_ts")))
+            .localCheckpoint(True))
+        purchases = (spark.table(f"{prefix}_rp").unionByName(
+            b.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts_us").alias("p_ts")))
+            .localCheckpoint(True))
+
+        # resolve step 1 for views whose click window closed below wm
+        closing = views.filter(F.col("v_ts") + h < wm)
+        resolved = (closing.join(
+            clicks.withColumnRenamed("user_id", "cu"),
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + h), "left")
+            .groupBy("event_id", "user_id", "v_ts")
+            .agg(F.min("c_ts").alias("c_ts"))
+            .localCheckpoint(True))
+        matched = resolved.filter(F.col("c_ts").isNotNull())
+
+        # resolve step 2 for matched views whose purchase window closed
+        vc_all = (spark.table(f"{prefix}_vc").unionByName(matched)
+                  .localCheckpoint(True))
+        vc_closing = vc_all.filter(F.col("c_ts") + h < wm)
+        done = (vc_closing.join(
+            purchases.withColumnRenamed("user_id", "pu"),
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + h), "left_semi")
+            .select("event_id", "v_ts").distinct()
+            .localCheckpoint(True))
+
+        out = (views.join(spark.table(f"{prefix}_rv"), "event_id",
+                          "left_anti")  # only THIS batch's new views
+               .select("event_id", "v_ts", F.lit("view").alias("stage"))
+               .unionByName(matched.select(
+                   "event_id", "v_ts", F.lit("clicked").alias("stage")))
+               .unionByName(done.select(
+                   "event_id", "v_ts", F.lit("purchased").alias("stage"))))
+        out.write.mode("append").saveAsTable(f"{prefix}_out")
+
+        # advance buffers: drop resolved views; age out clicks and
+        # purchases no unresolved window can reach any more
+        (views.join(closing.select("event_id"), "event_id", "left_anti")
+         .write.mode("overwrite").saveAsTable(f"{prefix}_rv"))
+        (clicks.filter(F.col("c_ts") + 2 * h >= wm)
+         .write.mode("overwrite").saveAsTable(f"{prefix}_rc"))
+        (purchases.filter(F.col("p_ts") + 2 * h >= wm)
+         .write.mode("overwrite").saveAsTable(f"{prefix}_rp"))
+        (vc_all.join(vc_closing.select("event_id"), "event_id",
+                     "left_anti")
+         .write.mode("overwrite").saveAsTable(f"{prefix}_vc"))
+        spark.createDataFrame([(wm,)], "wm long").write \
+            .mode("overwrite").saveAsTable(f"{prefix}_wm")
+        for t in ("rv", "rc", "rp", "vc", "wm", "out"):
+            spark.catalog.refreshTable(f"{prefix}_{t}")
+
+    q = (events_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(f"{prefix}_out")

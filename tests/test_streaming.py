@@ -794,3 +794,86 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     finally:
         for t in ("views", "vc", "out"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+@pytest.mark.parametrize("ordering", ["shuffled", "inorder"])
+def test_streaming_funnel_ooo_matches_batch(spark, tmp_path, ordering):
+    """Watermark-resolved funnel twin: batches either round-robin
+    SHUFFLED (each spans the full time range — the eager variant's
+    in-order contract violated on purpose) or in-order with tight
+    lateness; after a sentinel flush event advances the watermark past
+    every window, the folded stage log must equal the batch funnel
+    exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries import REGISTRY, load_table
+    from hpctoolkit_dataframe_spark.queries.dedup import \
+        drop_fingerprint_store
+    from hpctoolkit_dataframe_spark.queries.funnel import FUNNEL_H_US
+
+    prefix = f"funnel_ooo_{ordering}_t"
+    tables = ("rv", "rc", "rp", "vc", "wm", "out")
+    try:
+        for t in tables:
+            drop_fingerprint_store(spark, f"{prefix}_{t}")
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id",
+            "event_type", "value", "props").toPandas()
+        span = int(ev["ts_us"].max() - ev["ts_us"].min())
+        if ordering == "shuffled":
+            parts = [ev.iloc[i::3] for i in range(3)]
+            lateness = span + 1  # nothing is ever too late
+        else:
+            ev = ev.sort_values("ts_us")
+            parts = [ev.iloc[:len(ev) // 3],
+                     ev.iloc[len(ev) // 3:2 * len(ev) // 3],
+                     ev.iloc[2 * len(ev) // 3:]]
+            lateness = 3_600_000_000  # 1h: batches stay within contract
+
+        def write_batch(i, ids, ts, users, types, vals, props):
+            table = pa.Table.from_pydict({
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            })
+            p = tmp_path / f"batch{i}.parquet"
+            pq.write_table(table, p)
+            os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+        for i, part in enumerate(parts):
+            write_batch(i, part["event_id"].astype("int64").tolist(),
+                        part["ts_us"].astype("int64").tolist(),
+                        part["user_id"].astype("int64").tolist(),
+                        part["event_type"].tolist(),
+                        part["value"].tolist(), part["props"].tolist())
+        # sentinel flush: one 'noop' event far beyond every window
+        flush_ts = int(ev["ts_us"].max()) + lateness + 3 * FUNNEL_H_US
+        write_batch(3, [10**12], [flush_ts], [0], ["noop"], [0.0], [""])
+
+        stream = se.normalize_events(
+            spark.readStream.schema(se.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(str(tmp_path)))
+        out = se.run_funnel_stream_ooo(stream, prefix, lateness)
+        day = F.expr("v_ts div 86400000000").alias("day")
+        got = {(r.day, r.stage): r.n for r in
+               out.groupBy(day, "stage")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        want = {}
+        for r in REGISTRY["funnel_view_click_purchase"].fn(
+                spark, SF_DIR).collect():
+            want[(r.day, "view")] = r.n_views
+            if r.n_clicked:
+                want[(r.day, "clicked")] = r.n_clicked
+            if r.n_purchased:
+                want[(r.day, "purchased")] = r.n_purchased
+        assert got == want
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
