@@ -56,6 +56,28 @@ def has_suffix(suffix: Sequence[int], callpath: Column | str = "callpath") -> Co
     return (F.size(c) >= len(suffix)) & (F.slice(c, -len(suffix), len(suffix)) == lits)
 
 
+def contains_fragment(fragment: Sequence[int],
+                      callpath: Column | str = "callpath") -> Column:
+    """``fragment`` appears as a CONTIGUOUS subsequence anywhere in the
+    callpath — the semantics the reference's ``at_paths(*fragments)``
+    declares but never implemented (hpctoolkit_dataframe.py:82-86, the
+    commented-out assert block).  Empty fragment passes everything.
+
+    JVM-side: one ``exists`` over the valid start offsets comparing an
+    array slice — no explode, no UDF.  The offset sequence is guarded
+    (sequence(1, 0) would generate a DESCENDING [1, 0] under ANSI)."""
+    if not fragment:
+        return F.lit(True)
+    c = F.col(callpath) if isinstance(callpath, str) else callpath
+    m = len(fragment)
+    lits = F.array(*[F.lit(int(x)).cast("bigint") for x in fragment])
+    return F.when(
+        F.size(c) >= m,
+        F.exists(F.sequence(F.lit(1), F.size(c) - m + 1),
+                 lambda j: F.slice(c, j, m) == lits)
+    ).otherwise(F.lit(False))
+
+
 def _fullmatch_or_eq(element: Column, item) -> Column:
     """One item of a str-or-regex sequence pattern: compiled regexes use
     fullmatch semantics (reference :110-111), plain strings use equality."""

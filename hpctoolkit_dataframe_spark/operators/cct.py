@@ -54,6 +54,23 @@ def at_paths(
         cp.has_prefix(prefix, callpath_col) & cp.has_suffix(suffix, callpath_col))
 
 
+def at_path_fragments(
+    df: DataFrame,
+    *fragments: Sequence[int],
+    callpath_col: str = "callpath",
+) -> DataFrame:
+    """Rows whose callpath contains EVERY fragment as a contiguous
+    subsequence — the completion of the surface ``at_paths`` declares
+    and (matching the reference, :82-84) refuses: the reference's
+    commented-out implementation sketch (:85-92) names exactly this
+    semantics, so it lives here as a separate extension rather than
+    changing at_paths' pinned NotImplementedError behavior."""
+    cond = F.lit(True)
+    for frag in fragments:
+        cond = cond & cp.contains_fragment(frag, callpath_col)
+    return df.filter(cond)
+
+
 def at_depths(
     df: DataFrame,
     min_depth: int | None = None,

@@ -276,6 +276,21 @@ def cct_prefix_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
                         prefix=(REGION_OFF + 2,)).select("id", "depth", "value")
 
 
+@register("cct_fragment_filter", sql=f"""WITH {CCT_CTES}
+SELECT id, depth, value FROM cct
+WHERE len(path) >= 2 AND len(list_filter(
+        range(1, len(path)),
+        j -> path[j] = {REGION_OFF + 2} AND path[j + 1] = {NATION_OFF + 7}
+      )) > 0""",
+          doc="contiguous-fragment filter anywhere in the callpath — "
+              "completes the surface reference at_paths declares but "
+              "refuses (:82-86); fragment = (region 2, nation 7) pair")
+def cct_fragment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.at_path_fragments(
+        build_cct(spark, sf_dir),
+        (REGION_OFF + 2, NATION_OFF + 7)).select("id", "depth", "value")
+
+
 @register("cct_suffix_filter", sql=f"""WITH {CCT_CTES}
 SELECT id, depth, {_PATH_STR_SQL} AS path_s, value FROM cct
 WHERE len(path) >= 1 AND path[len(path)] = {CUST_OFF + 42}""",

@@ -112,3 +112,29 @@ def test_ratio_of_parent_null_ancestor_stops_walk(spark):
         assert out[1] is None                      # own value null
         assert out[2] is None, threshold           # parent null -> stop
         assert out[3] == pytest.approx(0.8), threshold  # 4/5, never sees 1
+
+
+def test_fragment_contiguity_semantics(spark):
+    """contains_fragment matches CONTIGUOUS subsequences only: both
+    elements present but separated must NOT match; order matters;
+    short paths never match; at_paths itself still refuses fragments
+    (the reference's pinned behavior)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.functions.callpath import \
+        contains_fragment
+    from hpctoolkit_dataframe_spark.operators import cct as ops
+
+    df = spark.createDataFrame(
+        [(1, [3, 17, 99]), (2, [3, 5, 17]), (3, [17, 3]),
+         (4, [3]), (5, [99, 3, 17])],
+        "id long, callpath array<long>")
+    got = sorted(r.id for r in df.filter(
+        contains_fragment((3, 17))).collect())
+    assert got == [1, 5]  # 2: separated, 3: wrong order, 4: too short
+    assert df.filter(contains_fragment(())).count() == 5  # empty passes
+    multi = ops.at_path_fragments(df, (3, 17), (99,))
+    assert sorted(r.id for r in multi.collect()) == [1, 5]
+    with pytest.raises(NotImplementedError):
+        ops.at_paths(df, (3, 17))
