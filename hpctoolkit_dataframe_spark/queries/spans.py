@@ -356,6 +356,18 @@ def corpus_without_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; removal indexes explode only from FOREIGN-dup intervals
     (bounded by total duplicated volume); the rebuild is one doc-key
     shuffle.  Zero Python anywhere."""
+    out = cleaned_corpus(spark, sf_dir)
+    cleaned_h = F.conv(F.substring(F.md5(
+        F.coalesce("ctext", F.lit(""))), 1, 8), 16, 10).cast("long")
+    return out.select("doc_id", "n_before", "n_after",
+                      cleaned_h.alias("cleaned_h"))
+
+
+def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_before, n_after, ctext): every document with its
+    foreign duplicated spans excised (keep-first-owner policy) — the
+    reusable stage behind corpus_without_dup_spans and the curation
+    pipeline tool.  ``ctext`` is '' for a fully-removed doc."""
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
     _, pos = _dup_hits(spark, sf_dir)
@@ -390,10 +402,8 @@ def corpus_without_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.struct("idx", "word"))),
                             lambda x: x["word"]), " ").alias("ctext")))
     base = docs.select("doc_id", F.size(ws).cast("long").alias("n_before"))
-    cleaned_h = F.conv(F.substring(F.md5(
-        F.coalesce("ctext", F.lit(""))), 1, 8), 16, 10).cast("long")
     return (base.join(cleaned, "doc_id", "left")
             .select("doc_id", "n_before",
                     F.coalesce("n_after", F.lit(0)).cast("long")
                     .alias("n_after"),
-                    cleaned_h.alias("cleaned_h")))
+                    F.coalesce("ctext", F.lit("")).alias("ctext")))

@@ -58,3 +58,35 @@ def test_training_shard_manifest_invariants(spark):
     assert all(r["quality_pass"] in (0, 1) for r in rows)
     # every shard populated (474 docs over 8 hash shards)
     assert len({r["shard"] for r in rows}) == N_SHARDS
+
+
+def test_curation_run_end_to_end(spark, tmp_path):
+    """tools/curation_run.py composition contract: stages only shrink
+    the doc set (dedup, quality) until mixture expands it; exported
+    shards exist, every sample's text is PII-free, and the realized
+    per-source factor respects the integer weight floor."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import curation_run
+
+    out = str(tmp_path / "curated")
+    card = curation_run.curate(spark, "/root/testdata/sf0.001", out)
+    assert (card["input_docs"] >= card["after_exact_dedup"]
+            >= card["after_quality"])
+    assert card["exported_samples"] >= card["after_quality"]
+    shard_dirs = [p for p in (tmp_path / "curated").iterdir()
+                  if p.name.startswith("shard=")]
+    assert len(shard_dirs) >= 2
+    back = spark.read.json(out)
+    assert back.count() == card["exported_samples"]
+    # every copy is distinct as a sample; no doc exceeds ceil(weight)
+    from pyspark.sql import functions as F
+    per_doc = back.groupBy("doc_id").count().agg(F.max("count")).head()[0]
+    assert per_doc <= 3  # max weight 2.50 -> at most 3 copies
+    # scrub idempotence: redacting again changes nothing
+    from hpctoolkit_dataframe_spark.queries.pii import redact
+    changed = back.filter(
+        redact(F.col("text")) != F.col("text")).count()
+    assert changed == 0
