@@ -140,6 +140,12 @@ class HPCtoolkitDataFrame:
         return self._wrap(_cct.at_paths(self._df, *fragments, prefix=prefix,
                                         suffix=suffix))
 
+    def at_path_fragments(self, *fragments) -> "HPCtoolkitDataFrame":
+        """Contiguous-fragment filter — the semantics ``at_paths``
+        declares but (matching the reference, :82-84) refuses; see
+        operators/cct.at_path_fragments."""
+        return self._wrap(_cct.at_path_fragments(self._df, *fragments))
+
     def at_depths(self, min_depth=None, max_depth=None) -> "HPCtoolkitDataFrame":
         return self._wrap(_cct.at_depths(self._df, min_depth, max_depth))
 
