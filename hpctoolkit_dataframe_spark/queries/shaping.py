@@ -222,8 +222,27 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # randomness (reruns are byte-identical).  Pure per-row arithmetic +
 # one source rollup — a map stage at any scale.
 # ---------------------------------------------------------------------------
-_W_SQL = ("(100 + (CAST(COALESCE(regexp_extract(source, '[0-9]+', 0), '0')"
-          " AS BIGINT) % 3) * 75)")
+# NULLIF guard: BOTH engines return '' (not NULL) for a no-match
+# regexp_extract, and ANSI CAST('') throws — a digit-less source name
+# must default to weight 100, not crash (code-review finding).
+_W_SQL = ("(100 + (COALESCE(CAST(NULLIF(regexp_extract(source,"
+          " '[0-9]+', 0), '') AS BIGINT), 0) % 3) * 75)")
+
+
+def mixture_weight_cols():
+    """(w_e2, frac_h, copies-builder) — the deterministic fractional
+    upsampling rule, shared by mixture_plan and tools/curation_run so
+    the tool can never diverge from the oracle-gated query."""
+    w_e2 = (100 + (F.coalesce(
+        F.nullif(F.regexp_extract("source", "[0-9]+", 0), F.lit(""))
+        .cast("long"), F.lit(0)) % 3) * 75)
+    frac_h = F.conv(F.substring(F.md5(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 100
+    copies = (F.expr("w_e2 div 100")
+              + F.when(F.col("frac_h") < F.col("w_e2") % 100, 1)
+              .otherwise(0))
+    return w_e2, frac_h, copies
 
 
 @register("mixture_plan", sql=f"""
@@ -252,15 +271,7 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the target (hash-fraction convergence, no RNG)."""
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
-    w_e2 = (100 + (F.coalesce(
-        F.regexp_extract("source", "[0-9]+", 0).cast("long"),
-        F.lit(0)) % 3) * 75)
-    frac_h = F.conv(F.substring(F.md5(
-        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("long") % 100
-    copies = (F.expr("w_e2 div 100")
-              + F.when(F.col("frac_h") < F.col("w_e2") % 100, 1)
-              .otherwise(0))
+    w_e2, frac_h, copies = mixture_weight_cols()
     return (docs.select("source", "n_chars",
                         w_e2.cast("long").alias("w_e2"),
                         frac_h.alias("frac_h"))

@@ -188,6 +188,10 @@ def cms_estimate_tokens(spark: SparkSession, store_path: str,
                                                  F.lit(CMS_D - 1)))
                      .alias("i"))
              .withColumn("b", cms_b))
-    return (cells.join(counters, ["i", "b"])
+    # LEFT join: an untouched cell means count 0 — an inner join would
+    # drop it from the min and overestimate absent tokens (or lose them
+    # entirely when all D cells are empty)
+    return (cells.join(counters, ["i", "b"], "left")
             .groupBy("tok")
-            .agg(F.min("c").cast("long").alias("est_c")))
+            .agg(F.min(F.coalesce("c", F.lit(0))).cast("long")
+                 .alias("est_c")))

@@ -48,8 +48,10 @@ def _positions(docs: DataFrame) -> DataFrame:
                     F.col("g.h").alias("h")))
 
 
-def _dup_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positions whose K-gram recurs in >= 2 distinct docs.  The
+def _dup_hits(spark: SparkSession,
+              sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(hits, pos): positions whose K-gram recurs in >= 2 distinct
+    docs, plus the full position table both stats queries also need.  The
     position table feeds both the dup-key aggregate and the join side —
     checkpoint so tokenize+slide+hash runs once.  Memoized per
     (session, sf_dir) like the LSH bucketed table: three registry

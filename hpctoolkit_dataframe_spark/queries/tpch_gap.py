@@ -216,7 +216,8 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("q20_dominant_suppliers", sql="""
 WITH y AS (
-  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -246,8 +247,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%"))
     s = load_table(spark, sf_dir, "supplier")
+    # ROUND before the integer cast: DuckDB CAST(double AS BIGINT)
+    # rounds-to-nearest while Spark cast truncates — explicit ROUND on
+    # both sides removes the latent divergence on fractional quantities
     bysupp = (li.groupBy("l_partkey", "l_suppkey")
-              .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+              .agg(F.sum(F.round("l_quantity").cast("long")).cast("long")
                    .alias("supp_qty")))
     # derive demand from bysupp (already partitioned by l_partkey-ish
     # keys) instead of re-scanning lineitem

@@ -90,8 +90,16 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
     The per-column [min, max] calibration is one bounded 1-row
     aggregate; the interleave itself is pure JVM bit arithmetic (shift/
     and/or), no UDF.  Columns must be numeric; NULLs map to 0."""
+    if bits * len(cols) > 63:
+        # Java shift counts wrap mod 64 — silent key corruption past 63
+        # usable bits.  Scale per-column precision down instead.
+        bits = 63 // len(cols)
     stats = df.agg(*[f(c).alias(f"{n}_{c}") for c in cols
                      for n, f in (("mn", F.min), ("mx", F.max))]).head()
+    if stats is None or any(stats[f"mn_{c}"] is None for c in cols):
+        # empty or all-NULL frame: no calibration possible — constant
+        # key keeps the writer a plain passthrough
+        return F.lit(0).cast("long")
     parts = []
     for j, c in enumerate(cols):
         lo = float(stats[f"mn_{c}"])

@@ -595,6 +595,7 @@ def run_cms_stream(docs_stream: DataFrame, store_path: str,
 
 def run_funnel_stream(events_stream: DataFrame, prefix: str,
                       horizon_us: int | None = None,
+                      checkpoint_dir: str | None = None,
                       query_name: str = "funnel_stream") -> "DataFrame":
     """Multi-step funnel (view -> first click within H -> purchase
     within H of that click) as an INCREMENTAL computation over
@@ -690,8 +691,15 @@ def run_funnel_stream(events_stream: DataFrame, prefix: str,
         for t in ("views", "vc", "out"):
             spark.catalog.refreshTable(f"{prefix}_{t}")
 
-    q = (events_stream.writeStream.foreachBatch(process)
-         .queryName(query_name).trigger(availableNow=True).start())
+    writer = events_stream.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        # source-offset log: a later invocation with the same
+        # checkpoint+prefix RESUMES — only new files replay, so the
+        # persisted wait-sets pick up where the last run stopped
+        # (without it, a second run reprocesses everything against
+        # leftover state and double-counts; resumption is test-pinned)
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.queryName(query_name).trigger(availableNow=True).start()
     q.awaitTermination(180)
     return spark.table(f"{prefix}_out")
 
@@ -699,6 +707,7 @@ def run_funnel_stream(events_stream: DataFrame, prefix: str,
 def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
                           lateness_us: int,
                           horizon_us: int | None = None,
+                          checkpoint_dir: str | None = None,
                           query_name: str = "funnel_ooo") -> "DataFrame":
     """Out-of-order-safe funnel: unlike run_funnel_stream (which
     claims clicks eagerly and therefore requires event-time-ordered
@@ -804,7 +813,9 @@ def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
         for t in ("rv", "rc", "rp", "vc", "wm", "out"):
             spark.catalog.refreshTable(f"{prefix}_{t}")
 
-    q = (events_stream.writeStream.foreachBatch(process)
-         .queryName(query_name).trigger(availableNow=True).start())
+    writer = events_stream.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.queryName(query_name).trigger(availableNow=True).start()
     q.awaitTermination(180)
     return spark.table(f"{prefix}_out")

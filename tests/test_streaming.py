@@ -877,3 +877,80 @@ def test_streaming_funnel_ooo_matches_batch(spark, tmp_path, ordering):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_streaming_funnel_resumes_from_checkpoint(spark, tmp_path):
+    """Resumption contract: a second run_funnel_stream invocation with
+    the same checkpoint + prefix replays only files added since the
+    first run — stage counts equal one continuous run, never doubled."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries import REGISTRY, load_table
+    from hpctoolkit_dataframe_spark.queries.dedup import \
+        drop_fingerprint_store
+
+    prefix = "funnel_ckpt_t"
+    tables = ("views", "vc", "out")
+    try:
+        for t in tables:
+            drop_fingerprint_store(spark, f"{prefix}_{t}")
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id",
+            "event_type", "value", "props").toPandas()
+        ev = ev.sort_values("ts_us")
+        parts = [ev.iloc[:len(ev) // 3],
+                 ev.iloc[len(ev) // 3:2 * len(ev) // 3],
+                 ev.iloc[2 * len(ev) // 3:]]
+        stream_dir = tmp_path / "stream"
+        stream_dir.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def write_part(i):
+            part = parts[i]
+            table = pa.Table.from_pydict({
+                "event_id": part["event_id"].astype("int64"),
+                "ts": pa.array(part["ts_us"].astype("int64").tolist(),
+                               pa.timestamp("us")),
+                "user_id": part["user_id"].astype("int64"),
+                "event_type": part["event_type"],
+                "value": part["value"],
+                "props": part["props"],
+            })
+            p = stream_dir / f"batch{i}.parquet"
+            pq.write_table(table, p)
+            os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+        def run():
+            stream = se.normalize_events(
+                spark.readStream.schema(se.EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(str(stream_dir)))
+            return se.run_funnel_stream(stream, prefix,
+                                        checkpoint_dir=ckpt,
+                                        query_name="funnel_ckpt_q")
+
+        write_part(0)
+        write_part(1)
+        run()                 # first invocation: batches 0-1
+        write_part(2)
+        out = run()           # resumes: must replay ONLY batch 2
+
+        day = F.expr("v_ts div 86400000000").alias("day")
+        got = {(r.day, r.stage): r.n for r in
+               out.groupBy(day, "stage")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        want = {}
+        for r in REGISTRY["funnel_view_click_purchase"].fn(
+                spark, SF_DIR).collect():
+            want[(r.day, "view")] = r.n_views
+            if r.n_clicked:
+                want[(r.day, "clicked")] = r.n_clicked
+            if r.n_purchased:
+                want[(r.day, "purchased")] = r.n_purchased
+        assert got == want
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

@@ -62,16 +62,13 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     # 4) quality floor: enough words survive the cleaning
     passed = deduped.filter(F.col("n_after") >= MIN_WORDS)
 
-    # 5) mixture: deterministic fractional upsampling by source weight
-    w_e2 = (100 + (F.coalesce(
-        F.regexp_extract("source", "[0-9]+", 0).cast("long"),
-        F.lit(0)) % 3) * 75)
-    frac_h = F.conv(F.substring(F.md5(
-        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("long") % 100
-    copies = (F.expr("w_e2 div 100")
-              + F.when(frac_h < F.col("w_e2") % 100, 1).otherwise(0))
+    # 5) mixture: the SAME rule as the oracle-gated mixture_plan
+    from hpctoolkit_dataframe_spark.queries.shaping import \
+        mixture_weight_cols
+
+    w_e2, frac_h, copies = mixture_weight_cols()
     planned = (passed.withColumn("w_e2", w_e2.cast("long"))
+               .withColumn("frac_h", frac_h)
                .withColumn("copies", copies)
                .withColumn("copy_id",
                            F.explode(F.sequence(F.lit(1), F.col("copies")))))
