@@ -26,7 +26,7 @@ def _cents(col):
 # ---------------------------------------------------------------------------
 @register("q1_pricing_summary", sql="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS sum_base_price_c,
        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
@@ -36,7 +36,7 @@ SELECT l_returnflag, l_linestatus,
               * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
               * CAST(ROUND((1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
          AS sum_charge_e6,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS avg_price_c,
@@ -51,7 +51,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_c = _cents(F.col("l_extendedprice"))
     disc_comp_c = F.round((1 - F.col("l_discount")) * 100).cast("long")
     tax_c = F.round((1 + F.col("l_tax")) * 100).cast("long")
-    qty = F.col("l_quantity").cast("long")
+    qty = F.round("l_quantity").cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -259,7 +259,7 @@ SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
        COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)""")
 def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +267,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("l_quantity").cast("long")).cast("long")
+             F.sum(F.round("l_quantity").cast("long")).cast("long")
              .alias("sum_qty"),
              F.grouping_id().cast("long").alias("grp"))
         .select("grp",
@@ -636,7 +636,7 @@ def events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q17_small_quantity_revenue", sql="""
 WITH avgq AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
            / CAST(COUNT(*) AS DOUBLE) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
@@ -653,7 +653,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", spread=True)
     part = load_table(spark, sf_dir, "part")
     avgq = li.groupBy("l_partkey").agg(
-        (F.sum(F.col("l_quantity").cast("long")).cast("double")
+        (F.sum(F.round("l_quantity").cast("long")).cast("double")
          / F.count(F.lit(1)).cast("double")).alias("avg_qty"))
     return (
         li.join(F.broadcast(part),
@@ -677,7 +677,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lineitem_grouping_sets", sql="""
 SELECT COALESCE(l_returnflag, '<all>') AS flag,
        COALESCE(l_linestatus, '<all>') AS status,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
@@ -687,7 +687,7 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT COALESCE(l_returnflag, '<all>') AS flag,
                COALESCE(l_linestatus, '<all>') AS status,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
                COUNT(*) AS n
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
@@ -1024,13 +1024,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
-       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderkey IN (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250)
 GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o_orderdate_s,
          o_totalprice_c""")
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,7 +1042,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cst = load_table(spark, sf_dir, "customer")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+           .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
            .filter(F.col("sum_qty") > 250))
     return (
         o.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
