@@ -38,6 +38,10 @@ def main() -> None:
 
     # call-path operators
     print("depth 2-4 nodes:", h.at_depths(2, 4).count())
+    # contiguous-fragment filter (the surface at_paths declares but,
+    # matching the reference, refuses)
+    print("paths through fragment (2, 4):",
+          h.at_path_fragments((2, 4)).count())
 
     # cell 3: greedy hot path
     chain = h.hot_path()
