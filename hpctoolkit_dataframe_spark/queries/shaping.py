@@ -285,3 +285,48 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("copies").cast("double")
                   / F.count(F.lit(1)).cast("double"))
                  .alias("realized_factor")))
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield/Cohen bottom-k with priority u/w): the
+# deterministic weighted sample — every doc draws a fixed pseudo-random
+# u from its id hash, competes with priority u/weight, and the global
+# bottom-k wins.  Heavier docs get proportionally smaller priorities,
+# so inclusion probability scales with weight; zero RNG, so the sample
+# is identical on every run and on both engines.  Spark executes the
+# bottom-k as TakeOrdered (per-partition heaps + merge), never a full
+# sort.
+# ---------------------------------------------------------------------------
+SAMPLE_K = 100
+
+
+@register("priority_weighted_sample", sql=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         {hash8_sql("'ws:' || CAST(doc_id AS VARCHAR)")} AS u
+  FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+pri AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+         CAST(u * 1000000 // n_chars AS BIGINT) AS priority
+  FROM d)
+SELECT doc_id, source, weight, priority FROM pri
+ORDER BY priority ASC, doc_id ASC LIMIT {SAMPLE_K}""")
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-{SAMPLE_K} by integer priority u * SCALE div weight —
+    character count as the weight here (quality score or token count
+    in production).  The (priority, doc_id) total order makes the
+    cutoff deterministic; exact integer division keeps both engines
+    bit-identical."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0))
+    u = F.conv(F.substring(F.md5(
+        F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    return (docs.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        (u * 1_000_000).cast("long").alias("u_scaled"))
+        .select("doc_id", "source", "weight",
+                F.expr("u_scaled div weight").alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_K))

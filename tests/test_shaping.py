@@ -120,3 +120,21 @@ def test_mixture_plan_converges_to_target_weights(spark):
     again = {r.source: r.planned_docs
              for r in REGISTRY["mixture_plan"].fn(spark, SF_DIR).collect()}
     assert again == {r.source: r.planned_docs for r in rows}
+
+
+def test_priority_sample_favors_heavy_docs(spark):
+    """Weighted-sampling property: the bottom-k winners' mean weight
+    must exceed the corpus mean (heavier docs draw proportionally
+    smaller priorities), and the sample is rerun-identical."""
+    rows = REGISTRY["priority_weighted_sample"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        "text IS NOT NULL AND n_chars > 0")
+    from pyspark.sql import functions as F
+    corpus_mean = corpus.agg(F.avg("n_chars")).head()[0]
+    assert sample_mean > corpus_mean
+    again = {r.doc_id for r in
+             REGISTRY["priority_weighted_sample"].fn(spark, SF_DIR)
+             .collect()}
+    assert again == {r.doc_id for r in rows}
