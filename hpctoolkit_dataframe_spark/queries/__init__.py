@@ -108,6 +108,7 @@ from . import pipeline, shaping, sketches  # noqa: E402,F401
 from . import bpe  # noqa: E402,F401  (after textops: reuses its tokenizer)
 from . import tpch_gap  # noqa: E402,F401  (post-r5-window: r6 rotation picks up)
 from . import funnel, pii, spans  # noqa: E402,F401
+from . import curation  # noqa: E402,F401  (after dedup/vectors: reuses their SQL; post-r5-window)
 
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering (VERDICT r4 #1/#3).  The external

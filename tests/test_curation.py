@@ -1,0 +1,171 @@
+"""Invariants for the curation-policy suite (queries/curation.py).
+Value-level correctness is oracle-gated; these pin the semantics the
+hash compare cannot see: BM25 against an independent Python reference,
+SemDeDup against a brute-force numpy cosine check, keep-best/SCD2/ER
+structural properties."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hpctoolkit_dataframe_spark.queries import REGISTRY, load_table
+from hpctoolkit_dataframe_spark.queries.curation import (
+    BM25_TOKENS, BM25_TOP_K, ER_LEV_MAX, IDF_MICRO, SEMDEDUP_DEN,
+    SEMDEDUP_NUM)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bm25_matches_python_reference(spark):
+    """Recompute BM25 (k1=1.2, b=0.75, Lucene idf) from the raw
+    documents with plain floats; the engine's micro-quantized integer
+    pipeline must agree within quantization error on every returned
+    score, and the returned set must be the true top-k."""
+    docs = [(r["doc_id"], r["text"]) for r in
+            load_table(spark, SF_DIR, "documents")
+            .filter(F.col("text").isNotNull()).collect()]
+    toks = {d: t.split() for d, t in docs}
+    # NB: python str.split() drops leading/trailing empties while the
+    # engines' regex split keeps them; recompute dl the engine way
+    import re
+    dl = {d: len(re.split(r"\s+", t)) for d, t in docs}
+    nd = len(docs)
+    tt = sum(dl.values())
+    avgdl = tt / nd
+    scores = {}
+    for d, ts in toks.items():
+        s = 0.0
+        hit = 0
+        for q in BM25_TOKENS:
+            tf = ts.count(q)
+            if not tf:
+                continue
+            hit += 1
+            df = sum(1 for ts2 in toks.values() if q in ts2)
+            idf = math.log(1 + (nd - df + 0.5) / (df + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+        if hit:
+            scores[d] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = REGISTRY["bm25_topk"].fn(spark, SF_DIR).collect()
+    assert len(got) == min(BM25_TOP_K, len(expect))
+    for row, (doc, ref) in zip(got, expect):
+        assert row["doc_id"] == doc
+        # 3 quantization points (idf, per-term, final) each <= 0.5e-6
+        assert abs(row["bm25"] - ref) < 5e-6, (doc, row["bm25"], ref)
+
+
+def test_semdedup_matches_bruteforce_cosine(spark):
+    """is_semdup=1 exactly when a lower-id vector in the same k-means
+    cell clears cos >= sqrt(SEMDEDUP_NUM/SEMDEDUP_DEN) on the
+    QUANT-scaled integer vectors (numpy int64/object brute force)."""
+    from hpctoolkit_dataframe_spark.queries.vectors import (
+        _lloyd, _quantized_corpus)
+    got = {r["vec_id"]: (r["cell"], r["is_semdup"]) for r in
+           REGISTRY["semdedup_prune"].fn(spark, SF_DIR).collect()}
+    _, assigned = _lloyd(_quantized_corpus(spark, SF_DIR))
+    qe = {r["vec_id"]: np.array(r["qe"], dtype=object)
+          for r in assigned.collect()}
+    cells = {}
+    for vid, (cell, _) in got.items():
+        cells.setdefault(cell, []).append(vid)
+    thr_num, thr_den = SEMDEDUP_NUM, SEMDEDUP_DEN
+    for cell, vids in cells.items():
+        vids.sort()
+        for i, hi in enumerate(vids):
+            expect = 0
+            n2h = int((qe[hi] * qe[hi]).sum())
+            for lo in vids[:i]:
+                dot = int((qe[hi] * qe[lo]).sum())
+                n2l = int((qe[lo] * qe[lo]).sum())
+                if dot > 0 and thr_den * dot * dot >= thr_num * n2h * n2l:
+                    expect = 1
+                    break
+            assert got[hi][1] == expect, (hi, cell, expect)
+
+
+def test_keep_best_one_winner_per_cluster(spark):
+    rows = REGISTRY["dedup_keep_best"].fn(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["is_kept"] == 1]
+        assert len(kept) == 1, cid
+        best = max(members,
+                   key=lambda m: (m["density_milli"], -m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+        assert kept[0]["density_milli"] == best["density_milli"]
+
+
+def test_dq_report_shape_and_totals(spark):
+    rows = {r["check_id"]: r for r in
+            REGISTRY["dq_report"].fn(spark, SF_DIR).collect()}
+    assert len(rows) == 11
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    n_li = load_table(spark, SF_DIR, "lineitem").count()
+    assert rows["customer_dup_key"]["total"] == n_cust
+    assert rows["orders_orphan_custkey"]["total"] == n_orders
+    assert rows["lineitem_orphan_orderkey"]["total"] == n_li
+    for r in rows.values():
+        assert 0 <= r["violations"] <= r["total"]
+    # the synthetic tables keep referential integrity
+    assert rows["orders_orphan_custkey"]["violations"] == 0
+    assert rows["lineitem_orphan_orderkey"]["violations"] == 0
+
+
+def test_scd2_intervals(spark):
+    rows = REGISTRY["scd2_customer_history"].fn(spark, SF_DIR).collect()
+    hist = {}
+    for r in rows:
+        hist.setdefault(r["c_custkey"], []).append(r)
+    segs = {r["c_custkey"]: r["c_mktsegment"] for r in
+            load_table(spark, SF_DIR, "customer").collect()}
+    for key, ivals in hist.items():
+        ivals.sort(key=lambda r: r["eff_from"])
+        # non-overlapping, ordered validity
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["eff_to"] < b["eff_from"]
+        current = [r for r in ivals if r["is_current"] == 1]
+        if key % 17 == 0:  # deleted in snapshot 2
+            assert not current
+            assert ivals[-1]["eff_to"] == 1
+        else:
+            assert len(current) == 1
+            assert current[0]["eff_to"] == 2
+            if key % 7 == 0 and segs[key] != "SEGMENT-X":
+                # re-segmented: old interval closes at 1, new opens at 2
+                assert len(ivals) == 2
+                assert ivals[0]["seg"] == segs[key]
+                assert ivals[1]["seg"] == "SEGMENT-X"
+            else:
+                assert len(ivals) == 1
+
+
+def test_er_pairs_blocking_and_verify(spark):
+    rows = REGISTRY["er_part_pairs"].fn(spark, SF_DIR).collect()
+    parts = {r["p_partkey"]: r for r in
+             load_table(spark, SF_DIR, "part").collect()}
+    assert rows, "expected candidate matches at sf0.001"
+    for r in rows:
+        a, b = parts[r["part_a"]], parts[r["part_b"]]
+        assert r["part_a"] < r["part_b"]
+        assert r["lev"] <= ER_LEV_MAX
+        # blocking key respected
+        assert a["p_name"].split()[-1] == b["p_name"].split()[-1]
+        assert a["p_brand"] == b["p_brand"]
+        assert r["same_type"] == int(a["p_type"] == b["p_type"])
+
+
+def test_bm25_idf_micro_is_stable(spark):
+    """Two runs of the same query in one JVM must agree exactly —
+    guards the documented Math.pow/ln JIT-bistability hazard: the
+    micro-quantization must absorb any intrinsic-vs-interpreted ULP
+    flip between the first (interpreted) and later (C2) executions."""
+    q = REGISTRY["bm25_topk"].fn
+    first = [(r["doc_id"], r["bm25"]) for r in q(spark, SF_DIR).collect()]
+    again = [(r["doc_id"], r["bm25"]) for r in q(spark, SF_DIR).collect()]
+    assert first == again
+    assert IDF_MICRO == 1_000_000

@@ -49,6 +49,7 @@ SCALAR_BNLJ_OK = {
     "cct_hot_path", "cct_hot_path_batch",         # root-metric scalar probe
     "triangle_count_dup_graph",                   # 1-row edge-count join
     "ab_test_purchase_value",                     # 2 one-row arm frames
+    "bm25_topk",                                  # (nd, tt) corpus-scalar frame
 }
 
 
