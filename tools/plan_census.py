@@ -34,6 +34,7 @@ ARROW_OK = {
     "media_frame_sample", "media_fake_features",      # mapInPandas codec
     "bpe_train_merges", "bpe_encode_stats",           # Arrow encode
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",  # XML parse
+    "semdedup_prune",        # per-cell int64 GEMM verify (applyInPandas)
 }
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin:
