@@ -51,7 +51,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from . import REGISTRY, load_table, register
-from .vectors import KMEANS_ITERS, _kmeans_ctes, _lloyd, _quantized_corpus
+from .vectors import (
+    DIM, KMEANS_ITERS, _NORM2_SQL, _QINT_SQL, _dot, _kmeans_ctes, _lloyd,
+    _norm2, _qint, _quantized_corpus)
 
 # ---------------------------------------------------------------------------
 # BM25 top-k ranking
@@ -68,8 +70,9 @@ IDF_MICRO = 1_000_000
 _BM25_QT_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_TOKENS) + "]"
 
 
-@register("bm25_topk", sql=f"""
-WITH d AS (
+# shared CTE chain ending in s(doc_id, score_u, n_terms) — bm25_topk
+# consumes it directly; hybrid_search_rrf fuses it with the dense leg
+_BM25_CORE_CTES = f"""d AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS toks
   FROM documents WHERE text IS NOT NULL
 ),
@@ -101,7 +104,11 @@ term AS (
 ),
 s AS (SELECT doc_id, CAST(SUM(term_u) AS BIGINT) AS score_u,
              CAST(COUNT(*) AS BIGINT) AS n_terms
-      FROM term GROUP BY doc_id)
+      FROM term GROUP BY doc_id)"""
+
+
+@register("bm25_topk", sql=f"""
+WITH {_BM25_CORE_CTES}
 SELECT doc_id, CAST(score_u AS DOUBLE) / {IDF_MICRO} AS bm25, n_terms
 FROM s ORDER BY score_u DESC, doc_id ASC LIMIT {BM25_TOP_K}""")
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,6 +116,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus scalars (doc count, total tokens) ride a broadcast 1-row
     frame; ordering ties break on the exact integer micro-score, never
     on a double."""
+    s = _bm25_scores(spark, sf_dir)
+    return (s.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+            .limit(BM25_TOP_K)
+            .select("doc_id",
+                    (F.col("score_u").cast("double") / IDF_MICRO)
+                    .alias("bm25"),
+                    "n_terms"))
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_u, n_terms) for every document matching >= 1
+    query token — the shared sparse-scoring core."""
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull())
          .select("doc_id", F.split(F.col("text"), r"\s+").alias("toks")))
@@ -133,15 +152,109 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(round(cast(idf_u * 22 * tt * tf as double)"
                 " / cast(10 * tt * tf + 3 * tt + 9 * dl * nd as double),"
                 " 0) as bigint)").alias("term_u")))
-    s = term.groupBy("doc_id").agg(
+    return term.groupBy("doc_id").agg(
         F.sum("term_u").cast("long").alias("score_u"),
         F.count(F.lit(1)).cast("long").alias("n_terms"))
-    return (s.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
-            .limit(BM25_TOP_K)
-            .select("doc_id",
-                    (F.col("score_u").cast("double") / IDF_MICRO)
-                    .alias("bm25"),
-                    "n_terms"))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the BM25 leg with a
+# dense cosine leg (query = embedding of vec_id 0, the knn_cosine
+# idiom: bit-identical single-division cosine, ties broken on id).
+# RRF contribution is exact integer floor division, so fusion scores
+# and ordering are engine-exact.
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+HYBRID_LEG_K = 100
+HYBRID_TOP_K = 20
+_HYBRID_QVEC = 0
+
+_COS_SQL = ("CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE))"
+            " * sqrt(CAST(cn2 AS DOUBLE)))")
+
+
+@register("hybrid_search_rrf", sql=f"""
+WITH {_BM25_CORE_CTES},
+srank AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_u DESC, doc_id ASC)
+              AS BIGINT) AS r_sparse
+  FROM s QUALIFY r_sparse <= {HYBRID_LEG_K}
+),
+e AS (
+  SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
+         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
+  FROM embeddings
+),
+qv AS (SELECT * FROM e WHERE vec_id = {_HYBRID_QVEC}),
+dpair AS (
+  SELECT c.vec_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> qv.qe[i] * c.qe[i])) AS BIGINT) AS dot,
+         qv.n2 AS qn2, c.n2 AS cn2
+  FROM qv JOIN e c ON c.vec_id != {_HYBRID_QVEC}
+),
+drank AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY {_COS_SQL} DESC, vec_id ASC)
+              AS BIGINT) AS r_dense
+  FROM dpair QUALIFY r_dense <= {HYBRID_LEG_K}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.vec_id) AS doc_id,
+         CAST(COALESCE(s.r_sparse, 0) AS BIGINT) AS r_sparse,
+         CAST(COALESCE(d.r_dense, 0) AS BIGINT) AS r_dense,
+         CAST(COALESCE({RRF_SCALE} // ({RRF_K} + s.r_sparse), 0)
+              + COALESCE({RRF_SCALE} // ({RRF_K} + d.r_dense), 0)
+              AS BIGINT) AS rrf_nano
+  FROM srank s FULL OUTER JOIN drank d ON d.vec_id = s.doc_id
+)
+SELECT doc_id, r_sparse, r_dense, rrf_nano FROM fused
+ORDER BY rrf_nano DESC, doc_id ASC LIMIT {HYBRID_TOP_K}""")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: each leg is bounded top-K
+    (sparse = BM25 exchanges; dense = broadcast-query cosine scan —
+    swap in ivf_ann's probe for the 100 TB path), fused by reciprocal
+    rank, so the join is two K-row frames regardless of corpus size."""
+    # top-K the leg FIRST (TakeOrdered — distributed, no global sort),
+    # then rank inside the K-row result: the window's single partition
+    # holds K rows, not the corpus
+    s = (_bm25_scores(spark, sf_dir)
+         .orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+         .limit(HYBRID_LEG_K))
+    ws = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    srank = (s.withColumn("r_sparse", F.row_number().over(ws).cast("long"))
+             .select("doc_id", "r_sparse"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qint(F.col("embedding")).alias("qe"),
+        _norm2(F.col("embedding")).alias("n2"))
+    qv = emb.filter(F.col("vec_id") == _HYBRID_QVEC).select(
+        F.col("qe").alias("q_qe"), F.col("n2").alias("qn2"))
+    cos = (_dot(F.col("q_qe"), F.col("qe")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double"))
+              * F.sqrt(F.col("n2").cast("double"))))
+    wd = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    drank = (F.broadcast(qv)
+             .join(emb, F.col("vec_id") != _HYBRID_QVEC)
+             .select("vec_id", cos.alias("cos"))
+             .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+             .limit(HYBRID_LEG_K)
+             .withColumn("r_dense", F.row_number().over(wd).cast("long"))
+             .select("vec_id", "r_dense"))
+    fused = (srank.join(drank, srank.doc_id == drank.vec_id, "full_outer")
+             .select(
+                 F.coalesce("doc_id", "vec_id").alias("doc_id"),
+                 F.coalesce("r_sparse", F.lit(0)).cast("long")
+                 .alias("r_sparse"),
+                 F.coalesce("r_dense", F.lit(0)).cast("long")
+                 .alias("r_dense"),
+                 (F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + r_sparse)"),
+                             F.lit(0))
+                  + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + r_dense)"),
+                               F.lit(0))).cast("long").alias("rrf_nano")))
+    return (fused.orderBy(F.col("rrf_nano").desc(), F.col("doc_id").asc())
+            .limit(HYBRID_TOP_K))
 
 
 # ---------------------------------------------------------------------------

@@ -159,6 +159,33 @@ def test_er_pairs_blocking_and_verify(spark):
         assert r["same_type"] == int(a["p_type"] == b["p_type"])
 
 
+def test_hybrid_rrf_fuses_the_two_legs(spark):
+    """The fused ranks must agree with independently recomputed legs,
+    and rrf_nano must be exactly the integer floor-div formula."""
+    from hpctoolkit_dataframe_spark.queries.curation import (
+        HYBRID_LEG_K, HYBRID_TOP_K, RRF_K, RRF_SCALE, _bm25_scores)
+    rows = REGISTRY["hybrid_search_rrf"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= HYBRID_TOP_K
+    sparse = _bm25_scores(spark, SF_DIR).collect()
+    sparse_rank = {r["doc_id"]: i + 1 for i, r in enumerate(
+        sorted(sparse, key=lambda r: (-r["score_u"], r["doc_id"]))
+        [:HYBRID_LEG_K])}
+    for r in rows:
+        if r["r_sparse"]:
+            assert sparse_rank[r["doc_id"]] == r["r_sparse"]
+        else:
+            assert r["doc_id"] not in sparse_rank
+        expect = 0
+        if r["r_sparse"]:
+            expect += RRF_SCALE // (RRF_K + r["r_sparse"])
+        if r["r_dense"]:
+            expect += RRF_SCALE // (RRF_K + r["r_dense"])
+        assert r["rrf_nano"] == expect
+    # descending fusion order with doc_id tiebreak
+    keys = [(-r["rrf_nano"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_bm25_idf_micro_is_stable(spark):
     """Two runs of the same query in one JVM must agree exactly —
     guards the documented Math.pow/ln JIT-bistability hazard: the

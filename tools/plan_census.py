@@ -51,6 +51,7 @@ SCALAR_BNLJ_OK = {
     "triangle_count_dup_graph",                   # 1-row edge-count join
     "ab_test_purchase_value",                     # 2 one-row arm frames
     "bm25_topk",                                  # (nd, tt) corpus-scalar frame
+    "hybrid_search_rrf",   # bm25 scalars + broadcast query-vector leg
 }
 
 
