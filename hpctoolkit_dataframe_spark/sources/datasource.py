@@ -33,7 +33,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, InputPartition)
+    DataSource, DataSourceReader, DataSourceStreamReader, InputPartition)
 
 # captured at import so the by-value pickle of THIS module carries the
 # parser functions with it (their module is registered by value too)
@@ -91,54 +91,116 @@ class HPCToolkitXMLDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "_HPCToolkitReader":
         return _HPCToolkitReader(dict(self.options), schema)
 
+    def streamReader(self, schema: T.StructType) -> "_HPCToolkitStreamReader":
+        """``spark.readStream.format("hpctoolkit")`` — directory-monitor
+        ingest for a profile fleet: each trigger globs the path, new
+        files become one InputPartition each (parsed executor-side,
+        same pushdown options as the batch scan), and the offset is the
+        consumed file set, so restart/replay is exact.  The scan schema
+        is pinned by the first parseable file at stream start; later
+        heterogeneous files follow the on_error contract."""
+        return _HPCToolkitStreamReader(dict(self.options), schema)
+
+
+def _parse_scan_options(options: dict) -> tuple:
+    md = options.get("max_depth")
+    max_depth = int(md) if md is not None else None
+    skip_callsite = str(
+        options.get("skip_callsite", "true")).lower() != "false"
+    on_error = str(options.get("on_error", "fail")).lower()
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be fail|skip: {on_error}")
+    return max_depth, skip_callsite, on_error
+
+
+def _read_one_file(path: str, columns: Sequence[str], max_depth,
+                   skip_callsite: bool, on_error: str) -> Iterator[tuple]:
+    """Shared per-partition parse for the batch and stream readers."""
+    try:
+        with open(path, "rb") as f:
+            content = f.read()
+        file_header, rows = parse_experiment_rows(
+            content, path, max_depth=max_depth,
+            skip_callsite=skip_callsite)
+        # same contract as load_experiments (ADVICE r1): a file whose
+        # MetricTable differs from the scan schema must error or be
+        # skipped WHOLE — silent null-padding makes wrong rows
+        file_ids = sorted(file_header["metrics_by_id"])
+        schema_ids = sorted(
+            int(c[len("__raw_"):]) for c in columns
+            if c.startswith("__raw_"))
+        if file_ids != schema_ids:
+            raise ValueError(
+                f"{path}: MetricTable ids {file_ids} differ "
+                f"from the scan schema's {schema_ids}; heterogeneous "
+                "metric sets must be loaded separately and unioned")
+    except Exception:
+        if on_error == "fail":
+            raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "skipping malformed experiment file %s", path, exc_info=True)
+        return
+    for r in rows:
+        yield tuple(
+            list(r["callpath"]) if c == "callpath" else r.get(c)
+            for c in columns)
+
 
 class _HPCToolkitReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
         self._columns: Sequence[str] = [f.name for f in schema.fields]
-        md = options.get("max_depth")
-        self._max_depth = int(md) if md is not None else None
-        self._skip_callsite = str(
-            options.get("skip_callsite", "true")).lower() != "false"
-        self._on_error = str(options.get("on_error", "fail")).lower()
-        if self._on_error not in ("fail", "skip"):
-            raise ValueError(f"on_error must be fail|skip: {self._on_error}")
+        (self._max_depth, self._skip_callsite,
+         self._on_error) = _parse_scan_options(options)
         self._files = _matched_files(options.get("path"))
 
     def partitions(self) -> list[_FilePartition]:
         return [_FilePartition(p) for p in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        try:
-            with open(partition.path, "rb") as f:
-                content = f.read()
-            file_header, rows = parse_experiment_rows(
-                content, partition.path, max_depth=self._max_depth,
-                skip_callsite=self._skip_callsite)
-            # same contract as load_experiments (ADVICE r1): a file whose
-            # MetricTable differs from the scan schema must error or be
-            # skipped WHOLE — silent null-padding makes wrong rows
-            file_ids = sorted(file_header["metrics_by_id"])
-            schema_ids = sorted(
-                int(c[len("__raw_"):]) for c in self._columns
-                if c.startswith("__raw_"))
-            if file_ids != schema_ids:
-                raise ValueError(
-                    f"{partition.path}: MetricTable ids {file_ids} differ "
-                    f"from the scan schema's {schema_ids}; heterogeneous "
-                    "metric sets must be loaded separately and unioned")
-        except Exception:
-            if self._on_error == "fail":
-                raise
-            import logging
+        yield from _read_one_file(
+            partition.path, self._columns, self._max_depth,
+            self._skip_callsite, self._on_error)
 
-            logging.getLogger(__name__).warning(
-                "skipping malformed experiment file %s", partition.path,
-                exc_info=True)
-            return
-        for r in rows:
-            yield tuple(
-                list(r["callpath"]) if c == "callpath" else r.get(c)
-                for c in self._columns)
+
+class _HPCToolkitStreamReader(DataSourceStreamReader):
+    """Micro-batch source over an arriving profile fleet.  The offset
+    is the SORTED LIST of consumed file paths ({"files": [...]}), so
+    (start, end) exactly determines a batch — replay after restart
+    re-parses precisely the delta, and a file that sorts before
+    already-consumed ones is still picked up (set difference, not a
+    high-water mark).  Offset size grows with the fleet; at the 100 TB
+    operating point swap the list for per-directory manifest files and
+    keep the same delta semantics."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._columns: Sequence[str] = [f.name for f in schema.fields]
+        (self._max_depth, self._skip_callsite,
+         self._on_error) = _parse_scan_options(options)
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("format('hpctoolkit') requires .load(path)")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        files = (sorted(_glob.glob(self._path))
+                 if _glob.has_magic(self._path) else [self._path])
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [_FilePartition(p) for p in new]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        yield from _read_one_file(
+            partition.path, self._columns, self._max_depth,
+            self._skip_callsite, self._on_error)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register(spark) -> None:
