@@ -74,8 +74,8 @@ def test_curation_run_end_to_end(spark, tmp_path):
     out = str(tmp_path / "curated")
     card = curation_run.curate(spark, "/root/testdata/sf0.001", out)
     assert (card["input_docs"] >= card["after_exact_dedup"]
-            >= card["after_quality"])
-    assert card["exported_samples"] >= card["after_quality"]
+            >= card["after_quality_and_semdedup"])
+    assert card["exported_samples"] >= card["after_quality_and_semdedup"]
     shard_dirs = [p for p in (tmp_path / "curated").iterdir()
                   if p.name.startswith("shard=")]
     assert len(shard_dirs) >= 2

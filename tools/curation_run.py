@@ -62,6 +62,16 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     # 4) quality floor: enough words survive the cleaning
     passed = deduped.filter(F.col("n_after") >= MIN_WORDS)
 
+    # 4b) semantic dedup: drop docs whose embedding has a kept
+    #     lower-id near-twin in its k-means cell (oracle-gated
+    #     semdedup_prune; vec_id == doc_id in the testdata); docs
+    #     without an embedding pass through
+    from hpctoolkit_dataframe_spark.queries.curation import semdedup_prune
+
+    sem = semdedup_prune(spark, sf_dir).filter(
+        F.col("is_semdup") == 1).select(F.col("vec_id").alias("doc_id"))
+    passed = passed.join(sem, "doc_id", "left_anti")
+
     # 5) mixture: the SAME rule as the oracle-gated mixture_plan
     from hpctoolkit_dataframe_spark.queries.shaping import \
         mixture_weight_cols
@@ -91,7 +101,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     card = {
         "input_docs": n_input,
         "after_exact_dedup": deduped.count(),
-        "after_quality": passed.count(),
+        "after_quality_and_semdedup": passed.count(),
         "exported_samples": final.count(),
         "shards": N_SHARDS,
         "per_source": {r.source: {"docs": r.docs, "samples": r.samples}
