@@ -665,3 +665,92 @@ def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("same_type"),
                     F.abs(F.col("a.cents") - F.col("b.cents"))
                     .cast("long").alias("price_delta_cents")))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: adjacent-bigram co-occurrence vs unigram frequency.
+# PMI = ln(c_xy * T^2 / (N * c_x * c_y)) is monotone in the rational
+# inside the log, so ranking uses the EXACT-integer numerator/
+# denominator with ONE IEEE division (bit-identical across engines) and
+# no transcendental at all.  Pair key is the lexicographically sorted
+# token pair (unordered co-occurrence).
+# ---------------------------------------------------------------------------
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 50
+
+
+@register("pmi_top_pairs", sql=f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM
+    (SELECT unnest(toks) AS token FROM d) GROUP BY token
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+big AS (
+  SELECT least(toks[i], toks[i + 1]) AS tok_a,
+         greatest(toks[i], toks[i + 1]) AS tok_b
+  FROM d, unnest(range(1, len(toks))) AS r(i)
+),
+pc AS (
+  SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM big GROUP BY tok_a, tok_b
+  HAVING COUNT(*) >= {PMI_MIN_PAIR}
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+scored AS (
+  SELECT p.tok_a, p.tok_b, p.c_xy, a.c AS c_a, b.c AS c_b,
+         CAST(p.c_xy * t.t * t.t AS DOUBLE)
+           / CAST(n.n * a.c * b.c AS DOUBLE) AS pmi_ratio
+  FROM pc p
+  JOIN uni a ON a.token = p.tok_a
+  JOIN uni b ON b.token = p.tok_b
+  CROSS JOIN tot t CROSS JOIN n
+)
+SELECT tok_a, tok_b, c_xy, c_a, c_b, pmi_ratio FROM scored
+ORDER BY pmi_ratio DESC, tok_a ASC, tok_b ASC LIMIT {PMI_TOP_K}""")
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: one token exchange for unigrams, one
+    bigram-pair exchange, two joins against the unigram dim (broadcast
+    at vocab scale), two broadcast scalars — the classic map-side-heavy
+    counting shape that survives any corpus size.  Ordering ties break
+    on the token pair, and the overflow budget is explicit:
+    c_xy*T^2 and N*c_a*c_b stay under 2^63 up to ~10^9 total tokens
+    (shift to per-mille scaled counts beyond)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", F.split(F.col("text"), r"\s+").alias("toks")))
+    uni = (d.select(F.explode("toks").alias("token"))
+           .groupBy("token")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = uni.agg(F.sum("c").cast("long").alias("t"))
+    # transform's lambda index i is 0-based over the slice and Spark's
+    # array[] access is 0-based too, so slice element i pairs with the
+    # original array's element i+1 (DuckDB's twin is 1-based on both)
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> struct(least(x, toks[i + 1]) as tok_a,"
+        "                  greatest(x, toks[i + 1]) as tok_b))")
+    big = (d.filter(F.size("toks") >= 2)
+           .select(F.explode(pairs).alias("p"))
+           .select("p.tok_a", "p.tok_b"))
+    pc = (big.groupBy("tok_a", "tok_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+          .filter(F.col("c_xy") >= PMI_MIN_PAIR))
+    n = big.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    uni_a = uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    uni_b = uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (pc.join(uni_a, "tok_a").join(uni_b, "tok_b")
+              .crossJoin(F.broadcast(tot))
+              .crossJoin(F.broadcast(n))
+              .select("tok_a", "tok_b", "c_xy", "c_a", "c_b",
+                      ((F.col("c_xy") * F.col("t") * F.col("t"))
+                       .cast("double")
+                       / (F.col("n") * F.col("c_a") * F.col("c_b"))
+                       .cast("double")).alias("pmi_ratio")))
+    return (scored.orderBy(F.col("pmi_ratio").desc(), F.col("tok_a").asc(),
+                           F.col("tok_b").asc())
+            .limit(PMI_TOP_K)
+            .select("tok_a", "tok_b", "c_xy", "c_a", "c_b", "pmi_ratio"))

@@ -186,6 +186,36 @@ def test_hybrid_rrf_fuses_the_two_legs(spark):
     assert keys == sorted(keys)
 
 
+def test_pmi_matches_python_counter_reference(spark):
+    """Exact co-occurrence counts and ranking ratio recomputed with
+    collections.Counter must match every returned row."""
+    import re
+    from collections import Counter
+
+    from hpctoolkit_dataframe_spark.queries.curation import PMI_MIN_PAIR
+    docs = [r["text"] for r in load_table(spark, SF_DIR, "documents")
+            .filter(F.col("text").isNotNull()).collect()]
+    uni, pc, n_big = Counter(), Counter(), 0
+    for t in docs:
+        toks = re.split(r"\s+", t)
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            pc[(min(a, b), max(a, b))] += 1
+            n_big += 1
+    tt = sum(uni.values())
+    got = REGISTRY["pmi_top_pairs"].fn(spark, SF_DIR).collect()
+    assert got
+    for r in got:
+        key = (r["tok_a"], r["tok_b"])
+        assert pc[key] == r["c_xy"] >= PMI_MIN_PAIR
+        assert uni[r["tok_a"]] == r["c_a"]
+        assert uni[r["tok_b"]] == r["c_b"]
+        assert r["pmi_ratio"] == (
+            float(r["c_xy"] * tt * tt) / float(n_big * r["c_a"] * r["c_b"]))
+    ranks = [(-r["pmi_ratio"], r["tok_a"], r["tok_b"]) for r in got]
+    assert ranks == sorted(ranks)
+
+
 def test_bm25_idf_micro_is_stable(spark):
     """Two runs of the same query in one JVM must agree exactly —
     guards the documented Math.pow/ln JIT-bistability hazard: the

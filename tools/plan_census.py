@@ -52,6 +52,7 @@ SCALAR_BNLJ_OK = {
     "ab_test_purchase_value",                     # 2 one-row arm frames
     "bm25_topk",                                  # (nd, tt) corpus-scalar frame
     "hybrid_search_rrf",   # bm25 scalars + broadcast query-vector leg
+    "pmi_top_pairs",       # (T, N) corpus-scalar frames
 }
 
 
