@@ -754,3 +754,79 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("tok_b").asc())
             .limit(PMI_TOP_K)
             .select("tok_a", "tok_b", "c_xy", "c_a", "c_b", "pmi_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM pseudo-perplexity scoring ("perplexity filtering"): train
+# add-1-smoothed bigram probabilities on the corpus itself, score each
+# document's mean negative log-likelihood.  Each bigram's logprob is
+# ln of ONE exact-integer division (then micro-quantized — the repo's
+# transcendental rule); per-doc totals are BIGINT sums, and the mean
+# NLL is a single long->double division.  Scoring the training corpus
+# means every scored bigram exists in the model (no backoff needed).
+# ---------------------------------------------------------------------------
+LM_MICRO = 1_000_000
+
+
+@register("bigram_lm_score", sql=f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL AND len(string_split_regex(text, '\\s+')) >= 2
+),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(range(1, len(toks))) AS r(i)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big
+       GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM big),
+lp AS (
+  SELECT b.w1, b.w2,
+         CAST(ROUND(ln(CAST(b.c + 1 AS DOUBLE)
+                       / CAST(x.cc + v.v AS DOUBLE))
+                    * {LM_MICRO}, 0) AS BIGINT) AS lp_u
+  FROM bc b JOIN ctx x ON x.w1 = b.w1 CROSS JOIN v
+),
+scored AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(l.lp_u) AS BIGINT) AS sum_lp_u
+  FROM big g JOIN lp l ON l.w1 = g.w1 AND l.w2 = g.w2
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(-sum_lp_u AS DOUBLE) / (n_bigrams * {LM_MICRO}) AS avg_nll
+FROM scored""")
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring at corpus scale: the bigram model is
+    two token-pair exchanges (counts, contexts); scoring joins doc
+    bigrams to the probability dim on the pair key — a plain shuffled
+    equi-join that never materializes vocab^2, only OBSERVED bigrams.
+    At 100 TB the dim is bucketed on (w1, w2) like the gram store."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+         .filter(F.size("toks") >= 2))
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> struct(x as w1, toks[i + 1] as w2))")
+    big = (d.select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", "p.w1", "p.w2"))
+    bc = (big.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    ctx = bc.groupBy("w1").agg(F.sum("c").cast("long").alias("cc"))
+    v = big.agg(F.countDistinct("w2").cast("long").alias("v"))
+    lp = (bc.join(ctx, "w1")
+          .crossJoin(F.broadcast(v))
+          .select("w1", "w2", F.expr(
+              f"cast(round(ln(cast(c + 1 as double)"
+              f" / cast(cc + v as double)) * {LM_MICRO}, 0) as bigint)")
+              .alias("lp_u")))
+    scored = (big.join(lp, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                   F.sum("lp_u").cast("long").alias("sum_lp_u")))
+    return scored.select(
+        "doc_id", "n_bigrams",
+        ((-F.col("sum_lp_u")).cast("double")
+         / (F.col("n_bigrams") * LM_MICRO).cast("double")).alias("avg_nll"))

@@ -216,6 +216,40 @@ def test_pmi_matches_python_counter_reference(spark):
     assert ranks == sorted(ranks)
 
 
+def test_bigram_lm_matches_python_reference(spark):
+    """Add-1-smoothed bigram NLL recomputed in Python (same micro-
+    quantization of each bigram's ln) must match every document."""
+    import re
+
+    from collections import Counter
+
+    from hpctoolkit_dataframe_spark.queries.curation import LM_MICRO
+    docs = {r["doc_id"]: re.split(r"\s+", r["text"]) for r in
+            load_table(spark, SF_DIR, "documents")
+            .filter(F.col("text").isNotNull()).collect()}
+    docs = {d: t for d, t in docs.items() if len(t) >= 2}
+    bc, w2 = Counter(), set()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+            w2.add(b)
+    ctx = Counter()
+    for (a, _), c in bc.items():
+        ctx[a] += c
+    v = len(w2)
+    lp = {k: round(math.log((c + 1) / (ctx[k[0]] + v)) * LM_MICRO)
+          for k, c in bc.items()}
+    got = {r["doc_id"]: r for r in
+           REGISTRY["bigram_lm_score"].fn(spark, SF_DIR).collect()}
+    assert set(got) == set(docs)
+    for d, toks in docs.items():
+        pairs = list(zip(toks, toks[1:]))
+        sum_u = sum(lp[p] for p in pairs)
+        assert got[d]["n_bigrams"] == len(pairs)
+        assert got[d]["avg_nll"] == -sum_u / (len(pairs) * LM_MICRO)
+        assert got[d]["avg_nll"] > 0
+
+
 def test_bm25_idf_micro_is_stable(spark):
     """Two runs of the same query in one JVM must agree exactly —
     guards the documented Math.pow/ln JIT-bistability hazard: the

@@ -53,6 +53,7 @@ SCALAR_BNLJ_OK = {
     "bm25_topk",                                  # (nd, tt) corpus-scalar frame
     "hybrid_search_rrf",   # bm25 scalars + broadcast query-vector leg
     "pmi_top_pairs",       # (T, N) corpus-scalar frames
+    "bigram_lm_score",     # 1-row vocab-size frame
 }
 
 
