@@ -111,6 +111,39 @@ def main() -> None:
     REGISTRY["cohort_retention"].fn(spark, sf_dir).orderBy(
         "cohort_w", "offset_w").show(8)
 
+    print("BM25 top-10 (exact-integer TF saturation):")
+    REGISTRY["bm25_topk"].fn(spark, sf_dir).show(10)
+
+    print("hybrid retrieval: BM25 + dense cosine fused by RRF:")
+    REGISTRY["hybrid_search_rrf"].fn(spark, sf_dir).show(10)
+
+    print("SemDeDup: semantic dups inside k-means cells:")
+    REGISTRY["semdedup_prune"].fn(spark, sf_dir).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("vecs"),
+        F.sum("is_semdup").alias("dropped")).orderBy("cell").show()
+
+    print("near-dup clusters, keep-best-quality policy:")
+    REGISTRY["dedup_keep_best"].fn(spark, sf_dir).filter(
+        "is_kept = 0").orderBy("cluster_id").show(5)
+
+    print("data-quality expectations report:")
+    REGISTRY["dq_report"].fn(spark, sf_dir).orderBy("tbl", "check_id").show(11)
+
+    print("SCD2 dimension history (snapshot merge):")
+    REGISTRY["scd2_customer_history"].fn(spark, sf_dir).filter(
+        "is_current = 0").orderBy("c_custkey", "eff_from").show(5)
+
+    print("record linkage on parts (blocked, levenshtein-verified):")
+    REGISTRY["er_part_pairs"].fn(spark, sf_dir).orderBy(
+        "lev", "part_a").show(5)
+
+    print("top PMI collocations (exact-integer ratio):")
+    REGISTRY["pmi_top_pairs"].fn(spark, sf_dir).show(5)
+
+    print("bigram-LM perplexity scoring (highest-NLL docs):")
+    REGISTRY["bigram_lm_score"].fn(spark, sf_dir).orderBy(
+        F.col("avg_nll").desc()).show(5)
+
 
 if __name__ == "__main__":
     main()
