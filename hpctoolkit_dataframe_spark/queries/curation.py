@@ -309,22 +309,31 @@ def _semdedup_mark(_key, pdf):
     if n == 0:
         return pd.DataFrame({"vec_id": [], "cell": [], "is_semdup": []})
     q = np.array(pdf["qe"].tolist(), dtype=np.int64)
-    g = q @ q.T
-    n2 = np.diag(g).astype(np.float64)
-    lhs = SEMDEDUP_DEN * g.astype(np.float64) ** 2
-    rhs = SEMDEDUP_NUM * np.outer(n2, n2)
-    lower = np.tril(np.ones((n, n), dtype=bool), -1)  # j < i
-    cand = (g > 0) & lower
-    certain = cand & (lhs >= rhs * (1 + 1e-9))
-    near = cand & ~certain & (lhs >= rhs * (1 - 1e-9))
-    dup = certain.any(axis=1)
-    n2i = np.diag(g)
-    for i, j in zip(*np.nonzero(near)):
-        if not dup[i]:
-            d = int(g[i, j])
-            if (SEMDEDUP_DEN * d * d
-                    >= SEMDEDUP_NUM * int(n2i[i]) * int(n2i[j])):
-                dup[i] = True
+    n2i = np.einsum("ij,ij->i", q, q)
+    n2 = n2i.astype(np.float64)
+    dup = np.zeros(n, dtype=bool)
+    # row-blocked GEMM: peak extra memory is O(block * n), never
+    # O(n^2), so a degenerate giant cell (20k identical boilerplate
+    # vectors in one bucket — scale_smoke case) stays bounded
+    block = max(256, min(n, 4_194_304 // max(n, 1) + 1))
+    for lo in range(1, n, block):
+        hi = min(lo + block, n)
+        g = q[lo:hi] @ q.T                       # exact int64 dots
+        lhs = SEMDEDUP_DEN * g.astype(np.float64) ** 2
+        rhs = SEMDEDUP_NUM * np.outer(n2[lo:hi], n2)
+        col = np.arange(n)[None, :]
+        lower = col < np.arange(lo, hi)[:, None]  # j < i
+        cand = (g > 0) & lower
+        certain = cand & (lhs >= rhs * (1 + 1e-9))
+        near = cand & ~certain & (lhs >= rhs * (1 - 1e-9))
+        dup[lo:hi] |= certain.any(axis=1)
+        for bi, j in zip(*np.nonzero(near)):
+            i = lo + bi
+            if not dup[i]:
+                d = int(g[bi, j])
+                if (SEMDEDUP_DEN * d * d
+                        >= SEMDEDUP_NUM * int(n2i[i]) * int(n2i[j])):
+                    dup[i] = True
     return pd.DataFrame({
         "vec_id": pdf["vec_id"],
         "cell": pdf["cell"],

@@ -316,6 +316,62 @@ def main() -> None:
         print(f"funnel 3-step over {n_ev:,} events / 100k users: "
               f"{rows:,} day rows in {time.time()-t0:.1f}s")
 
+    # 12) SemDeDup with a DEGENERATE cell: 20k copies of one vector
+    #     share a k-means cell with the 10k spread vectors nearest it.
+    #     The per-cell kernel's row-blocked GEMM keeps memory O(block*n)
+    #     — an unblocked n^2 matrix on the giant cell would be the
+    #     failure mode — and the output stays O(n) (flags, not pairs),
+    #     so no cap is needed at all.
+    from hpctoolkit_dataframe_spark.queries.curation import semdedup_prune
+    from hpctoolkit_dataframe_spark.queries.vectors import DIM as VDIM
+
+    n_norm, n_dup = 10_000 * scale, 20_000 * scale
+    norm = spark.range(n_norm, numPartitions=par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(VDIM)),
+            lambda i: ((F.xxhash64(F.col("id"), i) % 1000) / 500.0 - 1.0)
+            .cast("float")).alias("embedding"),
+        F.lit(0).alias("label"))
+    dup = spark.range(n_norm, n_norm + n_dup, 1, par).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(VDIM)),
+                    lambda i: (i / VDIM).cast("float")).alias("embedding"),
+        F.lit(1).alias("label"))
+    with tempfile.TemporaryDirectory(prefix="scale_semdedup_") as tmp:
+        norm.unionAll(dup).write.mode("overwrite").parquet(
+            f"{tmp}/embeddings.parquet")
+        t0 = time.time()
+        flagged = (semdedup_prune(spark, tmp)
+                   .agg(F.sum("is_semdup")).head()[0])
+        # all but the first of the 20k identical vectors must be flagged
+        assert flagged >= n_dup - 1, flagged
+        print(f"semdedup_prune {n_norm + n_dup:,} vecs, {n_dup:,} "
+              f"identical in one cell: {flagged:,} flagged in "
+              f"{time.time()-t0:.1f}s (row-blocked GEMM)")
+
+    # 13) bigram-LM scoring at 200k docs (~3.4M bigrams, ~1.8M distinct)
+    #     — model training and scoring are pair-keyed shuffles; the
+    #     probability dim join must stay an equi-join, never a broadcast
+    #     of vocab^2
+    from hpctoolkit_dataframe_spark.queries.curation import bigram_lm_score
+
+    n_docs = 200_000 * scale
+    docs = spark.range(n_docs, numPartitions=par).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                       F.lit(f":{i}"))), 1, 4)
+            for i in range(18)]).alias("text"),
+        F.lit("en").alias("lang"), F.lit("synthetic").alias("source"))
+    with tempfile.TemporaryDirectory(prefix="scale_lmdocs_") as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        t0 = time.time()
+        rows = mat(bigram_lm_score(spark, tmp))
+        assert rows == n_docs, rows
+        print(f"bigram_lm_score {n_docs:,} docs: {rows:,} scored in "
+              f"{time.time()-t0:.1f}s")
+
 
 if __name__ == "__main__":
     main()
