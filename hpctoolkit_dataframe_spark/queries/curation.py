@@ -576,6 +576,22 @@ _SNAPSHOTS_SQL = """
 """
 
 
+def scd2_snapshots(spark: SparkSession,
+                   sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The deterministic two-snapshot change simulation (re-segment
+    %7, delete %17) — ONE definition shared by this batch query, its
+    oracle SQL (_SNAPSHOTS_SQL mirrors it), and the streaming twin
+    test (tests/test_scd2_stream.py), so the three cannot drift."""
+    cust = load_table(spark, sf_dir, "customer")
+    s1 = cust.select("c_custkey", F.lit(1).cast("long").alias("snap"),
+                     F.col("c_mktsegment").alias("seg"))
+    s2 = (cust.filter(F.col("c_custkey") % 17 != 0)
+          .select("c_custkey", F.lit(2).cast("long").alias("snap"),
+                  F.when(F.col("c_custkey") % 7 == 0, "SEGMENT-X")
+                  .otherwise(F.col("c_mktsegment")).alias("seg")))
+    return s1, s2
+
+
 @register("scd2_customer_history", sql=f"""
 WITH snaps AS ({_SNAPSHOTS_SQL}),
 chg AS (
@@ -603,13 +619,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     open a new interval, deleted keys simply stop extending theirs
     (is_current=0).  Adding snapshot N+1 re-runs the same plan over
     store+delta; nothing is quadratic in history length."""
-    cust = load_table(spark, sf_dir, "customer")
-    s1 = cust.select("c_custkey", F.lit(1).cast("long").alias("snap"),
-                     F.col("c_mktsegment").alias("seg"))
-    s2 = (cust.filter(F.col("c_custkey") % 17 != 0)
-          .select("c_custkey", F.lit(2).cast("long").alias("snap"),
-                  F.when(F.col("c_custkey") % 7 == 0, "SEGMENT-X")
-                  .otherwise(F.col("c_mktsegment")).alias("seg")))
+    s1, s2 = scd2_snapshots(spark, sf_dir)
     snaps = s1.unionByName(s2)
     w = Window.partitionBy("c_custkey").orderBy("snap")
     chg = snaps.withColumn(

@@ -32,16 +32,37 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 SNAP_SCHEMA = "c_custkey long, snap long, seg string"
+_TABLES = {"hist": "c_custkey long, seg string, eff_from long, eff_to long",
+           "wm": "latest_snap long"}
+
+
+def _delete_orphan_location(spark: SparkSession, table: str) -> None:
+    """A session that died mid-write leaves the managed location behind
+    with no catalog entry; the next saveAsTable then fails
+    LOCATION_ALREADY_EXISTS (CLAUDE.md rule; cf.
+    queries/dedup.py drop_fingerprint_store)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def _ensure_tables(spark: SparkSession, prefix: str) -> None:
-    if not spark.catalog.tableExists(f"{prefix}_hist"):
-        spark.createDataFrame(
-            [], "c_custkey long, seg string, eff_from long, eff_to long"
-        ).write.saveAsTable(f"{prefix}_hist")
-    if not spark.catalog.tableExists(f"{prefix}_wm"):
-        spark.createDataFrame([], "latest_snap long") \
-            .write.saveAsTable(f"{prefix}_wm")
+    for suffix, schema in _TABLES.items():
+        table = f"{prefix}_{suffix}"
+        if not spark.catalog.tableExists(table):
+            _delete_orphan_location(spark, table)
+            spark.createDataFrame([], schema).write.saveAsTable(table)
+
+
+def drop_scd2_store(spark: SparkSession, prefix: str) -> None:
+    """DROP the store tables AND their managed locations."""
+    for suffix in _TABLES:
+        table = f"{prefix}_{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _delete_orphan_location(spark, table)
 
 
 def _merge_one_snapshot(spark: SparkSession, prefix: str,
@@ -51,12 +72,19 @@ def _merge_one_snapshot(spark: SparkSession, prefix: str,
     opened = (hist.withColumn("rk", F.row_number().over(rk))
               .filter(F.col("rk") == 1).drop("rk"))
     bs = snap_rows.select("c_custkey", F.col("seg").alias("seg_new"))
-    j = bs.join(opened, "c_custkey", "left").localCheckpoint(eager=True)
-    extended = (j.filter(F.col("seg") == F.col("seg_new"))
+    # has_open disambiguates "no open interval" from "open interval
+    # whose seg is NULL"; the value compare is null-safe (<=>), the
+    # exact twin of the batch query's IS DISTINCT FROM — a NULL
+    # attribute value extends a NULL island and closes a non-NULL one
+    j = (bs.join(opened.withColumn("has_open", F.lit(1)),
+                 "c_custkey", "left")
+         .localCheckpoint(eager=True))
+    extended = (j.filter(F.col("has_open").isNotNull()
+                         & F.col("seg").eqNullSafe(F.col("seg_new")))
                 .select("c_custkey", "seg", "eff_from",
                         F.lit(snap).cast("long").alias("eff_to")))
-    inserted = (j.filter(F.col("seg").isNull()
-                         | (F.col("seg") != F.col("seg_new")))
+    inserted = (j.filter(F.col("has_open").isNull()
+                         | ~F.col("seg").eqNullSafe(F.col("seg_new")))
                 .select("c_custkey", F.col("seg_new").alias("seg"),
                         F.lit(snap).cast("long").alias("eff_from"),
                         F.lit(snap).cast("long").alias("eff_to")))
@@ -95,7 +123,11 @@ def run_scd2_stream(snap_stream: DataFrame, prefix: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.queryName(query_name).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "scd2 stream drain did not finish within 600s; the store "
+            "would be partial — not returning a result")
     return scd2_stream_result(spark, prefix)
 
 

@@ -116,53 +116,41 @@ def test_datasource_heterogeneous_rejected(spark, tmp_path):
 
 
 def test_datasource_stream_incremental_fleet(spark, tmp_path):
-    """readStream over an arriving fleet: each new file is exactly one
-    new micro-batch delta, the stream total equals the batch scan, and
-    a restart from the checkpoint re-ingests nothing."""
+    """readStream over an arriving fleet: each availableNow drain
+    ingests exactly the new files, the stream total equals the batch
+    scan, and a drain with no new files ingests nothing.  availableNow
+    terminates and commits deterministically — no sleeps, no race
+    against the commit log."""
     import shutil
-    import time
 
     datasource.register(spark)
     indir = tmp_path / "in"
     indir.mkdir()
     ckpt = str(tmp_path / "ckpt")
-    shutil.copy(XML1, indir / "a.xml")
     glob = f"{indir}/*.xml"
 
     batches = []
 
-    def _start():
+    def _drain():
         sdf = (spark.readStream.format("hpctoolkit")
                .option("max_depth", 5).load(glob))
-        return (sdf.writeStream
-                .foreachBatch(lambda df, bid: batches.append(df.count()))
-                .option("checkpointLocation", ckpt)
-                .trigger(processingTime="1 second").start())
+        q = (sdf.writeStream
+             .foreachBatch(lambda df, bid: batches.append(df.count()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
 
-    q = _start()
-    try:
-        deadline = time.time() + 60
-        while sum(batches) < 15 and time.time() < deadline:
-            time.sleep(0.5)
-        shutil.copy(XML1, indir / "b.xml")
-        while sum(batches) < 30 and time.time() < deadline:
-            time.sleep(0.5)
-    finally:
-        q.stop()
-        q.awaitTermination()
-    nonempty = [n for n in batches if n]
-    assert nonempty == [15, 15]  # one delta batch per arriving file
+    shutil.copy(XML1, indir / "a.xml")
+    _drain()
+    assert sum(batches) == 15  # first file, depth-5 rows
+
+    shutil.copy(XML1, indir / "b.xml")
+    _drain()
+    assert sum(batches) == 30  # exactly the delta was parsed
 
     batch_rows = (spark.read.format("hpctoolkit")
                   .option("max_depth", 5).load(glob).count())
-    assert batch_rows == sum(batches) == 30
+    assert batch_rows == 30
 
-    # restart on the same checkpoint: offset replay finds no new files
-    batches.clear()
-    q = _start()
-    try:
-        time.sleep(4)
-    finally:
-        q.stop()
-        q.awaitTermination()
-    assert sum(batches) == 0
+    _drain()  # no new files: offset replay finds nothing
+    assert sum(batches) == 30

@@ -16,13 +16,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _snapshots(spark):
+    # s1/s2 come from the SAME builder the batch query runs — the
+    # simulation cannot drift between the query and this twin test
+    from hpctoolkit_dataframe_spark.queries.curation import scd2_snapshots
+
     cust = load_table(spark, SF_DIR, "customer")
-    s1 = cust.select("c_custkey", F.lit(1).cast("long").alias("snap"),
-                     F.col("c_mktsegment").alias("seg"))
-    s2 = (cust.filter(F.col("c_custkey") % 17 != 0)
-          .select("c_custkey", F.lit(2).cast("long").alias("snap"),
-                  F.when(F.col("c_custkey") % 7 == 0, "SEGMENT-X")
-                  .otherwise(F.col("c_mktsegment")).alias("seg")))
+    s1, s2 = scd2_snapshots(spark, SF_DIR)
     # snapshot 3 extends past the batch query's horizon: more deletes
     # (%5) and a second re-segmentation wave (%3)
     s3 = (cust.filter((F.col("c_custkey") % 17 != 0)
@@ -118,3 +117,37 @@ def test_scd2_stream_result_schema_matches_batch(spark, tmp_path):
     assert len({r["c_custkey"] for r in rows}) == len(rows)
     for t in ("hist", "wm"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_scd2_merge_null_attribute_values(spark):
+    """NULL attribute semantics must mirror the batch query's
+    IS DISTINCT FROM: NULL extends a NULL island, closes a non-NULL
+    one, and a NULL->value change opens a new interval (a plain
+    equality merge silently drops these rows)."""
+    from hpctoolkit_dataframe_spark.streaming.scd2 import (
+        _ensure_tables, _merge_one_snapshot, drop_scd2_store,
+        scd2_stream_result)
+
+    prefix = f"scd2n_{uuid.uuid4().hex[:8]}"
+    _ensure_tables(spark, prefix)
+    try:
+        snap1 = spark.createDataFrame(
+            [(1, 1, "A"), (2, 1, None), (3, 1, "C")],
+            "c_custkey long, snap long, seg string")
+        snap2 = spark.createDataFrame(
+            [(1, 2, None),   # value -> NULL: close A, open NULL island
+             (2, 2, None),   # NULL -> NULL: extend, no duplicate island
+             (3, 2, "C")],   # unchanged
+            "c_custkey long, snap long, seg string")
+        _merge_one_snapshot(spark, prefix, snap1, 1)
+        _merge_one_snapshot(spark, prefix, snap2, 2)
+        got = {(r["c_custkey"], r["seg"], r["eff_from"], r["eff_to"],
+                r["is_current"])
+               for r in scd2_stream_result(spark, prefix).collect()}
+        assert got == {
+            (1, "A", 1, 1, 0), (1, None, 2, 2, 1),
+            (2, None, 1, 2, 1),
+            (3, "C", 1, 2, 1),
+        }
+    finally:
+        drop_scd2_store(spark, prefix)
