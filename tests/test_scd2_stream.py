@@ -51,11 +51,12 @@ def _expected_islands(rows_by_snap):
         for key, seg in rows_by_snap[snap]:
             per_key.setdefault(key, []).append((snap, seg))
     out = set()
+    _unset = object()  # None is a legitimate attribute value (NULL)
     for key, seq in per_key.items():
-        start_snap, cur_seg, last_snap = None, None, None
+        start_snap, cur_seg, last_snap = None, _unset, None
         for snap, seg in seq:
-            if cur_seg is None or seg != cur_seg:
-                if cur_seg is not None:
+            if cur_seg is _unset or seg != cur_seg:
+                if cur_seg is not _unset:
                     out.add((key, cur_seg, start_snap, last_snap,
                              int(last_snap == latest)))
                 start_snap, cur_seg = snap, seg
@@ -149,5 +150,45 @@ def test_scd2_merge_null_attribute_values(spark):
             (2, None, 1, 2, 1),
             (3, "C", 1, 2, 1),
         }
+    finally:
+        drop_scd2_store(spark, prefix)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(history=st.lists(  # per snapshot: {key: seg-or-None}, absent=delete
+    st.dictionaries(st.integers(1, 6),
+                    st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),
+                    max_size=6),
+    min_size=1, max_size=4))
+def test_scd2_merge_property_random_histories(spark, history):
+    """Merging ANY random snapshot sequence (random keys, values,
+    NULLs, deletions) must equal the Python gaps-and-islands reference
+    — the generic guarantee behind the two fixture tests."""
+    from hpctoolkit_dataframe_spark.streaming.scd2 import (
+        _ensure_tables, _merge_one_snapshot, drop_scd2_store,
+        scd2_stream_result)
+
+    prefix = f"scd2p_{uuid.uuid4().hex[:8]}"
+    _ensure_tables(spark, prefix)
+    try:
+        for i, snap in enumerate(history, start=1):
+            rows = [(k, i, seg) for k, seg in snap.items()]
+            df = spark.createDataFrame(
+                rows, "c_custkey long, snap long, seg string") \
+                if rows else spark.createDataFrame(
+                    [], "c_custkey long, snap long, seg string")
+            _merge_one_snapshot(spark, prefix, df, i)
+        got = {tuple(r) for r in
+               scd2_stream_result(spark, prefix).collect()}
+        rows_by_snap = {i: set(snap.items())
+                        for i, snap in enumerate(history, start=1)}
+        # the reference treats None like any other value (IS DISTINCT
+        # FROM semantics), which _expected_islands' == already does
+        assert got == _expected_islands(rows_by_snap)
     finally:
         drop_scd2_store(spark, prefix)
