@@ -849,3 +849,73 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bigrams",
         ((-F.col("sum_lp_u")).cast("double")
          / (F.col("n_bigrams") * LM_MICRO).cast("double")).alias("avg_nll"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules: co-purchased part pairs ranked by
+# lift.  lift = c_ab * N / (c_a * c_b) — exact integers, ONE division
+# (the engine-safe ranking-double rule), ties broken on the pair key.
+# The pair generation is a within-order self-join: candidates are
+# bounded by basket size (<= ~7 lineitems), never |parts|^2.
+# ---------------------------------------------------------------------------
+BASKET_MIN_SUP = 2
+BASKET_TOP_K = 50
+
+
+@register("copurchase_lift", sql=f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM b
+       GROUP BY l_partkey),
+pc AS (
+  SELECT l.l_partkey AS part_a, r.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM b l JOIN b r ON l.l_orderkey = r.l_orderkey
+                   AND l.l_partkey < r.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUP}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.c_ab, a.c AS c_a, bb.c AS c_b,
+         CAST(p.c_ab * n.n AS DOUBLE) / CAST(a.c * bb.c AS DOUBLE)
+           AS lift
+  FROM pc p
+  JOIN ic a ON a.l_partkey = p.part_a
+  JOIN ic bb ON bb.l_partkey = p.part_b
+  CROSS JOIN n
+)
+SELECT part_a, part_b, c_ab, c_a, c_b, lift FROM scored
+ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT {BASKET_TOP_K}""")
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining shape: baskets distinct once, pairs via
+    an (orderkey)-keyed self-join whose fan-out is basket-size-bounded,
+    item counts broadcast back onto the surviving >= min-support pairs.
+    At 100 TB the basket frame shuffles on orderkey once and everything
+    downstream is proportional to observed pairs, not the catalog."""
+    b = (load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct())
+    n = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    ic = (b.groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    left = b.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("part_a"))
+    right = b.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_b"))
+    pc = (left.join(right, ["ok"])
+          .filter(F.col("part_a") < F.col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+          .filter(F.col("c_ab") >= BASKET_MIN_SUP))
+    ica = ic.select(F.col("l_partkey").alias("part_a"),
+                    F.col("c").alias("c_a"))
+    icb = ic.select(F.col("l_partkey").alias("part_b"),
+                    F.col("c").alias("c_b"))
+    scored = (pc.join(ica, "part_a").join(icb, "part_b")
+              .crossJoin(F.broadcast(n))
+              .select("part_a", "part_b", "c_ab", "c_a", "c_b",
+                      ((F.col("c_ab") * F.col("n")).cast("double")
+                       / (F.col("c_a") * F.col("c_b")).cast("double"))
+                      .alias("lift")))
+    return (scored.orderBy(F.col("lift").desc(), F.col("part_a").asc(),
+                           F.col("part_b").asc())
+            .limit(BASKET_TOP_K)
+            .select("part_a", "part_b", "c_ab", "c_a", "c_b", "lift"))

@@ -260,3 +260,35 @@ def test_bm25_idf_micro_is_stable(spark):
     again = [(r["doc_id"], r["bm25"]) for r in q(spark, SF_DIR).collect()]
     assert first == again
     assert IDF_MICRO == 1_000_000
+
+
+def test_copurchase_lift_matches_python_counter(spark):
+    """Pair supports, item supports, and the lift ratio recomputed with
+    Counters must match every returned row, and min-support holds."""
+    from collections import Counter
+    from itertools import combinations
+
+    from hpctoolkit_dataframe_spark.queries.curation import (
+        BASKET_MIN_SUP, BASKET_TOP_K)
+    rows = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct().collect()
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for parts in baskets.values():
+        item.update(parts)
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] += 1
+    got = REGISTRY["copurchase_lift"].fn(spark, SF_DIR).collect()
+    assert 0 < len(got) <= BASKET_TOP_K
+    for r in got:
+        key = (r["part_a"], r["part_b"])
+        assert pair[key] == r["c_ab"] >= BASKET_MIN_SUP
+        assert item[r["part_a"]] == r["c_a"]
+        assert item[r["part_b"]] == r["c_b"]
+        assert r["lift"] == float(r["c_ab"] * n) / float(r["c_a"] * r["c_b"])
+    keys = [(-r["lift"], r["part_a"], r["part_b"]) for r in got]
+    assert keys == sorted(keys)

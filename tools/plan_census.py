@@ -54,6 +54,7 @@ SCALAR_BNLJ_OK = {
     "hybrid_search_rrf",   # bm25 scalars + broadcast query-vector leg
     "pmi_top_pairs",       # (T, N) corpus-scalar frames
     "bigram_lm_score",     # 1-row vocab-size frame
+    "copurchase_lift",     # 1-row basket-count frame
 }
 
 
