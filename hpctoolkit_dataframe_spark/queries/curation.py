@@ -643,12 +643,23 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 ER_LEV_MAX = 3
 
 
+ER_BLOCK_CAP = 10_000  # degenerate blocks are excluded BELOW the join
+
+
 @register("er_part_pairs", sql=f"""
-WITH p AS (
+WITH p0 AS (
   SELECT p_partkey, p_name, p_brand, p_type,
          regexp_extract(p_name, '(\\S+)$', 1) AS noun,
          CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents
   FROM part
+),
+ok_blocks AS (
+  SELECT noun, p_brand FROM p0 GROUP BY noun, p_brand
+  HAVING COUNT(*) <= {ER_BLOCK_CAP}
+),
+p AS (
+  SELECT p0.* FROM p0 SEMI JOIN ok_blocks k
+    ON k.noun = p0.noun AND k.p_brand = p0.p_brand
 )
 SELECT b.p_partkey AS part_a, a.p_partkey AS part_b,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
@@ -661,14 +672,22 @@ WHERE levenshtein(a.p_name, b.p_name) <= {ER_LEV_MAX}""")
 def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase record linkage: block on (name noun, brand) — an
     equi-join, never a cross join — then verify candidates with
-    edit distance (JVM levenshtein, whole-stage codegen).  At 100 TB
-    the block key is the shuffle key; skewy blocks split by adding
-    blocking passes (type, size band), not by widening this one."""
-    p = load_table(spark, sf_dir, "part").select(
+    edit distance (JVM levenshtein, whole-stage codegen).  A block
+    bigger than ER_BLOCK_CAP is excluded BELOW the self-join (same
+    hot-key recipe as the LSH/band caps): a degenerate catalog key
+    cannot materialize |block|^2 pairs; such blocks need an extended
+    blocking pass (type, size band), not a wider join.  At 100 TB the
+    block key is the shuffle key."""
+    p0 = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type",
         F.regexp_extract("p_name", r"(\S+)$", 1).alias("noun"),
         F.round(F.col("p_retailprice") * 100, 0).cast("long")
         .alias("cents"))
+    ok = (p0.groupBy("noun", "p_brand")
+          .agg(F.count(F.lit(1)).alias("bn"))
+          .filter(F.col("bn") <= ER_BLOCK_CAP)
+          .select("noun", "p_brand"))
+    p = p0.join(ok, ["noun", "p_brand"], "left_semi")
     a = p.alias("a")
     b = p.alias("b")
     return (a.join(b, (F.col("a.noun") == F.col("b.noun"))
