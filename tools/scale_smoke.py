@@ -373,5 +373,35 @@ def main() -> None:
               f"{time.time()-t0:.1f}s")
 
 
+    # 14) record linkage with a DEGENERATE block: 100k parts all
+    #     sharing one (noun, brand) key — uncapped, 5*10^9 levenshtein
+    #     candidates; ER_BLOCK_CAP must exclude the block below the
+    #     self-join while a healthy 1k-part block still pairs.
+    from hpctoolkit_dataframe_spark.queries.curation import er_part_pairs
+
+    n_bad, n_good = 100_000 * scale, 1_000
+    bad = spark.range(n_bad, numPartitions=par).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.md5(F.col("id").cast("string")), F.lit(" widget"))
+        .alias("p_name"),
+        F.lit("Brand#1").alias("p_brand"), F.lit("T").alias("p_type"),
+        F.lit(1).alias("p_size"), F.lit(10.0).alias("p_retailprice"))
+    good = spark.range(n_bad, n_bad + n_good, 1, par).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.substring(F.md5(F.col("id").cast("string")), 1, 3),
+                 F.lit(" gizmo")).alias("p_name"),
+        F.lit("Brand#2").alias("p_brand"), F.lit("T").alias("p_type"),
+        F.lit(1).alias("p_size"), F.lit(10.0).alias("p_retailprice"))
+    with tempfile.TemporaryDirectory(prefix="scale_er_") as tmp:
+        bad.unionAll(good).write.mode("overwrite").parquet(
+            f"{tmp}/part.parquet")
+        t0 = time.time()
+        rows = mat(er_part_pairs(spark, tmp))
+        assert rows > 0, rows  # the healthy block still pairs
+        print(f"er_part_pairs {n_bad:,}-part degenerate block + "
+              f"{n_good:,} healthy: {rows:,} pairs in "
+              f"{time.time()-t0:.1f}s (block capped)")
+
+
 if __name__ == "__main__":
     main()
