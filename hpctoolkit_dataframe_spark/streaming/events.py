@@ -819,3 +819,63 @@ def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
     q = writer.queryName(query_name).trigger(availableNow=True).start()
     q.awaitTermination(180)
     return spark.table(f"{prefix}_out")
+
+
+# ---------------------------------------------------------------------------
+# streaming data-quality monitoring: per-batch expectation counters
+# (the streaming face of queries/curation.dq_report).  Each micro-batch
+# contributes ONE conditional-aggregation row set (check_id, violations,
+# total) appended to the store; the monitored totals at any point are
+# the SUM over batches — exactly equal to the batch conditional agg
+# over everything seen, regardless of how the stream was chopped into
+# batches (twin-pinned).  State per batch is |checks| rows.
+# ---------------------------------------------------------------------------
+DQ_EVENT_TYPES = ("view", "click", "purchase", "error")
+
+
+def dq_event_counters(events: DataFrame) -> DataFrame:
+    """(check_id, violations, total) for one events frame — shared by
+    the per-batch append and the batch twin."""
+    agg = events.agg(
+        F.sum(F.col("user_id").isNull().cast("long")).alias("v0"),
+        F.sum((F.col("value") < 0).cast("long")).alias("v1"),
+        F.sum((~F.col("event_type").isin(*DQ_EVENT_TYPES)).cast("long"))
+        .alias("v2"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("v3"),
+        F.count(F.lit(1)).alias("total"))
+    rows = ", ".join(
+        f"'{name}', coalesce(v{i}, cast(0 as bigint))"
+        for i, name in enumerate(
+            ("events_null_user", "events_negative_value",
+             "events_type_domain", "events_null_ts")))
+    return agg.selectExpr(
+        f"stack(4, {rows}) as (check_id, violations)",
+        "cast(total as long) as total")
+
+
+def run_dq_stream(events_stream: DataFrame, store_path: str,
+                  query_name: str = "dq_monitor") -> int:
+    """Drain the stream, appending one counter row-set per micro-batch."""
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        dq_event_counters(batch_df).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(store_path)
+        n_batches += 1
+
+    q = (events_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dq stream drain did not finish within 300s")
+    return n_batches
+
+
+def dq_stream_report(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merged monitoring report over all appended batches."""
+    return (spark.read.parquet(store_path)
+            .groupBy("check_id")
+            .agg(F.sum("violations").cast("long").alias("violations"),
+                 F.sum("total").cast("long").alias("total")))

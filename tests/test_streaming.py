@@ -954,3 +954,40 @@ def test_streaming_funnel_resumes_from_checkpoint(spark, tmp_path):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_dq_stream_counters_match_batch(spark, tmp_path):
+    """Streaming DQ monitoring twin: summed per-batch expectation
+    counters must equal the batch conditional aggregation over the
+    full events table, however the stream was chopped — counter
+    addition is associative, so the chop cannot matter (same argument
+    as the CMS twin)."""
+    import os
+
+    events = se.normalize_events(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for b, cond in ((0, F.col("event_id") % 3 != 0),
+                    (1, F.col("event_id") % 3 == 0)):
+        events.filter(cond).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"db{b}"))
+        part = next((tmp_path / f"db{b}").glob("*.parquet"))
+        dst = stream_dir / f"batch{b}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + b * 60,) * 2)
+    store = str(tmp_path / "dq_store")
+    # the staged files carry LONG ts (already normalized), so read
+    # them back with the staged schema, not the raw-events schema
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(stream_dir)))
+    assert se.run_dq_stream(stream, store) == 2
+
+    got = {r["check_id"]: (r["violations"], r["total"]) for r in
+           se.dq_stream_report(spark, store).collect()}
+    want = {r["check_id"]: (r["violations"], r["total"]) for r in
+            se.dq_event_counters(events).collect()}
+    assert got == want
+    assert len(got) == 4
+    assert all(t == events.count() for _, t in got.values())
