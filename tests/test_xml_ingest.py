@@ -277,6 +277,38 @@ def test_fast_and_distributed_paths_agree(spark, tmp_path):
     assert a == b
 
 
+def test_fast_path_null_fidelity_without_arrow(spark):
+    """VERDICT r5 #1 regression: under a session WITHOUT
+    ``spark.sql.execution.arrow.pyspark.enabled`` (the driver's default
+    session), the fast path's createDataFrame used to keep pandas NaN as
+    float NaN in metric columns (downstream cents became 0 instead of
+    NULL) and stringify object-column NaN to 'nan'.  Absent metrics must
+    be SQL NULL under ANY session config (reference semantics:
+    hpctoolkit_dataframe.py:206-216 fills absent metrics with NaN, which
+    maps to NULL in the relational model)."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df, _ = load_experiments(spark, EXPERIMENT1,
+                                 add_percentage_columns=False)
+        sum_e = "CPUTIME (usec):Sum (E)"
+        nulls = df.filter(F.col(f"`{sum_e}`").isNull()).count()
+        nans = df.filter(F.isnan(f"`{sum_e}`")).count()
+        assert nans == 0, "float NaN leaked through the fast path"
+        assert nulls > 0, "expected absent metrics to surface as NULL"
+        assert df.filter(F.col("procedure") == "nan").count() == 0
+        # experiment2's elected family has real NaN-heavy (E) columns too
+        df2, _ = load_experiments(spark, EXPERIMENT2,
+                                  add_percentage_columns=False)
+        metric_cols = [c for c in df2.columns if c.endswith("(E)")
+                       and ":imag:" not in c]
+        for c in metric_cols:
+            assert df2.filter(F.isnan(f"`{c}`")).count() == 0, c
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_flat_profile_and_callers_view(exp1):
     """The view trio's accounting identities: one structural layer's
     exclusive totals reconstruct the root's inclusive value (each of
