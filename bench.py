@@ -138,7 +138,13 @@ def main() -> None:
             continue
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
-    out = {
+    # The driver's capture keeps only a ~2 KB TAIL of stdout, and the
+    # full 130+-entry per-query map is ~4 KB — round 5's BENCH json
+    # came back "parsed: null" because the head of the line (metric/
+    # value) was truncated away (VERDICT r5 #3).  Keep the final line
+    # SHORT (summary + the slowest queries only) and write the complete
+    # per-query map to bench_details.json next to this script.
+    details = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -146,7 +152,22 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
+        details["errors"] = errors
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    out = {
+        "metric": "headline_queries_total",
+        "value": details["value"],
+        "unit": "sec",
+        "n": len(timings),
+        "n_errors": len(errors),
+        "max": max(timings.values()) if timings else 0.0,
+        "queries": slowest,
+        "queries_full": "bench_details.json",
+        "sf": details["sf"],
+    }
     print(json.dumps(out))
 
 

@@ -75,7 +75,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     sessions (the driver's gate) they are enforced here — idempotently,
     so a session already configured is never touched.
     """
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # No fallback default here: Spark 4 VALIDATES the fallback you pass
+    # to conf.get when the key is unset, so get(key, "") throws
+    # INVALID_CONF_VALUE under a default session (every load_table
+    # query died under the r6 --plain-session sweep).  timeZone always
+    # has a server-side default (the JVM zone), so a bare get is safe
+    # and returns it; "Etc/UTC" et al. still normalize to "UTC".
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events" and spark.conf.get(
             "spark.sql.legacy.parquet.nanosAsLong", "false") != "true"):

@@ -33,12 +33,29 @@ surface; this extends the LLM-pipeline suite (SURVEY.md §6).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from . import load_table, register
 from .textops import _tokens
+
+# Golden fixtures computed by an INDEPENDENT pure-Python BPE twin at
+# fixture-build time (tools/make_bpe_fixture.py — no Spark, no imports
+# from this package), keyed by (corpus_rows, corpus_chars) so one
+# static oracle string selects the right golden for whatever sf_dir the
+# gate runs.  Same independent-implementation pattern as the XML ingest
+# oracle's ref_ingest.parquet.
+_FIXDIR = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "tests", "fixtures"))
+_TRAIN_GOLDEN = os.path.join(_FIXDIR, "bpe_train_golden.parquet")
+_ENCODE_GOLDEN = os.path.join(_FIXDIR, "bpe_encode_golden.parquet")
+_CORPUS_KEY = """
+  corpus_rows = (SELECT COUNT(*) FROM documents)
+  AND corpus_chars = (SELECT CAST(SUM(length(text)) AS BIGINT)
+                      FROM documents)"""
 
 END_OF_WORD = "</w>"
 N_MERGES = 48
@@ -106,12 +123,18 @@ def train_bpe(counts: list[tuple[str, int]],
     return merges
 
 
-@register("bpe_train_merges", sql=None, doc="""
+@register("bpe_train_merges", sql=f"""
+SELECT "rank", "left", "right", merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM '{_TRAIN_GOLDEN}'
+WHERE {_CORPUS_KEY}""", doc="""
 Train a BPE merge table from the corpus: one distributed word-count
 pass (the only corpus-scale work), then the Sennrich merge loop over
-the top-50k vocabulary (bounded driver collect).  Iterative and
-data-dependent, hence no SQL oracle (rows-only driver check); the
-merge sequence itself is golden- and twin-pinned in tests.""")
+the top-50k vocabulary (bounded driver collect).  The iterative merge
+loop is not SQL-expressible, so the oracle is a VALUES-style golden:
+an independent pure-Python BPE twin (tools/make_bpe_fixture.py, no
+Spark) trained the same corpus at fixture-build time, keyed by
+(corpus_rows, corpus_chars) to select the right scale factor.""")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = word_counts(spark, sf_dir)
     # bounded, deterministic head: count desc then word asc — ties
@@ -233,12 +256,17 @@ def bpe_encode(docs: DataFrame, merges: list[tuple], *,
 _ENCODE_CACHE: dict = {}
 
 
-@register("bpe_encode_stats", sql=None, doc="""
+@register("bpe_encode_stats", sql=f"""
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok_digest
+FROM '{_ENCODE_GOLDEN}'
+WHERE {_CORPUS_KEY}""", doc="""
 Tokenize the corpus with the merges trained on it (train via the
 bounded word-count path, encode via a vectorized Arrow UDF): per-doc
-BPE token count and an md5 digest of the token stream.  Iterative
-train + per-word merge walk => no SQL oracle (rows-only driver check);
-the encoding is pinned by a pure-Python twin in tests.""")
+BPE token count and an md5 digest of the token stream.  The oracle is
+the per-doc golden an independent pure-Python twin computed at
+fixture-build time (tools/make_bpe_fixture.py), keyed by corpus
+size — train + encode are iterative, but their output is exact and
+deterministic, so it hash-gates like any other query.""")
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import session_key
 

@@ -87,6 +87,101 @@ def approx_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact twins of the three sketch queries (VERDICT r5 #4): the sketches
+# are inherently approximate (not bit-compatible with DuckDB's HLL/GK
+# variants, hence rows-only), so these hash-gated exact counterparts
+# attest the same pipeline SHAPE — day bucketing, the cents contract,
+# the daily->weekly rollup — with engine-identical arithmetic.  The
+# exact versions are what the sketches REPLACE at 100 TB: COUNT(DISTINCT)
+# shuffles every distinct value and exact percentiles sort each group,
+# which is exactly why approx_* exist; running them at bench scale also
+# quantifies what the sketch saves.  test_sketches.py pins the sketch
+# estimates against these within the configured error bounds.
+# ---------------------------------------------------------------------------
+@register("exact_daily_uniques", sql="""
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY day""", doc="""
+Hash-gated exact twin of approx_daily_uniques: per-day COUNT(DISTINCT
+user_id).  Day = integer floor of event micros (nanos on the Spark
+side) — engine-identical integer division, no rounding divergence.""")
+def exact_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000")
+    return (ev.groupBy(day.alias("day"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("exact_users"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"))
+            .orderBy("day"))
+
+
+@register("exact_value_percentiles", sql="""
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY cents) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM c)
+SELECT event_type,
+       CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+            AS BIGINT) AS p99_cents
+FROM r GROUP BY event_type ORDER BY event_type""", doc="""
+Hash-gated exact twin of approx_value_percentiles.  Engine percentile
+functions disagree on discrete-quantile index conventions (SQL-standard
+PERCENTILE_DISC picks the smallest value with cume_dist >= p; DuckDB's
+quantile_disc floors (n-1)p), so the rank is computed explicitly in
+integer arithmetic — value at 1-based sorted position ceil(p*n) =
+(p_pct*n + 99) div 100 — identical on both engines by construction.
+Ties in cents cannot disturb the selected VALUE at a fixed rank.""")
+def exact_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type", "cents",
+        F.row_number().over(w.orderBy("cents")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"))
+
+    def at_pct(pct: int):
+        k = F.expr(f"(n * {pct} + 99) div 100")
+        return F.max(F.when(F.col("rn") == k, F.col("cents"))) \
+            .cast("long").alias(f"p{pct}_cents")
+
+    return (r.groupBy("event_type")
+            .agg(at_pct(50), at_pct(90), at_pct(99))
+            .orderBy("event_type"))
+
+
+@register("exact_weekly_uniques", sql="""
+SELECT CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY week""", doc="""
+Hash-gated exact twin of approx_weekly_from_daily's rollup result:
+weekly COUNT(DISTINCT user_id) straight off the events — the second
+full pass over raw history that the mergeable daily HLL layer avoids.""")
+def exact_weekly_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("ts div 86400000000000 div 7")
+    return (ev.groupBy(week.alias("week"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("exact_users"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"))
+            .orderBy("week"))
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters.  Unlike the HLL/GK entries above,
 # CMS is pure integer arithmetic over OUR OWN md5-derived hash rows, so
 # it is bit-identical cross-engine and earns a full hash-exact oracle.
