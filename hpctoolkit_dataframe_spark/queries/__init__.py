@@ -120,41 +120,48 @@ from . import curation  # noqa: E402,F401  (after dedup/vectors: reuses their SQ
 # Driver-gate window ordering (VERDICT r4 #1/#3).  The external
 # correctness gate hashes the FIRST 50 registry entries only, so the
 # window is rotated each round until every query has earned a driver
-# row (rotation log: COVERAGE.md §"Driver-gate rotation").  Round 5
-# fronts exactly the 50 highest-value entries WITHOUT an r4 driver row
-# — the XML ingest trio (the end-to-end proof of S1-S5/A1/R1/R2), the
-# whole LLM-pipeline suite, and the round-5-new flagships (PQ/IVF-PQ,
-# substring dedup, PII scrub); every r4-green TPC-H/CCT/events entry
-# moves behind the window.  Still never gated, queued for r6: the
-# TPC-H gap six-pack, bpe_encode_stats, and whatever r5 adds next.
+# row (rotation log: COVERAGE.md §"Driver-gate rotation").  Round 6
+# fronts (a) the two r5-red queries, now fixed (fast-path NaN->NULL
+# fidelity) with the xml-ingest canary, (b) every remaining hash-
+# capable entry never driver-gated in r1-r5 — the TPC-H gap six-pack,
+# product analytics, span extensions, the graph pair, the curation
+# suite, the BPE pair (now golden-oracled via the independent Python
+# twin) and the three new exact sketch twins — and (c) 13 keepers
+# spanning each family.  The approx sketch trio (rows-only by design,
+# r5-attested) yields its slots to the hash-gated exact twins.
 # ---------------------------------------------------------------------------
 _GATE_ORDER = [
-    # XML ingest path (reference end-to-end)
+    # XML ingest path: the r5-red pair (NaN fix) + end-to-end canary
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
-    # dedup suite
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
-    "lsh_verified_pairs", "dedup_clusters", "embedding_dup_clusters",
-    "incremental_dedup", "incremental_dedup_resume",
-    "split_leakage_report", "decontaminate", "ngram_jaccard_pairs",
-    "winnow_fingerprints", "simhash64", "simhash_near_dup_pairs",
-    # ANN / vectors
-    "knn_cosine", "ivf_ann", "ivf_ann_trained", "kmeans_centroids",
-    "embedding_centroids", "lsh_near_dup_pairs",
-    # text analysis / quality
-    "doc_stats", "lang_guess", "repetition_ratio", "quality_top_decile",
-    "bpe_token_stats", "token_df_vocab", "source_token_totals",
-    "posting_lists", "top_terms_per_doc", "keyword_search_topk",
-    # shaping / packing / reporting
-    "doc_chunks", "pack_sequences", "stratified_sample",
-    "training_shard_manifest", "corpus_report", "user_value_history",
-    "events_zscore_outliers",
-    # sketches (no oracle by design: rows-only driver check)
-    "approx_daily_uniques", "approx_value_percentiles",
-    "approx_weekly_from_daily", "bpe_train_merges",
-    # round-5-new flagships, never driver-gated (PQ + composed IVF-PQ,
-    # substring-level dedup, PII scrub)
-    "pq_codes", "pq_ann", "ivfpq_ann", "duplicate_spans",
-    "pii_redact_stats", "duplicate_span_stats",
+    # TPC-H gap six-pack (never gated)
+    "q2_min_cost_supplier", "q11_important_parts", "q12_delay_priority",
+    "q16_supplier_counts", "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    # product analytics (never gated)
+    "funnel_view_click_purchase", "cohort_retention",
+    "event_sequence_matches", "ab_test_purchase_value",
+    "stickiness_dau_wau",
+    # span extensions + graph pair + sampling/mixture (never gated)
+    "duplicate_word_coverage", "corpus_without_dup_spans",
+    "pagerank_dup_graph", "triangle_count_dup_graph",
+    "mixture_plan", "priority_weighted_sample", "cms_heavy_hitters",
+    # curation-policy suite (never gated)
+    "bm25_topk", "hybrid_search_rrf", "semdedup_prune",
+    "dedup_keep_best", "dq_report", "scd2_customer_history",
+    "er_part_pairs", "pmi_top_pairs", "bigram_lm_score",
+    "copurchase_lift",
+    # BPE pair — golden-oracled this round (independent Python twin)
+    "bpe_train_merges", "bpe_encode_stats",
+    # exact twins of the approx sketches (new this round)
+    "exact_daily_uniques", "exact_value_percentiles",
+    "exact_weekly_uniques",
+    # last never-gated CCT projection op
+    "cct_fragment_filter",
+    # keepers: one proven representative per family
+    "dedup_exact", "minhash_lsh_pairs", "simhash64", "knn_cosine",
+    "ivfpq_ann", "duplicate_spans", "pii_redact_stats",
+    "incremental_dedup_resume", "decontaminate", "q1_pricing_summary",
+    "events_sessions", "cct_hot_path", "doc_stats",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)
