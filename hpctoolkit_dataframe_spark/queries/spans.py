@@ -69,8 +69,21 @@ def _dup_hits(spark: SparkSession,
     # shuffle semi-join on the 8-byte key: the dup set is unbounded at
     # corpus scale, so it must NOT need to broadcast
     hits = pos.join(dup, "h", "left_semi").localCheckpoint(eager=True)
+    # one entry per SESSION: tests/tools cycle through temp fixture
+    # dirs, and a no-eviction cache would pin every dir's checkpoint
+    # blocks for the session's lifetime (ADVICE r5).  The three
+    # registry consumers all hit the same sf_dir back-to-back, so
+    # most-recent-per-session keeps the reuse that matters.
+    sess = cache_key[0]
+    for k in [k for k in _HITS_CACHE if k[0] == sess]:
+        del _HITS_CACHE[k]
     _HITS_CACHE[cache_key] = (hits, pos)
     return hits, pos
+
+
+def clear_hits_cache() -> None:
+    """Explicit eviction hook (fixture-cycling tests/tools)."""
+    _HITS_CACHE.clear()
 
 
 _POS_SQL = f"""

@@ -28,6 +28,7 @@ as a module-level name (a runtime relative import would try — and fail
 from __future__ import annotations
 
 import glob as _glob
+import os as _os
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator, Sequence
 
@@ -186,8 +187,13 @@ class _HPCToolkitStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
+        # the non-glob path must ALSO gate on existence: reporting the
+        # literal file before it exists makes a stream started early
+        # fail its first batch under on_error='fail' instead of
+        # waiting for arrival like the glob path does (ADVICE r5)
         files = (sorted(_glob.glob(self._path))
-                 if _glob.has_magic(self._path) else [self._path])
+                 if _glob.has_magic(self._path)
+                 else [p for p in [self._path] if _os.path.exists(p)])
         return {"files": files}
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:

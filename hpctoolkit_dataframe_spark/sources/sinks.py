@@ -89,7 +89,10 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
 
     The per-column [min, max] calibration is one bounded 1-row
     aggregate; the interleave itself is pure JVM bit arithmetic (shift/
-    and/or), no UDF.  Columns must be numeric; NULLs map to 0."""
+    and/or), no UDF.  Columns must be numeric; NULLs coalesce to the
+    column MINIMUM (curve position 0 for that dimension), keeping null
+    rows clustered at the low end of the dimension rather than
+    scattered — a layout-quality choice, not a value semantic."""
     if bits * len(cols) > 63:
         # Java shift counts wrap mod 64 — silent key corruption past 63
         # usable bits.  Scale per-column precision down instead.

@@ -593,6 +593,41 @@ def run_cms_stream(docs_stream: DataFrame, store_path: str,
     return n_batches
 
 
+def _state_table(spark: SparkSession, name: str, schema: str) -> None:
+    """Create a persisted state table if absent — clearing any orphaned
+    managed location first (a session that died mid-write leaves the
+    warehouse dir behind with no catalog entry, and the next
+    saveAsTable fails LOCATION_ALREADY_EXISTS; CLAUDE.md rule, same
+    treatment as scd2._ensure_tables / dedup.drop_fingerprint_store)."""
+    from .scd2 import _delete_orphan_location
+
+    if not spark.catalog.tableExists(name):
+        _delete_orphan_location(spark, name)
+        spark.createDataFrame([], schema).write.saveAsTable(name)
+
+
+def _guard_restart(spark: SparkSession, prefix: str,
+                   suffixes: tuple, checkpoint_dir: str | None) -> None:
+    """Without a checkpoint there is no source-offset log, so invoking
+    a funnel stream AGAIN on a prefix that already holds state tables
+    reprocesses every input file against the leftover wait-sets and
+    double-counts.  Refuse that mode instead of defaulting into it
+    (ADVICE r5): resume with the original checkpoint_dir, or start
+    fresh under a new prefix / after dropping the state tables."""
+    if checkpoint_dir:
+        return
+    leftover = [f"{prefix}_{s}" for s in suffixes
+                if spark.catalog.tableExists(f"{prefix}_{s}")]
+    if leftover:
+        raise ValueError(
+            f"state tables {leftover} already exist for prefix "
+            f"'{prefix}' but no checkpoint_dir was supplied; "
+            "re-running without the source-offset log would replay "
+            "all input against leftover state and double-count. "
+            "Pass the original checkpoint_dir to resume, or use a "
+            "fresh prefix (or drop the state tables) to start over.")
+
+
 def run_funnel_stream(events_stream: DataFrame, prefix: str,
                       horizon_us: int | None = None,
                       checkpoint_dir: str | None = None,
@@ -619,15 +654,13 @@ def run_funnel_stream(events_stream: DataFrame, prefix: str,
     h = horizon_us or FUNNEL_H_US
     spark = events_stream.sparkSession
 
-    def _table(name: str, schema: str) -> None:
-        if not spark.catalog.tableExists(name):
-            spark.createDataFrame([], schema).write.saveAsTable(name)
-
-    _table(f"{prefix}_views", "event_id long, user_id long, v_ts long")
-    _table(f"{prefix}_vc",
-           "event_id long, user_id long, v_ts long, c_ts long")
-    _table(f"{prefix}_out",
-           "event_id long, v_ts long, stage string, batch_id long")
+    _guard_restart(spark, prefix, ("views", "vc", "out"), checkpoint_dir)
+    _state_table(spark, f"{prefix}_views",
+                 "event_id long, user_id long, v_ts long")
+    _state_table(spark, f"{prefix}_vc",
+                 "event_id long, user_id long, v_ts long, c_ts long")
+    _state_table(spark, f"{prefix}_out",
+                 "event_id long, v_ts long, stage string, batch_id long")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select(
@@ -729,17 +762,17 @@ def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
     h = horizon_us or FUNNEL_H_US
     spark = events_stream.sparkSession
 
-    def _table(name: str, schema: str) -> None:
-        if not spark.catalog.tableExists(name):
-            spark.createDataFrame([], schema).write.saveAsTable(name)
-
-    _table(f"{prefix}_rv", "event_id long, user_id long, v_ts long")
-    _table(f"{prefix}_rc", "user_id long, c_ts long")
-    _table(f"{prefix}_rp", "user_id long, p_ts long")
-    _table(f"{prefix}_vc",
-           "event_id long, user_id long, v_ts long, c_ts long")
-    _table(f"{prefix}_wm", "wm long")
-    _table(f"{prefix}_out", "event_id long, v_ts long, stage string")
+    _guard_restart(spark, prefix, ("rv", "rc", "rp", "vc", "wm", "out"),
+                   checkpoint_dir)
+    _state_table(spark, f"{prefix}_rv",
+                 "event_id long, user_id long, v_ts long")
+    _state_table(spark, f"{prefix}_rc", "user_id long, c_ts long")
+    _state_table(spark, f"{prefix}_rp", "user_id long, p_ts long")
+    _state_table(spark, f"{prefix}_vc",
+                 "event_id long, user_id long, v_ts long, c_ts long")
+    _state_table(spark, f"{prefix}_wm", "wm long")
+    _state_table(spark, f"{prefix}_out",
+                 "event_id long, v_ts long, stage string")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select(

@@ -154,3 +154,23 @@ def test_datasource_stream_incremental_fleet(spark, tmp_path):
 
     _drain()  # no new files: offset replay finds nothing
     assert sum(batches) == 30
+
+
+def test_stream_latest_offset_waits_for_nonglob_file(tmp_path):
+    """ADVICE r5: a stream started before a literal (non-glob) path
+    exists must report an empty offset until the file arrives, not
+    fail its first batch."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hpctoolkit_dataframe_spark.sources.datasource import (
+        _HPCToolkitStreamReader)
+
+    target = tmp_path / "later.xml"
+    rdr = _HPCToolkitStreamReader(
+        {"path": str(target)},
+        T.StructType([T.StructField("id", T.LongType())]))
+    assert rdr.latestOffset() == {"files": []}
+    shutil.copy(XML1, target)
+    assert rdr.latestOffset() == {"files": [str(target)]}

@@ -991,3 +991,26 @@ def test_dq_stream_counters_match_batch(spark, tmp_path):
     assert got == want
     assert len(got) == 4
     assert all(t == events.count() for _, t in got.values())
+
+
+def test_funnel_restart_without_checkpoint_refused(spark, tmp_path):
+    """ADVICE r5: re-invoking a funnel stream on a prefix with leftover
+    state tables and NO checkpoint_dir would replay everything against
+    that state and double-count — the unsafe mode must refuse, not be
+    the default."""
+    import pytest as _pytest
+
+    from hpctoolkit_dataframe_spark.streaming import events as se
+
+    prefix = "funnel_guard_t"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_out")
+    try:
+        spark.createDataFrame(
+            [], "event_id long, v_ts long, stage string, batch_id long"
+        ).write.saveAsTable(f"{prefix}_out")
+        stream = (spark.readStream.schema(se.EVENTS_SCHEMA)
+                  .parquet(str(tmp_path)))
+        with _pytest.raises(ValueError, match="checkpoint_dir"):
+            se.run_funnel_stream(stream, prefix)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_out")
