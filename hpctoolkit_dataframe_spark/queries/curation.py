@@ -650,6 +650,7 @@ ER_BLOCK_CAP = 10_000  # degenerate blocks are excluded BELOW the join
 WITH p0 AS (
   SELECT p_partkey, p_name, p_brand, p_type,
          regexp_extract(p_name, '(\\S+)$', 1) AS noun,
+         length(p_name) AS nlen,
          CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents
   FROM part
 ),
@@ -660,15 +661,18 @@ ok_blocks AS (
 p AS (
   SELECT p0.* FROM p0 SEMI JOIN ok_blocks k
     ON k.noun = p0.noun AND k.p_brand = p0.p_brand
+),
+cand AS (
+  SELECT b.p_partkey AS part_a, a.p_partkey AS part_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+         CAST(a.p_type = b.p_type AS INTEGER) AS same_type,
+         CAST(abs(a.cents - b.cents) AS BIGINT) AS price_delta_cents
+  FROM p a JOIN p b
+    ON a.noun = b.noun AND a.p_brand = b.p_brand
+   AND b.p_partkey < a.p_partkey
+   AND abs(a.nlen - b.nlen) <= {ER_LEV_MAX}
 )
-SELECT b.p_partkey AS part_a, a.p_partkey AS part_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
-       CAST(a.p_type = b.p_type AS INTEGER) AS same_type,
-       CAST(abs(a.cents - b.cents) AS BIGINT) AS price_delta_cents
-FROM p a JOIN p b
-  ON a.noun = b.noun AND a.p_brand = b.p_brand
- AND b.p_partkey < a.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= {ER_LEV_MAX}""")
+SELECT * FROM cand WHERE lev <= {ER_LEV_MAX}""")
 def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase record linkage: block on (name noun, brand) — an
     equi-join, never a cross join — then verify candidates with
@@ -677,10 +681,18 @@ def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key recipe as the LSH/band caps): a degenerate catalog key
     cannot materialize |block|^2 pairs; such blocks need an extended
     blocking pass (type, size band), not a wider join.  At 100 TB the
-    block key is the shuffle key."""
-    p0 = load_table(spark, sf_dir, "part").select(
+    block key is the shuffle key.  A length-band join predicate
+    (|len(a)-len(b)| <= ER_LEV_MAX, a necessary condition for the
+    edit-distance threshold) prunes candidates with one integer
+    compare before the O(len^2) levenshtein DP runs."""
+    # spread=True: the one-row-group testdata file is physically
+    # unsplittable, which would run every levenshtein DP of the
+    # self-join on a single core (a real deployment's multi-file part
+    # table splits naturally)
+    p0 = load_table(spark, sf_dir, "part", spread=True).select(
         "p_partkey", "p_name", "p_brand", "p_type",
         F.regexp_extract("p_name", r"(\S+)$", 1).alias("noun"),
+        F.length("p_name").alias("nlen"),
         F.round(F.col("p_retailprice") * 100, 0).cast("long")
         .alias("cents"))
     ok = (p0.groupBy("noun", "p_brand")
@@ -692,7 +704,9 @@ def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = p.alias("b")
     return (a.join(b, (F.col("a.noun") == F.col("b.noun"))
                    & (F.col("a.p_brand") == F.col("b.p_brand"))
-                   & (F.col("b.p_partkey") < F.col("a.p_partkey")))
+                   & (F.col("b.p_partkey") < F.col("a.p_partkey"))
+                   & (F.abs(F.col("a.nlen") - F.col("b.nlen"))
+                      <= ER_LEV_MAX))
             .withColumn("lev", F.levenshtein(F.col("a.p_name"),
                                              F.col("b.p_name")))
             .filter(F.col("lev") <= ER_LEV_MAX)
