@@ -952,3 +952,184 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("part_b").asc())
             .limit(BASKET_TOP_K)
             .select("part_a", "part_b", "c_ab", "c_a", "c_b", "lift"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1) —
+# the classic pretraining-corpus document filters, restricted to the
+# rules meaningful for this corpus (single-line texts: the bullet /
+# ellipsis-line rules have no lines to measure).  EVERY rule is
+# evaluated in pure integer arithmetic (mean-word-length bounds as
+# cross-multiplications, ratios as scaled integer compares), so the
+# whole report is bit-identical cross-engine with no float anywhere.
+# At 100 TB this is one narrow projection + per-row array work fused
+# into the scan — no shuffle at all until a downstream consumer
+# aggregates the keep flags.
+# ---------------------------------------------------------------------------
+from .textops import STOPWORDS  # noqa: E402  (registered before curation)
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+@register("gopher_quality_flags", sql=f"""
+WITH d AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t)))
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter(toks,
+              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_filter(toks,
+              t -> list_contains({STOPWORDS!r}, t))) AS BIGINT)
+           AS n_stop,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_sym
+  FROM d)
+SELECT doc_id, n_words, sum_len, n_alpha, n_stop, n_sym,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AS INTEGER) AS flag_word_count,
+       CAST(3 * n_words <= sum_len AND sum_len <= 10 * n_words
+            AS INTEGER) AS flag_mean_word_len,
+       CAST(5 * n_alpha >= 4 * n_words AS INTEGER) AS flag_alpha,
+       CAST(n_stop >= 2 AS INTEGER) AS flag_stop,
+       CAST(10 * n_sym <= n_words AS INTEGER) AS flag_symbol,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_stop >= 2
+            AND 10 * n_sym <= n_words AS INTEGER) AS keep
+FROM m""", doc="""
+Gopher-rule quality filter report: per-doc word count, mean-word-length
+bounds, alphabetic-word fraction, stopword floor and symbol ratio —
+each rule an integer comparison (mean in [3,10] as 3n <= sum_len <=
+10n; >=80% alpha as 5*n_alpha >= 4*n; symbol ratio <= 0.1 as 10*n_sym
+<= n) so no float exists anywhere in the report.""")
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import _tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(F.transform(toks, F.length),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long").alias("n_stop"),
+        (F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+         + F.expr("(length(text) - length(replace(text, '...', '')))"
+                  " div 3")).cast("long").alias("n_sym"))
+    word_ok = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    len_ok = ((3 * F.col("n_words") <= F.col("sum_len"))
+              & (F.col("sum_len") <= 10 * F.col("n_words")))
+    alpha_ok = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    stop_ok = F.col("n_stop") >= 2
+    sym_ok = 10 * F.col("n_sym") <= F.col("n_words")
+    return m.select(
+        "doc_id", "n_words", "sum_len", "n_alpha", "n_stop", "n_sym",
+        word_ok.cast("int").alias("flag_word_count"),
+        len_ok.cast("int").alias("flag_mean_word_len"),
+        alpha_ok.cast("int").alias("flag_alpha"),
+        stop_ok.cast("int").alias("flag_stop"),
+        sym_ok.cast("int").alias("flag_symbol"),
+        (word_ok & len_ok & alpha_ok & stop_ok & sym_ok)
+        .cast("int").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the hashed-feature
+# log-likelihood ratio between a target distribution (here: the
+# lang='en' slice standing in for "looks like the domain we train
+# for") and the raw corpus distribution.  The published estimator is
+# exactly this shape: hash n-grams into B buckets, fit two smoothed
+# multinomial bag-of-buckets models, weight = sum over token
+# occurrences of log(p_target[b]/p_raw[b]).
+#
+# Scale shape (the reason DSIR wins at 100 TB): both models are ONE
+# map-side-combined count aggregation each — B=1024 rows total — and
+# scoring is a broadcast join of that tiny weight table against the
+# token stream plus a per-doc integer sum.  No iteration, no
+# similarity search, no quadratic anything.  Determinism: each
+# bucket's log-ratio is computed from exact BIGINT counts with ONE
+# double division and micro-quantized immediately (the bm25-idf rule);
+# per-doc scores are then BIGINT sums of those quantized weights.
+# ---------------------------------------------------------------------------
+DSIR_B = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_hash_sql(tok_expr: str) -> str:
+    from . import hash8_sql
+    return f"({hash8_sql(tok_expr)}) % {DSIR_B}"
+
+
+@register("dsir_importance_weights", sql=f"""
+WITH tb AS (
+  SELECT doc_id, lang, {_dsir_hash_sql('tok')} AS b
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+  WHERE tok <> ''),
+rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM tb GROUP BY b),
+tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM tb
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS r_tot,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM tb
+                WHERE lang = '{DSIR_TARGET_LANG}') AS t_tot
+        FROM rc),
+w AS (
+  SELECT rc.b,
+         CAST(ROUND(ln(
+             CAST((COALESCE(tc.tc, 0) + 1) * (tot.r_tot + {DSIR_B})
+                  AS DOUBLE)
+             / CAST((rc.rc + 1) * (tot.t_tot + {DSIR_B}) AS DOUBLE))
+             * {IDF_MICRO}, 0) AS BIGINT) AS lr_u
+  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot)
+SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.lr_u) AS BIGINT) AS score_u
+FROM tb JOIN w ON w.b = tb.b
+GROUP BY tb.doc_id""", doc="""
+DSIR hashed-feature importance weights: per-doc micro-quantized
+log-likelihood ratio between the smoothed bag-of-hashed-buckets model
+of the lang='en' target slice and the raw corpus model.  Positive
+score = doc looks more target-like than the corpus average; resampling
+keeps docs proportionally.  B=1024 buckets, add-1 smoothing.""")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+              .cast("long") % DSIR_B)
+    tb = (docs.select("doc_id", "lang",
+                      F.explode(F.split("text", r"\s+")).alias("tok"))
+          .filter(F.col("tok") != "")
+          .select("doc_id", "lang", bucket.alias("b")))
+    tb = tb.localCheckpoint(eager=True)  # feeds rc, tc and the scoring join
+    rc = tb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    tc = (tb.filter(F.col("lang") == DSIR_TARGET_LANG)
+          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("tc")))
+    tot = (rc.agg(F.sum("rc").cast("long").alias("r_tot"))
+           .crossJoin(tb.filter(F.col("lang") == DSIR_TARGET_LANG)
+                      .agg(F.count(F.lit(1)).cast("long").alias("t_tot"))))
+    w = (rc.join(tc, "b", "left")
+         .crossJoin(F.broadcast(tot))
+         .select("b", F.expr(
+             f"cast(round(ln(cast((coalesce(tc, 0) + 1)"
+             f" * (r_tot + {DSIR_B}) as double)"
+             f" / cast((rc + 1) * (t_tot + {DSIR_B}) as double))"
+             f" * {IDF_MICRO}, 0) as bigint)").alias("lr_u")))
+    return (tb.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("lr_u").cast("long").alias("score_u")))

@@ -165,6 +165,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("canonical_dedup", sql="""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS canon_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+       COUNT(*) AS n_copies,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+FROM documents GROUP BY 1""", doc="""
+Exact dedup AFTER text canonicalization (the C4/CCNet staple:
+lowercase, strip non-alphanumerics, collapse whitespace) — catches the
+trivial near-dups (case, punctuation, spacing edits) that raw-hash
+dedup_exact misses, at identical cost: one hash-groupBy, no pairwise
+anything.  n_raw_variants counts how many RAW hashes each canonical
+group collapses (>1 = a catch the raw pass missed).  At 100 TB this is
+the same map-side-combined single-shuffle shape as dedup_exact.""")
+def canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+    return (docs.groupBy(canon.alias("canon_hash"))
+            .agg(F.min("doc_id").cast("long").alias("rep_doc"),
+                 F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct(F.md5("text")).cast("long")
+                 .alias("n_raw_variants")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures (k=8) — min of md5(seed:shingle) per seed, per row
 # ---------------------------------------------------------------------------

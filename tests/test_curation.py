@@ -292,3 +292,68 @@ def test_copurchase_lift_matches_python_counter(spark):
         assert r["lift"] == float(r["c_ab"] * n) / float(r["c_a"] * r["c_b"])
     keys = [(-r["lift"], r["part_a"], r["part_b"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_gopher_flags_match_python_reference(spark):
+    """Round-6: every Gopher rule recomputed by an independent Python
+    pass over the raw parquet must match the Spark report exactly."""
+    import re
+
+    import duckdb
+
+    from hpctoolkit_dataframe_spark.queries.curation import (
+        GOPHER_MAX_WORDS, GOPHER_MIN_WORDS)
+    from hpctoolkit_dataframe_spark.queries.textops import STOPWORDS
+
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["gopher_quality_flags"].fn(spark, SF_DIR).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        "WHERE text IS NOT NULL").fetchall()
+    assert len(rows) == len(docs)
+    for doc_id, text in docs:
+        toks = re.split(r"\s+", text)
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        n_alpha = sum(1 for t in toks if re.search("[A-Za-z]", t))
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        n_sym = text.count("#") + text.count("...")
+        r = rows[doc_id]
+        assert (r["n_words"], r["sum_len"], r["n_alpha"], r["n_stop"],
+                r["n_sym"]) == (n, sum_len, n_alpha, n_stop, n_sym), doc_id
+        assert r["keep"] == int(
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and 3 * n <= sum_len <= 10 * n
+            and 5 * n_alpha >= 4 * n and n_stop >= 2
+            and 10 * n_sym <= n), doc_id
+
+
+def test_dsir_targets_score_higher(spark):
+    """DSIR contract: the mean importance weight of target-language
+    docs must exceed the non-target mean (the estimator exists to
+    separate exactly these), and weights must be length-normalizable
+    (finite, integer micro-units)."""
+    import statistics
+
+    import duckdb
+
+    w = {r["doc_id"]: r["score_u"] / r["n_tokens"] for r in
+         REGISTRY["dsir_importance_weights"].fn(spark, SF_DIR).collect()}
+    langs = dict(duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF_DIR}/documents.parquet'").fetchall())
+    tgt = [w[d] for d in w if langs[d] == "en"]
+    rest = [w[d] for d in w if langs[d] != "en"]
+    assert tgt and rest
+    assert statistics.mean(tgt) > statistics.mean(rest)
+
+
+def test_canonical_dedup_is_coarser_than_raw(spark):
+    """Canonicalization can only MERGE raw-hash groups: group count is
+    <= dedup_exact's, copies sum to the corpus size, and every group
+    collapses >= 1 raw variant."""
+    canon = REGISTRY["canonical_dedup"].fn(spark, SF_DIR).collect()
+    raw = REGISTRY["dedup_exact"].fn(spark, SF_DIR).collect()
+    assert len(canon) <= len(raw)
+    assert sum(r["n_copies"] for r in canon) == \
+        sum(r["n_copies"] for r in raw)
+    assert all(r["n_raw_variants"] >= 1 for r in canon)

@@ -55,6 +55,7 @@ SCALAR_BNLJ_OK = {
     "pmi_top_pairs",       # (T, N) corpus-scalar frames
     "bigram_lm_score",     # 1-row vocab-size frame
     "copurchase_lift",     # 1-row basket-count frame
+    "dsir_importance_weights",  # 1-row (r_tot, t_tot) corpus-scalar frame
 }
 
 
