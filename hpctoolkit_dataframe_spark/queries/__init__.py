@@ -157,11 +157,13 @@ _GATE_ORDER = [
     "exact_weekly_uniques",
     # last never-gated CCT projection op
     "cct_fragment_filter",
+    # round-6-new curation components (never gated)
+    "gopher_quality_flags", "dsir_importance_weights", "canonical_dedup",
     # keepers: one proven representative per family
-    "dedup_exact", "minhash_lsh_pairs", "simhash64", "knn_cosine",
-    "ivfpq_ann", "duplicate_spans", "pii_redact_stats",
+    "dedup_exact", "simhash64", "knn_cosine",
+    "duplicate_spans", "pii_redact_stats",
     "incremental_dedup_resume", "decontaminate", "q1_pricing_summary",
-    "events_sessions", "cct_hot_path", "doc_stats",
+    "events_sessions", "cct_hot_path",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)
