@@ -1133,3 +1133,89 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.sum("lr_u").cast("long").alias("score_u")))
+
+
+# ---------------------------------------------------------------------------
+# The curation funnel, end to end, as ONE declarative plan: canonical
+# dedup -> Gopher quality gate -> DSIR target-likeness gate, reported
+# per source.  This is the composition a pipeline owner actually ships
+# (tools/curation_run.py is the materializing variant); expressing it
+# as a single registry query shows the engine's stages COMPOSE — the
+# oracle literally embeds the gopher and dsir oracle SQL as CTEs, and
+# the Spark side reuses the registered query functions, so the funnel
+# can never drift from its stages.  Every stage count is integer
+# arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+def _funnel_sql() -> str:
+    from .textops import _CANON_SQL
+
+    return f"""
+WITH gq AS ({REGISTRY['gopher_quality_flags'].sql}),
+dw AS ({REGISTRY['dsir_importance_weights'].sql}),
+base AS (
+  SELECT doc_id, source, {_CANON_SQL} AS ch
+  FROM documents WHERE text IS NOT NULL),
+keeper AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           MIN(doc_id) OVER (PARTITION BY ch) AS rep FROM base)
+  WHERE doc_id = rep),
+j AS (
+  SELECT k.source, gq.keep, gq.n_words, dw.score_u
+  FROM keeper k
+  JOIN gq ON gq.doc_id = k.doc_id
+  LEFT JOIN dw ON dw.doc_id = k.doc_id),
+a1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM base GROUP BY source),
+a2 AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_canonical,
+         CAST(SUM(keep) AS BIGINT) AS n_quality,
+         CAST(SUM(CASE WHEN keep = 1 AND score_u >= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN keep = 1 AND score_u >= 0
+                       THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept
+  FROM j GROUP BY source)
+SELECT a1.source, a1.n_docs, a2.n_canonical, a2.n_quality, a2.n_kept,
+       a2.tokens_kept
+FROM a1 JOIN a2 ON a2.source = a1.source"""
+
+
+@register("curation_funnel_report", doc="""
+Per-source counts through the full curation funnel — canonical-dedup
+keepers, Gopher-quality survivors, DSIR target-likeness survivors
+(score_u >= 0: at least corpus-average target-likeness) and the token
+budget they carry.  One declarative plan composing three registered
+stages; at 100 TB each stage is the shuffle shape already audited for
+it (canon hash-shuffle, scan-fused flags, broadcast DSIR weights) and
+the report adds only a per-source rollup.""")
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import _canon_hash
+
+    docs = (load_table(spark, sf_dir, "documents", spread=True)
+            .filter(F.col("text").isNotNull()))
+    base = docs.select("doc_id", "source", _canon_hash().alias("ch"))
+    rep = F.min("doc_id").over(Window.partitionBy("ch"))
+    keeper = (base.select("doc_id", "source", rep.alias("rep"))
+              .filter(F.col("doc_id") == F.col("rep"))
+              .select("doc_id", "source"))
+    gq = REGISTRY["gopher_quality_flags"].fn(spark, sf_dir).select(
+        "doc_id", "n_words", "keep")
+    dw = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir).select(
+        "doc_id", "score_u")
+    j = keeper.join(gq, "doc_id").join(dw, "doc_id", "left")
+    kept = (F.col("keep") == 1) & (F.col("score_u") >= 0)
+    a1 = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    a2 = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.sum("keep").cast("long").alias("n_quality"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_words")).otherwise(0)).cast("long")
+        .alias("tokens_kept"))
+    return a1.join(a2, "source").select(
+        "source", "n_docs", "n_canonical", "n_quality", "n_kept",
+        "tokens_kept")
+
+
+REGISTRY["curation_funnel_report"].sql = _funnel_sql()

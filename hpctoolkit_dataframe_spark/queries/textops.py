@@ -165,9 +165,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("canonical_dedup", sql="""
-SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS canon_hash,
+_CANON_SQL = ("md5(trim(regexp_replace(regexp_replace(lower(text), "
+              "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))")
+
+
+def _canon_hash():
+    """C4-style canonical text hash (shared with curation_funnel_report)."""
+    return F.md5(F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+
+@register("canonical_dedup", sql=f"""
+SELECT {_CANON_SQL} AS canon_hash,
        CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
        COUNT(*) AS n_copies,
        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
@@ -181,9 +190,7 @@ group collapses (>1 = a catch the raw pass missed).  At 100 TB this is
 the same map-side-combined single-shuffle shape as dedup_exact.""")
 def canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    canon = F.md5(F.trim(F.regexp_replace(F.regexp_replace(
-        F.lower(F.col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
-    return (docs.groupBy(canon.alias("canon_hash"))
+    return (docs.groupBy(_canon_hash().alias("canon_hash"))
             .agg(F.min("doc_id").cast("long").alias("rep_doc"),
                  F.count(F.lit(1)).alias("n_copies"),
                  F.countDistinct(F.md5("text")).cast("long")

