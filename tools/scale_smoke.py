@@ -403,5 +403,38 @@ def main() -> None:
               f"{time.time()-t0:.1f}s (block capped)")
 
 
+    # 15) the round-6 curation layer at 200k docs: one
+    #     curation_funnel_report call composes canonical dedup (canon
+    #     hash window), the Gopher flags (scan-fused projection) and
+    #     DSIR (4M-token explode -> B=1024 bucket models -> broadcast
+    #     weight join).  Catches any single-partition or pairwise
+    #     regression in the composition; counts must be monotone.
+    from hpctoolkit_dataframe_spark.queries.curation import (
+        curation_funnel_report)
+
+    n_docs = 200_000 * scale
+    docs = spark.range(n_docs, numPartitions=par).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("the"), F.lit("of"), *[
+            F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                       F.lit(f":{i}"))), 1, 4)
+            for i in range(60)]).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 10).cast("string"))
+        .alias("source"),
+        F.lit(300).alias("n_chars"))
+    with tempfile.TemporaryDirectory(prefix="scale_funnel_") as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        t0 = time.time()
+        out = curation_funnel_report(spark, tmp).collect()
+        assert len(out) == 10, len(out)
+        for r in out:
+            assert (r["n_docs"] >= r["n_canonical"] >= r["n_quality"]
+                    >= r["n_kept"] >= 0), r
+        print(f"curation_funnel_report {n_docs:,} docs: "
+              f"{sum(r['n_kept'] for r in out):,} kept across 10 "
+              f"sources in {time.time()-t0:.1f}s")
+
+
 if __name__ == "__main__":
     main()
