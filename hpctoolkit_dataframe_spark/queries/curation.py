@@ -1109,30 +1109,66 @@ keeps docs proportionally.  B=1024 buckets, add-1 smoothing.""")
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
+    tb = dsir_token_buckets(docs).localCheckpoint(eager=True)
+    w = dsir_weights_from_model(dsir_count_model(tb))
+    return dsir_score(tb, w)
+
+
+def dsir_token_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): one row per token occurrence, hashed into the
+    B feature buckets (the engine-identical md5-hash8 primitive)."""
     bucket = (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
               .cast("long") % DSIR_B)
-    tb = (docs.select("doc_id", "lang",
-                      F.explode(F.split("text", r"\s+")).alias("tok"))
-          .filter(F.col("tok") != "")
-          .select("doc_id", "lang", bucket.alias("b")))
-    tb = tb.localCheckpoint(eager=True)  # feeds rc, tc and the scoring join
-    rc = tb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("rc"))
-    tc = (tb.filter(F.col("lang") == DSIR_TARGET_LANG)
-          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("tc")))
-    tot = (rc.agg(F.sum("rc").cast("long").alias("r_tot"))
-           .crossJoin(tb.filter(F.col("lang") == DSIR_TARGET_LANG)
-                      .agg(F.count(F.lit(1)).cast("long").alias("t_tot"))))
-    w = (rc.join(tc, "b", "left")
-         .crossJoin(F.broadcast(tot))
-         .select("b", F.expr(
-             f"cast(round(ln(cast((coalesce(tc, 0) + 1)"
-             f" * (r_tot + {DSIR_B}) as double)"
-             f" / cast((rc + 1) * (t_tot + {DSIR_B}) as double))"
-             f" * {IDF_MICRO}, 0) as bigint)").alias("lr_u")))
+    return (docs.select("doc_id", "lang",
+                        F.explode(F.split("text", r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .select("doc_id", "lang", bucket.alias("b")))
+
+
+def dsir_count_model(tb: DataFrame) -> DataFrame:
+    """(b, rc, tc): raw and target bucket counts in ONE conditional
+    aggregation — the entire DSIR 'model', <= B rows.  MERGEABLE:
+    cell-wise SUM of per-batch models equals the model of the unioned
+    input (associative integer addition) — what run_dsir_stream
+    exploits to maintain the model incrementally."""
+    return tb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("rc"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+        .cast("long").alias("tc"))
+
+
+def dsir_weights_from_model(model: DataFrame) -> DataFrame:
+    """(b, lr_u): micro-quantized smoothed log-likelihood ratio per
+    bucket — exact BIGINT counts, one double division, ln, round."""
+    tot = model.agg(F.sum("rc").cast("long").alias("r_tot"),
+                    F.sum("tc").cast("long").alias("t_tot"))
+    return (model.crossJoin(F.broadcast(tot))
+            .select("b", F.expr(
+                f"cast(round(ln(cast((tc + 1)"
+                f" * (r_tot + {DSIR_B}) as double)"
+                f" / cast((rc + 1) * (t_tot + {DSIR_B}) as double))"
+                f" * {IDF_MICRO}, 0) as bigint)").alias("lr_u")))
+
+
+def dsir_score(tb: DataFrame, w: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, score_u): broadcast weight join + per-doc
+    integer sum — the linear scoring pass."""
     return (tb.join(F.broadcast(w), "b")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.sum("lr_u").cast("long").alias("score_u")))
+
+
+def dsir_score_against_store(spark: SparkSession, store_path: str,
+                             docs: DataFrame) -> DataFrame:
+    """Score documents against the APPEND-ONLY model store that
+    run_dsir_stream maintains: cell-wise SUM of every appended batch
+    model IS the merged model, then the usual broadcast scoring."""
+    model = (spark.read.parquet(store_path)
+             .groupBy("b").agg(F.sum("rc").cast("long").alias("rc"),
+                               F.sum("tc").cast("long").alias("tc")))
+    return dsir_score(dsir_token_buckets(docs),
+                      dsir_weights_from_model(model))
 
 
 # ---------------------------------------------------------------------------

@@ -593,6 +593,35 @@ def run_cms_stream(docs_stream: DataFrame, store_path: str,
     return n_batches
 
 
+def run_dsir_stream(docs_stream: DataFrame, store_path: str,
+                    query_name: str = "dsir_model") -> int:
+    """DSIR model maintenance as a stream: each micro-batch of raw
+    documents contributes one <= B-row (b, rc, tc) bucket-count model
+    appended to the store.  The merged model at any time is the
+    cell-wise SUM of appended batches — exactly equal to the model
+    batch-built over everything seen (associative integer addition),
+    so importance weights can be recomputed from the tiny store
+    between batches without ever re-reading corpus bytes
+    (queries.curation.dsir_score_against_store; equality with the
+    batch dsir_importance_weights is twin-test-pinned).  State per
+    batch is <= B rows regardless of batch size."""
+    from ..queries.curation import dsir_count_model, dsir_token_buckets
+
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        docs = batch_df.filter(F.col("text").isNotNull())
+        dsir_count_model(dsir_token_buckets(docs)) \
+            .write.mode("append").parquet(store_path)
+        n_batches += 1
+
+    q = (docs_stream.writeStream.foreachBatch(process)
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return n_batches
+
+
 def _state_table(spark: SparkSession, name: str, schema: str) -> None:
     """Create a persisted state table if absent — clearing any orphaned
     managed location first (a session that died mid-write leaves the

@@ -1014,3 +1014,43 @@ def test_funnel_restart_without_checkpoint_refused(spark, tmp_path):
             se.run_funnel_stream(stream, prefix)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_out")
+
+
+def test_streaming_dsir_equals_batch_model(spark, tmp_path):
+    """Mergeable-model twin: DSIR bucket models appended per
+    micro-batch and cell-wise summed at read time must score every
+    document IDENTICALLY to the batch dsir_importance_weights over the
+    full corpus — exact equality, because the model is integer counts,
+    merging is associative addition, and the weight computation sees
+    bit-identical inputs either way."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.queries.curation import \
+        dsir_score_against_store
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for b, cond in ((0, F.col("doc_id") % 2 == 0),
+                    (1, F.col("doc_id") % 2 == 1)):
+        docs.filter(cond).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"db{b}"))
+        part = next((tmp_path / f"db{b}").glob("*.parquet"))
+        dst = stream_dir / f"batch{b}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + b * 60,) * 2)
+    store = str(tmp_path / "dsir_store")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(stream_dir)))
+    assert se.run_dsir_stream(stream, store) == 2
+
+    got = {r.doc_id: (r.n_tokens, r.score_u) for r in
+           dsir_score_against_store(
+               spark, store, docs.filter(F.col("text").isNotNull()))
+           .collect()}
+    want = {r.doc_id: (r.n_tokens, r.score_u) for r in
+            REGISTRY["dsir_importance_weights"].fn(spark, SF_DIR).collect()}
+    assert got == want
