@@ -339,7 +339,12 @@ def load_experiments(
 
             data = [tuple(_clean(v) for v in row)
                     for row in big.itertuples(index=False, name=None)]
-            raw = spark.createDataFrame(data, schema=schema)
+            # verifySchema=False: the rows come from our own typed
+            # parser (floats/longs/strs/lists per _raw_schema) and the
+            # per-cell verifier costs ~0.4 s per 3.5k-row experiment —
+            # the replaced pandas path never verified either
+            raw = spark.createDataFrame(data, schema=schema,
+                                        verifySchema=False)
         else:
             # every body failed under on_error='skip': empty frame,
             # matching the distributed path's behavior
