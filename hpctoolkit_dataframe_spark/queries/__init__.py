@@ -159,9 +159,9 @@ _GATE_ORDER = [
     "cct_fragment_filter",
     # round-6-new curation components (never gated)
     "gopher_quality_flags", "dsir_importance_weights", "canonical_dedup",
-    "curation_funnel_report",
+    "curation_funnel_report", "leakage_safe_split",
     # keepers: one proven representative per family
-    "dedup_exact", "simhash64", "knn_cosine",
+    "simhash64", "knn_cosine",
     "duplicate_spans", "pii_redact_stats",
     "incremental_dedup_resume", "q1_pricing_summary",
     "events_sessions", "cct_hot_path",

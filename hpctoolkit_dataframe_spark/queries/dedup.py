@@ -523,3 +523,47 @@ def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
         F.broadcast(e.agg(F.count(F.lit(1)).cast("long")
                           .alias("n_edges"))))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: assign splits by hash of the
+# near-dup CLUSTER representative, never the document — a near-dup pair
+# split across train and test is silent evaluation leakage that
+# doc-level hash splitting produces by construction.  Published
+# pipelines dedup across split boundaries for exactly this reason;
+# doing the assignment at cluster granularity makes the property hold
+# by construction instead of by a post-hoc decontamination pass.
+# Scale shape: dedup_clusters' own shapes + one hash expression — the
+# split adds no shuffle at all.
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+@register("leakage_safe_split", sql=f"""
+WITH cc AS ({_CLUSTERS_SQL}),
+h AS (
+  SELECT doc_id, cluster_id,
+         {hash8_sql("CAST(cluster_id AS VARCHAR) || ':split'")} % 100
+           AS bucket
+  FROM cc)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM h""", doc="""
+90/5/5 train/val/test assignment hashed on the near-dup cluster id:
+every member of a cluster lands in the SAME split, so near-duplicate
+evaluation leakage is impossible by construction (the doc-level hash
+split it replaces scatters clusters across splits).  Deterministic —
+the same engine-identical md5 hash as every sampling query.""")
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = REGISTRY["dedup_clusters"].fn(spark, sf_dir)
+    bucket = (F.conv(F.substring(F.md5(
+        F.concat(F.col("cluster_id").cast("string"), F.lit(":split"))),
+        1, 8), 16, 10).cast("long") % 100)
+    return cc.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test").alias("split"))

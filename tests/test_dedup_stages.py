@@ -243,3 +243,25 @@ def test_pagerank_integer_invariants(spark):
     n_edges = sum(r.deg for r in rows)
     assert total <= PR_SCALE * len(rows)
     assert total >= PR_SCALE * len(rows) - PR_ITERS * n_edges - 1
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark):
+    """Every near-dup cluster must land in exactly ONE split (the
+    property the query exists for), and the split fractions must be
+    hash-uniform-ish (train strictly largest)."""
+    from collections import Counter
+
+    rows = REGISTRY["leakage_safe_split"].fn(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    counts = Counter(r["split"] for r in rows)
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0) \
+        and counts["train"] > counts.get("test", 0)
+    # near-dup pairs specifically can never straddle splits
+    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, SF_DIR).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    assert all(split_of[p["doc_a"]] == split_of[p["doc_b"]]
+               for p in pairs)
