@@ -93,6 +93,30 @@ def main() -> int:
         p = os.path.join(ROOT, sf, "events.parquet")
         if os.path.exists(p):
             print(f"{sf}: events.ts = {pq.read_schema(p).field('ts').type}")
+    # BPE golden fixtures must match the CURRENT documents corpus: the
+    # oracle selects golden rows by (corpus_rows, corpus_chars), so a
+    # regenerated corpus makes the oracle return 0 rows -> a silent
+    # driver-red.  Regenerate with tools/make_bpe_fixture.py.
+    golden = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "fixtures",
+        "bpe_train_golden.parquet")
+    if os.path.exists(golden):
+        import duckdb
+
+        keys = {tuple(r) for r in duckdb.sql(
+            f"SELECT DISTINCT corpus_rows, corpus_chars FROM '{golden}'"
+        ).fetchall()}
+        for sf in SFS:
+            p = os.path.join(ROOT, sf, "documents.parquet")
+            if not os.path.exists(p):
+                continue
+            got = duckdb.sql(
+                f"SELECT COUNT(*), CAST(SUM(length(text)) AS BIGINT) "
+                f"FROM '{p}'").fetchall()[0]
+            if tuple(got) not in keys:
+                problems.append(
+                    f"{sf}/documents: corpus key {got} absent from BPE "
+                    "goldens — run tools/make_bpe_fixture.py")
     if problems:
         print("\nENVIRONMENT DRIFT DETECTED:")
         for p in problems:
