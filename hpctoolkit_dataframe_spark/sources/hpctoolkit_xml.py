@@ -26,7 +26,6 @@ Semantics replicated from the reference:
 from __future__ import annotations
 
 import glob as _glob
-import math
 import os
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
@@ -329,22 +328,16 @@ def load_experiments(
             # must surface as NULL under ANY session (reference
             # semantics: hpctoolkit_dataframe.py:206-216, NaN-filled).
             big = pd.concat(frames, ignore_index=True)
-
-            def _clean(v):
-                if hasattr(v, "item") and not isinstance(v, (list, tuple)):
-                    v = v.item()  # numpy scalar -> Python native
-                if v is None or (isinstance(v, float) and math.isnan(v)):
-                    return None
-                return v
-
-            data = [tuple(_clean(v) for v in row)
-                    for row in big.itertuples(index=False, name=None)]
-            # verifySchema=False: the rows come from our own typed
-            # parser (floats/longs/strs/lists per _raw_schema) and the
-            # per-cell verifier costs ~0.4 s per 3.5k-row experiment —
-            # the replaced pandas path never verified either
-            raw = spark.createDataFrame(data, schema=schema,
-                                        verifySchema=False)
+            # Sanitize to object dtype with real None so null fidelity
+            # does NOT depend on session config: Arrow-enabled sessions
+            # always mapped NaN -> NULL, but the legacy converter (the
+            # driver's default session) kept float NaN in metric
+            # columns and stringified object NaN to 'nan'.  Both
+            # converters turn None into SQL NULL.  (A tuples-based
+            # rewrite was correct too but ~0.5 s/file slower — the
+            # pandas frame keeps the Arrow fast path when available.)
+            big = big.astype(object).where(pd.notna(big), None)
+            raw = spark.createDataFrame(big, schema=schema)
         else:
             # every body failed under on_error='skip': empty frame,
             # matching the distributed path's behavior
