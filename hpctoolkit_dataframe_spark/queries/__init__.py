@@ -160,8 +160,9 @@ _GATE_ORDER = [
     # round-6-new curation components (never gated)
     "gopher_quality_flags", "dsir_importance_weights", "canonical_dedup",
     "curation_funnel_report", "leakage_safe_split",
+    "temperature_mixture_plan",
     # keepers: one proven representative per family
-    "simhash64", "knn_cosine",
+    "simhash64",
     "duplicate_spans", "pii_redact_stats",
     "incremental_dedup_resume", "q1_pricing_summary",
     "events_sessions", "cct_hot_path",

@@ -330,3 +330,72 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("u_scaled div weight").alias("priority"))
         .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
         .limit(SAMPLE_K))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture planning (the multilingual / multi-source
+# sampling staple: XLM-R's p_i ~ n_i^alpha, alpha<1 upweights small
+# sources; UNIMAX and modern data-mixing recipes are variants).
+# mixture_plan above EXECUTES a given weight table; this derives the
+# weights FROM the observed per-source token mass.  Determinism: pow
+# with a fractional exponent is libm territory (the JIT-bistability
+# hazard class), so each source's temperatured mass is micro-quantized
+# to an exact BIGINT immediately, and every downstream share/count is
+# integer arithmetic with single divisions.  Scale shape: ONE map-side
+# combined aggregation to |sources| rows; everything after is
+# constant-size.
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.7
+MIX_BUDGET_DOCS = 10_000
+_POW_MICRO = 1_000_000
+
+
+@register("temperature_mixture_plan", sql=f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})
+                    * {_POW_MICRO}, 0) AS BIGINT) AS p_u
+  FROM s),
+t AS (SELECT CAST(SUM(p_u) AS BIGINT) AS sum_u,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM p)
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(ROUND(CAST(p.p_u * 1000000 AS DOUBLE)
+                  / CAST(t.sum_u AS DOUBLE), 0) AS BIGINT) AS share_ppm,
+       CAST(ROUND(CAST(p.n_tokens * 1000000 AS DOUBLE)
+                  / CAST(t.tok_total AS DOUBLE), 0) AS BIGINT)
+         AS proportional_ppm,
+       CAST({MIX_BUDGET_DOCS} * p.p_u // t.sum_u AS BIGINT)
+         AS planned_docs
+FROM p CROSS JOIN t""", doc="""
+Per-source sampling shares under temperature alpha=0.7 over observed
+token mass, next to the proportional (alpha=1) share — small sources
+gain, large sources shrink — plus planned doc counts for a fixed
+budget.  pow is micro-quantized to BIGINT immediately; shares are
+single exact-integer divisions.""")
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
+        F.col("text").isNotNull())
+    s = (docs.select("source", F.size(_tokens()).alias("nt"))
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("nt").cast("long").alias("n_tokens")))
+    p = s.withColumn("p_u", F.expr(
+        f"cast(round(power(cast(n_tokens as double), {MIX_ALPHA})"
+        f" * {_POW_MICRO}, 0) as bigint)"))
+    t = p.agg(F.sum("p_u").cast("long").alias("sum_u"),
+              F.sum("n_tokens").cast("long").alias("tok_total"))
+    return (p.crossJoin(F.broadcast(t))
+            .select(
+                "source", "n_docs", "n_tokens",
+                F.expr("cast(round(cast(p_u * 1000000 as double)"
+                       " / cast(sum_u as double), 0) as bigint)")
+                .alias("share_ppm"),
+                F.expr("cast(round(cast(n_tokens * 1000000 as double)"
+                       " / cast(tok_total as double), 0) as bigint)")
+                .alias("proportional_ppm"),
+                F.expr(f"cast({MIX_BUDGET_DOCS} * p_u div sum_u"
+                       " as bigint)").alias("planned_docs")))

@@ -138,3 +138,20 @@ def test_priority_sample_favors_heavy_docs(spark):
              REGISTRY["priority_weighted_sample"].fn(spark, SF_DIR)
              .collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_temperature_mixture_flattens_toward_small_sources(spark):
+    """alpha<1 contract: shares sum to ~1e6 ppm, every source keeps a
+    positive share, and relative to the proportional (alpha=1) share
+    the smallest source GAINS while the largest LOSES."""
+    rows = REGISTRY["temperature_mixture_plan"].fn(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["share_ppm"] for r in rows)
+    assert abs(total - 1_000_000) <= len(rows)  # per-source rounding
+    assert all(r["share_ppm"] > 0 for r in rows)
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    assert smallest["share_ppm"] > smallest["proportional_ppm"]
+    assert largest["share_ppm"] < largest["proportional_ppm"]
+    budget = sum(r["planned_docs"] for r in rows)
+    assert budget <= 10_000  # floor rounding never overshoots

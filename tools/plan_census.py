@@ -57,6 +57,7 @@ SCALAR_BNLJ_OK = {
     "copurchase_lift",     # 1-row basket-count frame
     "dsir_importance_weights",  # 1-row (r_tot, t_tot) corpus-scalar frame
     "curation_funnel_report",   # composes the dsir stage (same scalar)
+    "temperature_mixture_plan",  # 1-row (sum_u, tok_total) scalar frame
 }
 
 
