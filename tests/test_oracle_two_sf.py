@@ -26,7 +26,7 @@ R6_ADDITIONS = [
     "bpe_train_merges", "bpe_encode_stats", "exact_daily_uniques",
     "exact_value_percentiles", "exact_weekly_uniques",
     "gopher_quality_flags", "dsir_importance_weights", "canonical_dedup",
-    "curation_funnel_report",
+    "curation_funnel_report", "temperature_mixture_plan",
 ]
 
 
