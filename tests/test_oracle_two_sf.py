@@ -27,6 +27,9 @@ R6_ADDITIONS = [
     "exact_value_percentiles", "exact_weekly_uniques",
     "gopher_quality_flags", "dsir_importance_weights", "canonical_dedup",
     "curation_funnel_report", "temperature_mixture_plan",
+    # leakage_safe_split is two-SF-verified manually (COVERAGE.md r6)
+    # but excluded here: its DuckDB oracle embeds the recursive-CTE
+    # connected-components twin, ~80 s at sf0.1 — too slow for CI.
 ]
 
 
