@@ -18,6 +18,8 @@ agg) and ``price_quantiles`` (exact percentile_cont).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import load_table, register
@@ -290,3 +292,44 @@ def cms_estimate_tokens(spark: SparkSession, store_path: str,
             .groupBy("tok")
             .agg(F.min(F.coalesce("c", F.lit(0))).cast("long")
                  .alias("est_c")))
+
+
+def compact_counter_store(spark: SparkSession, store_path: str,
+                          key_cols: Sequence[str],
+                          sum_cols: Sequence[str],
+                          n_files: int = 1) -> tuple[int, int]:
+    """Maintenance rewrite for APPEND-ONLY mergeable-counter stores
+    (the CMS cell store, the streaming DSIR bucket models): N appended
+    batches mean N rows per cell and N files to open per read.
+    Because the merge is associative cell-wise addition, the compacted
+    store IS the aggregate: group by the key, SUM the counters, and
+    atomically swap the directory (write to a sibling temp dir, delete
+    the old, rename — a reader never sees a half-written store).
+    Idempotent: compacting twice is a no-op.  Returns (files_before,
+    files_after)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = path.getFileSystem(conf)
+
+    def count_files(p) -> int:
+        if not fs.exists(p):
+            return 0
+        it, n = fs.listFiles(p, True), 0
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if not (f.startswith("_") or f.startswith(".")):
+                n += 1
+        return n
+
+    before = count_files(path)
+    merged = (spark.read.parquet(store_path)
+              .groupBy(*key_cols)
+              .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+              .coalesce(n_files))
+    tmp = jvm.org.apache.hadoop.fs.Path(store_path + "__compacting")
+    merged.write.mode("overwrite").parquet(str(tmp))
+    fs.delete(path, True)
+    if not fs.rename(tmp, path):
+        raise IOError(f"atomic swap failed: {tmp} -> {path}")
+    return before, count_files(path)
