@@ -172,3 +172,64 @@ def flame_graph(
     if show:
         plt.show()
     return ax
+
+
+def flame_svg(
+    df: DataFrame,
+    column: str,
+    prefix: Sequence[int] = (),
+    min_depth: int | None = None,
+    max_depth: int | None = None,
+    callpath_col: str = "callpath",
+    label_col: str | None = "procedure",
+    width_px: int = 1200,
+    row_px: int = 22,
+    title: str = "",
+) -> str:
+    """Dependency-free flame-graph renderer: the same oracle-gated
+    layout (`flame_layout` / cct_flame_widths geometry), emitted as a
+    standalone SVG string — one <rect> per segment, labels drawn above
+    the reference's width threshold (pi/(depth - min_depth + 32),
+    hpctoolkit_dataframe.py:516-518).  Exists because the matplotlib
+    sink (`flame_graph`) is environment-optional; this renderer needs
+    only the standard library, so the figure-sink surface (reference
+    S6) is exercisable everywhere.  Colors cycle a fixed warm palette
+    deterministically by segment index — output is byte-stable for a
+    given frame."""
+    import html
+    import math
+
+    if min_depth is None:
+        min_depth = len(prefix) + 1
+    layout = flame_layout(df, column, prefix, min_depth, max_depth,
+                          callpath_col, label_col)
+    palette = ["#e6550d", "#fd8d3c", "#fdae6b", "#fdd0a2",
+               "#d94801", "#f16913"]
+    scale = width_px / NORMALIZATION_CONSTANT
+    depths = [s["depth"] for s in layout] or [min_depth]
+    height_px = (max(depths) - min_depth + 1) * row_px + row_px
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width_px}" '
+        f'height="{height_px}" font-family="monospace" font-size="11">',
+        f"<title>{html.escape(title or column)}</title>",
+    ]
+    for i, seg in enumerate(layout):
+        x = seg["offset"] * scale
+        w = seg["width"] * scale
+        # stack grows upward like the reference's bar chart
+        y = height_px - (seg["depth"] - min_depth + 1) * row_px
+        color = palette[i % len(palette)]
+        label = seg["label"] or ""
+        parts.append(
+            f'<rect x="{x:.3f}" y="{y}" width="{w:.3f}" '
+            f'height="{row_px}" fill="{color}" stroke="#fff">'
+            f"<title>{html.escape(label)} ({seg['width']:.6f})</title>"
+            "</rect>")
+        threshold = math.pi / (seg["depth"] - min_depth + 32)
+        if label and seg["width"] > threshold:
+            parts.append(
+                f'<text x="{x + 2:.3f}" y="{y + row_px - 7}" '
+                f'fill="#000">{html.escape(label[:int(w // 7) or 1])}'
+                "</text>")
+    parts.append("</svg>")
+    return "\n".join(parts)

@@ -84,3 +84,36 @@ def test_media_stats_jvm_side(spark):
     stats = multimodal.with_media_stats(media).collect()
     assert all(r["n_bytes"] > 0 and len(r["content_md5"]) == 32
                for r in stats)
+
+
+def test_flame_svg_matches_layout_geometry(spark):
+    """The dependency-free SVG sink must contain exactly one rect per
+    layout segment, with x/width pixel geometry proportional to the
+    oracle-gated layout (2*pi -> width_px), well-formed XML, and
+    byte-stable output."""
+    import math
+    import xml.etree.ElementTree as ET
+
+    from hpctoolkit_dataframe_spark.operators.flame import (
+        NORMALIZATION_CONSTANT, flame_layout, flame_svg)
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+
+    from .conftest import SF_DIR
+
+    cct = build_cct(spark, SF_DIR)
+    svg1 = flame_svg(cct, "value", max_depth=3, label_col=None,
+                     width_px=1000)
+    svg2 = flame_svg(cct, "value", max_depth=3, label_col=None,
+                     width_px=1000)
+    assert svg1 == svg2  # deterministic bytes
+    root = ET.fromstring(svg1)  # well-formed
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = root.findall(f"{ns}rect")
+    layout = flame_layout(cct, "value", max_depth=3, label_col=None)
+    assert len(rects) == len(layout)
+    scale = 1000 / NORMALIZATION_CONSTANT
+    for rect, seg in zip(rects, layout):
+        assert math.isclose(float(rect.get("x")), seg["offset"] * scale,
+                            abs_tol=2e-3)
+        assert math.isclose(float(rect.get("width")), seg["width"] * scale,
+                            abs_tol=2e-3)
