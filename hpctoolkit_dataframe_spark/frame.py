@@ -193,6 +193,18 @@ class HPCtoolkitDataFrame:
         return flame_graph(self._df, column=column,
                            title=self._meta.db_path or "", **kwargs)
 
+    def flame_svg(self, **kwargs) -> str:
+        """Dependency-free SVG variant of :meth:`flame_graph` (same
+        default column election, no matplotlib needed)."""
+        from .operators.flame import flame_svg
+
+        column = kwargs.pop("column", None)
+        if column is None:
+            pct = self._meta.meaningful_columns["percentage"]
+            column = f"{pct} ratio of parent"
+        return flame_svg(self._df, column=column,
+                         title=self._meta.db_path or "", **kwargs)
+
     def _exclusive_column(self, base_column: str | None) -> str:
         if base_column is None:
             pct = self._meta.meaningful_columns["percentage"]
