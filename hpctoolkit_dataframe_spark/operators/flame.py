@@ -265,10 +265,17 @@ def flame_svg_diff(
     joined = (df_a.join(b_vals, on=list(join_cols), how="left"))
     layout = flame_layout(joined, column, prefix, min_depth, max_depth,
                           callpath_col, label_col)
-    b_by_id = {r["id"]: r["__b_v"] for r in
-               joined.select(*join_cols, "__b_v").collect()}
-    a_by_id = {r["id"]: r["__a_v"] for r in joined.select(
-        *join_cols, F.col(column).cast("double").alias("__a_v")).collect()}
+    # display-restrict BEFORE collecting values — like the layout
+    # itself, only the drawn window ever reaches the driver (a full-
+    # frame collect would be the anti-pattern the plan census hunts)
+    shown = _cct.at_depths(
+        _cct.at_paths(joined, prefix=prefix),
+        min_depth, max_depth if max_depth is not None else None)
+    vals = shown.select(
+        *join_cols, F.col(column).cast("double").alias("__a_v"),
+        "__b_v").collect()
+    a_by_id = {r["id"]: r["__a_v"] for r in vals}
+    b_by_id = {r["id"]: r["__b_v"] for r in vals}
     scale = width_px / NORMALIZATION_CONSTANT
     depths = [s["depth"] for s in layout] or [min_depth]
     height_px = (max(depths) - min_depth + 1) * row_px + row_px
