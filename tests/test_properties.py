@@ -182,3 +182,34 @@ def test_simhash64_matches_python_reference(spark, docs_tokens):
         # the joined text — replicate exactly
         want = _py_simhash64(" ".join(toks).split(" "))
         assert got[i] == want, (i, toks, got[i], want)
+
+
+def _py_canon(text: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ",
+                  re.sub(r"[^a-z0-9\s]", "", text.lower())).strip()
+
+
+@given(st.lists(st.text(alphabet=st.characters(
+    codec="ascii", exclude_categories=("Cc",)), min_size=0, max_size=40),
+    min_size=1, max_size=24))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_canonical_hash_matches_python_reference(spark, texts):
+    """The C4-style canonicalization (lower, strip non-alnum, collapse
+    whitespace, trim) must agree with an independent Python spec — and
+    be idempotent, so canonical groups are stable under re-runs."""
+    import hashlib
+
+    from hpctoolkit_dataframe_spark.queries.textops import _canon_hash
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", _canon_hash().alias("h")).collect()}
+    for i, t in enumerate(texts):
+        c = _py_canon(t)
+        assert c == _py_canon(c)  # idempotent spec
+        want = hashlib.md5(c.encode("utf-8")).hexdigest()
+        assert got[i] == want, (i, repr(t), got[i], want)
