@@ -271,8 +271,12 @@ def flame_svg_diff(
     shown = _cct.at_depths(
         _cct.at_paths(joined, prefix=prefix),
         min_depth, max_depth if max_depth is not None else None)
+    # 'id' is collected unconditionally: the layout segments are keyed
+    # by id, so a join_cols that omits it must not break the value maps
+    # (ADVICE r6 — r["id"] KeyError after the join already ran).
+    id_cols = list(join_cols) + (["id"] if "id" not in join_cols else [])
     vals = shown.select(
-        *join_cols, F.col(column).cast("double").alias("__a_v"),
+        *id_cols, F.col(column).cast("double").alias("__a_v"),
         "__b_v").collect()
     a_by_id = {r["id"]: r["__a_v"] for r in vals}
     b_by_id = {r["id"]: r["__b_v"] for r in vals}

@@ -121,7 +121,7 @@ def exact_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("exact_value_percentiles", sql="""
 WITH c AS (
   SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 r AS (
   SELECT event_type, cents,
          CAST(row_number() OVER (PARTITION BY event_type
@@ -142,13 +142,17 @@ PERCENTILE_DISC picks the smallest value with cume_dist >= p; DuckDB's
 quantile_disc floors (n-1)p), so the rank is computed explicitly in
 integer arithmetic — value at 1-based sorted position ceil(p*n) =
 (p_pct*n + 99) div 100 — identical on both engines by construction.
-Ties in cents cannot disturb the selected VALUE at a fixed rank.""")
+Ties in cents cannot disturb the selected VALUE at a fixed rank.
+NULL values are filtered on BOTH engines before ranking: Spark's
+window ORDER BY defaults NULLS FIRST, DuckDB's NULLS LAST, so an
+unguarded NULL would shift every rank (ADVICE r6).""")
 def exact_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    c = ev.select("event_type",
-                  F.round(F.col("value") * 100).cast("long").alias("cents"))
+    c = (ev.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("long").alias("cents")))
     w = Window.partitionBy("event_type")
     r = c.select(
         "event_type", "cents",
@@ -303,10 +307,13 @@ def compact_counter_store(spark: SparkSession, store_path: str,
     batches mean N rows per cell and N files to open per read.
     Because the merge is associative cell-wise addition, the compacted
     store IS the aggregate: group by the key, SUM the counters, and
-    atomically swap the directory (write to a sibling temp dir, delete
-    the old, rename — a reader never sees a half-written store).
-    Idempotent: compacting twice is a no-op.  Returns (files_before,
-    files_after)."""
+    swap the directory (write to a sibling temp dir, rename the live
+    dir aside, rename the temp into place, delete the old).  A reader
+    never observes a half-written store, and if the swap-in rename
+    fails the prior store is recoverable at ``path__old``; the swap is
+    still not atomic for a reader that lists the parent in the
+    instant between the two renames.  Idempotent: compacting twice is
+    a no-op.  Returns (files_before, files_after)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(store_path)
@@ -329,7 +336,15 @@ def compact_counter_store(spark: SparkSession, store_path: str,
               .coalesce(n_files))
     tmp = jvm.org.apache.hadoop.fs.Path(store_path + "__compacting")
     merged.write.mode("overwrite").parquet(str(tmp))
-    fs.delete(path, True)
+    # Old-aside-first swap: the live store is never deleted before its
+    # replacement is in place (ADVICE r6 — delete-then-rename left a
+    # window with NO store, and a failed rename lost the live copy).
+    old = jvm.org.apache.hadoop.fs.Path(store_path + "__old")
+    fs.delete(old, True)  # leftover from a previously interrupted swap
+    if not fs.rename(path, old):
+        raise IOError(f"swap failed moving live store aside: {path}")
     if not fs.rename(tmp, path):
-        raise IOError(f"atomic swap failed: {tmp} -> {path}")
+        fs.rename(old, path)  # roll back: restore the live store
+        raise IOError(f"swap failed: {tmp} -> {path} (old store restored)")
+    fs.delete(old, True)
     return before, count_files(path)
