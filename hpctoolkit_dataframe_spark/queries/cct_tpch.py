@@ -652,3 +652,245 @@ def cct_diff_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_r").cast("double")
          / (F.col("value_r") + F.col("value_o")).cast("double"))
         .alias("share_r"))
+
+
+# ---------------------------------------------------------------------------
+# A1+: multi-profile merge via combine formulas (VERDICT r6 next #2).
+# The reference's MetricTable carries combine formulas (sum/min/max per
+# metric, experiment1.xml:244/287/292) that its single-profile engine
+# parses but never uses (hpctoolkit_dataframe.py:69-70); merge_profiles
+# (operators/cct.py) is our engine's multi-profile read side.  Here the
+# lineitem leaves are hash-split into 3 profile clones (p = leaf id mod
+# 3), each rolled into its own CCT in ONE grouping-sets pass (no
+# per-profile rescan), then merged back through the REAL operator with
+# one combine of each kind — sum, min, max — plus the per-node profile
+# count.  Nodes only partially present across profiles (an order whose
+# lineitems all hashed to one clone) exercise the merge's outer
+# semantics.  Scale shape: one grouping-sets shuffle + one merge
+# shuffle on the callpath hash, both with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+@register("cct_merge_profiles", sql=f"""
+WITH pbase AS (
+  SELECT CAST({LINE_OFF} + o.o_orderkey * 10 + l.l_linenumber AS BIGINT)
+           % 3 AS p,
+         CAST(n.n_regionkey + {REGION_OFF} AS BIGINT) AS k1,
+         CAST(n.n_nationkey + {NATION_OFF} AS BIGINT) AS k2,
+         CAST(c.c_custkey + {CUST_OFF} AS BIGINT) AS k3,
+         CAST(o.o_orderkey + {ORDER_OFF} AS BIGINT) AS k4,
+         CAST({LINE_OFF} + o.o_orderkey * 10 + l.l_linenumber AS BIGINT) AS k5,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+prolled AS (
+  SELECT p, k1, k2, k3, k4, k5,
+         CAST(SUM(v) AS BIGINT) AS value,
+         CAST(GROUPING(k1)*16 + GROUPING(k2)*8 + GROUPING(k3)*4
+            + GROUPING(k4)*2 + GROUPING(k5) AS BIGINT) AS gid
+  FROM pbase GROUP BY p, ROLLUP (k1, k2, k3, k4, k5)
+),
+pcct AS (
+  SELECT p,
+         CASE gid WHEN 0 THEN 5 WHEN 1 THEN 4 WHEN 3 THEN 3
+                  WHEN 7 THEN 2 WHEN 15 THEN 1 ELSE 0 END AS depth,
+         CASE gid WHEN 0 THEN [k1, k2, k3, k4, k5]
+                  WHEN 1 THEN [k1, k2, k3, k4]
+                  WHEN 3 THEN [k1, k2, k3]
+                  WHEN 7 THEN [k1, k2]
+                  WHEN 15 THEN [k1]
+                  ELSE CAST([] AS BIGINT[]) END AS path,
+         CASE gid WHEN 0 THEN 'lineitem' WHEN 1 THEN 'order'
+                  WHEN 3 THEN 'customer' WHEN 7 THEN 'nation'
+                  WHEN 15 THEN 'region' ELSE 'root' END AS type,
+         value
+  FROM prolled
+)
+SELECT {_PATH_STR_SQL} AS path_s,
+       CAST(MIN(depth) AS BIGINT) AS depth,
+       MIN(type) AS type,
+       CAST(SUM(value) AS BIGINT) AS value_sum,
+       CAST(MIN(value) AS BIGINT) AS value_min,
+       CAST(MAX(value) AS BIGINT) AS value_max,
+       CAST(COUNT(*) AS BIGINT) AS n_profiles
+FROM pcct GROUP BY path""",
+          doc="3 hash-split profile clones merged via the real "
+              "merge_profiles operator with sum/min/max combines")
+def cct_merge_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    k5 = (F.lit(LINE_OFF) + F.col("o_orderkey") * 10
+          + F.col("l_linenumber").cast("long"))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            (k5 % 3).alias("p"),
+            (F.col("n_regionkey").cast("long") + REGION_OFF).alias("k1"),
+            (F.col("n_nationkey").cast("long") + NATION_OFF).alias("k2"),
+            (F.col("c_custkey").cast("long") + CUST_OFF).alias("k3"),
+            (F.col("o_orderkey").cast("long") + ORDER_OFF).alias("k4"),
+            k5.alias("k5"),
+            (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+            .alias("v"),
+        )
+    )
+    # every grouping set keeps p: one pass builds all 3 per-profile
+    # trees (gid bit-pattern identical to build_cct_plan's rollup
+    # because p's grouping bit is always 0)
+    keys = ["k1", "k2", "k3", "k4", "k5"]
+    sets = [["p"] + keys[:n] for n in range(5, -1, -1)]
+    rolled = base.groupingSets(sets, "p", *keys).agg(
+        F.sum("v").cast("long").alias("value"),
+        F.grouping_id().alias("gid"))
+    gid = F.col("gid")
+    arr = F.array(*keys)
+    path = (
+        F.when(gid == 0, arr).when(gid == 1, F.slice(arr, 1, 4))
+        .when(gid == 3, F.slice(arr, 1, 3)).when(gid == 7, F.slice(arr, 1, 2))
+        .when(gid == 15, F.slice(arr, 1, 1))
+        .otherwise(F.array().cast("array<long>")))
+    depth = (F.when(gid == 0, 5).when(gid == 1, 4).when(gid == 3, 3)
+             .when(gid == 7, 2).when(gid == 15, 1).otherwise(0).cast("long"))
+    node_type = (F.when(gid == 0, "lineitem").when(gid == 1, "order")
+                 .when(gid == 3, "customer").when(gid == 7, "nation")
+                 .when(gid == 15, "region").otherwise("root"))
+    profiles = rolled.select(
+        path.alias("callpath"), depth.alias("depth"),
+        node_type.alias("type"),
+        F.col("value").alias("value_sum"),
+        F.col("value").alias("value_min"),
+        F.col("value").alias("value_max"))
+    merged = ops.merge_profiles(
+        profiles,
+        {"value_sum": "sum", "value_min": "min", "value_max": "max"},
+        callpath_col="callpath", location_cols=("depth", "type"))
+    return merged.select(
+        _path_str("callpath").alias("path_s"),
+        F.col("depth").cast("long").alias("depth"), "type",
+        F.col("value_sum").cast("long").alias("value_sum"),
+        F.col("value_min").cast("long").alias("value_min"),
+        F.col("value_max").cast("long").alias("value_max"),
+        F.col("n_profiles").cast("long").alias("n_profiles"))
+
+
+# ---------------------------------------------------------------------------
+# V1+: differential flame graph values layer (VERDICT r6 next #6).
+# flame_svg_diff (operators/flame.py:238) renders geometry from profile
+# A colored by the signed relative change of B vs A; its base geometry
+# is oracle-gated via cct_flame_widths but the signed-change layer was
+# test-only.  This entry is that layer's DataFrame twin: A = the full
+# revenue CCT, B = the kept-only profile (l_returnflag <> 'R'), joined
+# on node id under A's depth 1-3 flame geometry.  rel_bp is integer
+# basis points via `div` — both engines truncate integral division
+# toward zero, so negative deltas agree; hue replicates the renderer's
+# red/blue/grey classification (grey = unchanged or missing in B).
+# ---------------------------------------------------------------------------
+@register("cct_flame_diff", sql=f"""WITH RECURSIVE {CCT_CTES},
+shares AS (
+  SELECT c.id, c.parent_id, c.depth,
+         CAST(c.value AS DOUBLE) /
+           CAST(SUM(c.value) OVER (PARTITION BY c.parent_id) AS DOUBLE)
+           AS share,
+         SUM(CAST(c.value AS DOUBLE)) OVER (
+           PARTITION BY c.parent_id ORDER BY c.id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_v,
+         CAST(SUM(c.value) OVER (PARTITION BY c.parent_id) AS DOUBLE)
+           AS sib_total
+  FROM cct c WHERE c.depth >= 1 AND c.depth <= 3
+),
+geom AS (
+  SELECT id, parent_id, depth,
+         share * {2 * 3.141592653589793} AS width,
+         COALESCE(before_v, 0.0) / sib_total * {2 * 3.141592653589793}
+           AS x_offset
+  FROM shares WHERE depth = 1
+  UNION ALL
+  SELECT s.id, s.parent_id, s.depth,
+         s.share * g.width AS width,
+         g.x_offset + COALESCE(s.before_v, 0.0) / s.sib_total * g.width
+           AS x_offset
+  FROM shares s JOIN geom g ON s.parent_id = g.id
+),
+kbase AS (
+  SELECT CAST(n.n_regionkey + {REGION_OFF} AS BIGINT) AS k1,
+         CAST(n.n_nationkey + {NATION_OFF} AS BIGINT) AS k2,
+         CAST(c.c_custkey + {CUST_OFF} AS BIGINT) AS k3,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag <> 'R'
+),
+kept AS (
+  SELECT CASE gid WHEN 0 THEN k3 WHEN 1 THEN k2 WHEN 3 THEN k1 END AS id,
+         b_v
+  FROM (
+    SELECT k1, k2, k3, CAST(SUM(v) AS BIGINT) AS b_v,
+           CAST(GROUPING(k1)*4 + GROUPING(k2)*2 + GROUPING(k3) AS BIGINT)
+             AS gid
+    FROM kbase GROUP BY ROLLUP (k1, k2, k3))
+  WHERE gid IN (0, 1, 3)
+)
+SELECT g.id, g.depth, g.width, g.x_offset,
+       c.value AS a_v, k.b_v,
+       CAST(CASE WHEN k.b_v IS NOT NULL
+                 THEN ((k.b_v - c.value) * 10000) // c.value
+            END AS BIGINT) AS rel_bp,
+       CASE WHEN k.b_v IS NULL OR k.b_v = c.value THEN 'grey'
+            WHEN k.b_v > c.value THEN 'red' ELSE 'blue' END AS hue
+FROM geom g
+JOIN cct c ON c.id = g.id
+LEFT JOIN kept k ON k.id = g.id""",
+          doc="differential flame values layer: A geometry + signed "
+              "B-vs-A change per segment (flame_svg_diff's color input)")
+def cct_flame_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geom = cct_flame_widths(spark, sf_dir)
+    a = (build_cct(spark, sf_dir)
+         .filter((F.col("depth") >= 1) & (F.col("depth") <= 3))
+         .select(F.col("id").alias("a_id"), F.col("value").alias("a_v")))
+
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    kbase = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            (F.col("n_regionkey").cast("long") + REGION_OFF).alias("k1"),
+            (F.col("n_nationkey").cast("long") + NATION_OFF).alias("k2"),
+            (F.col("c_custkey").cast("long") + CUST_OFF).alias("k3"),
+            (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+            .alias("v")))
+    krolled = kbase.rollup("k1", "k2", "k3").agg(
+        F.sum("v").cast("long").alias("b_v"),
+        F.grouping_id().alias("gid"))
+    kgid = F.col("gid")
+    kept = (krolled.filter(kgid.isin(0, 1, 3))
+            .select(F.when(kgid == 0, F.col("k3"))
+                    .when(kgid == 1, F.col("k2"))
+                    .when(kgid == 3, F.col("k1")).cast("long")
+                    .alias("b_id"), "b_v"))
+
+    b_v, a_v = F.col("b_v"), F.col("a_v")
+    return (geom.join(a, geom.id == F.col("a_id"))
+            .join(kept, geom.id == F.col("b_id"), "left")
+            .select(
+                geom.id, "depth", "width", "x_offset", "a_v", "b_v",
+                F.when(b_v.isNotNull(),
+                       F.expr("((b_v - a_v) * 10000) div a_v"))
+                .cast("long").alias("rel_bp"),
+                F.when(b_v.isNull() | (b_v == a_v), "grey")
+                .when(b_v > a_v, "red").otherwise("blue").alias("hue")))

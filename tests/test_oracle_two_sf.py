@@ -76,3 +76,18 @@ def test_curation_suite_oracles(spark, sf_dir):
                                     "/root/testdata/sf0.1"])
 def test_r6_addition_oracles(spark, sf_dir):
     _check(spark, sf_dir, R6_ADDITIONS)
+
+
+R7_ADDITIONS = [
+    # multi-profile merge through the real merge_profiles operator
+    # (the one SURVEY §2 surface that lacked a driver-gated oracle)
+    "cct_merge_profiles",
+    # flame_svg_diff's signed-change layer as a DataFrame twin
+    "cct_flame_diff",
+]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.1"])
+def test_r7_addition_oracles(spark, sf_dir):
+    _check(spark, sf_dir, R7_ADDITIONS)
