@@ -104,6 +104,14 @@ scored AS (
 )
 SELECT query_id, neighbor_id, rk, cos FROM scored WHERE rk <= {TOP_K}""")
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _exact_topk(spark, sf_dir, TOP_K)
+
+
+def _exact_topk(spark: SparkSession, sf_dir: str,
+                k: int = TOP_K) -> DataFrame:
+    """Brute-force exact cosine top-k — the ground truth every ANN
+    variant's recall is measured against (tests/test_vectors.py recall
+    curves)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
         _norm2(F.col("embedding")).alias("n2"))
@@ -121,7 +129,7 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
                      cos.alias("cos"))
         .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", "cos")
     )
 
@@ -177,7 +185,8 @@ SELECT query_id, neighbor_id, rk, cos FROM (
 ) WHERE rk <= {TOP_K}"""
 
 
-def _ivf_probe(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _ivf_probe(emb: DataFrame, cent: DataFrame,
+               n_probe: int = N_PROBE, top_k: int = TOP_K) -> DataFrame:
     """Spark twin of _IVF_TAIL_SQL: assign corpus + queries to cells by
     exact integer L2 against ``cent`` (cell, ce), join per cell, rank by
     cosine.  ``cent`` is always tiny (N_CELLS rows) — broadcast."""
@@ -201,7 +210,7 @@ def _ivf_probe(emb: DataFrame, cent: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(cent))
         .withColumn("__d", l2)
         .withColumn("prk", F.row_number().over(w_assign))
-        .filter(F.col("prk") <= N_PROBE)
+        .filter(F.col("prk") <= n_probe)
         .select(F.col("vec_id").alias("query_id"),
                 F.col("qe").alias("qqe"), F.col("n2").alias("qn2"), "cell")
     )
@@ -219,7 +228,7 @@ def _ivf_probe(emb: DataFrame, cent: DataFrame) -> DataFrame:
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
                     cos.alias("cos"))
         .withColumn("rk", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
         .select("query_id", "neighbor_id", "rk", "cos")
     )
 
@@ -233,13 +242,21 @@ WITH e AS (
 cent AS (SELECT vec_id AS cell, qe FROM e WHERE vec_id < {N_CELLS}),
 {_IVF_TAIL_SQL}""")
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cent = _ivf_flat_index(spark, sf_dir)
+    return _ivf_probe(emb, cent)
+
+
+def _ivf_flat_index(spark: SparkSession, sf_dir: str):
+    """(corpus, first-N_CELLS centroids) pair behind ivf_ann — shared
+    with the recall sweep so parameter variations probe the SAME
+    index."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
         _norm2(F.col("embedding")).alias("n2"))
     emb = emb.localCheckpoint(eager=True)  # feeds centroid + corpus branches
     cent = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
-    return _ivf_probe(emb, cent)
+    return emb, cent
 
 
 # ---------------------------------------------------------------------------
@@ -700,6 +717,12 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus contributes only its codes, and each candidate costs M_SUB
     lookups + adds.  Ranking is (adc distance ASC, neighbor ASC) —
     deterministic, so the oracle hashes exactly."""
+    return _pq_topk(spark, sf_dir)
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str,
+             top_k: int = TOP_K) -> DataFrame:
+    """pq_ann's body with k as a parameter (recall sweep)."""
     from pyspark.sql import Window
 
     emb, cents, assigned = _pq_train(spark, sf_dir)
@@ -736,7 +759,7 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     adc.cast("long").alias("adc_d"))
             .withColumn("rk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rk") <= TOP_K)
+            .filter(F.col("rk") <= top_k)
             .select("query_id", "neighbor_id", "rk", "adc_d"))
 
 
@@ -798,6 +821,14 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     one coarse-assignment row and one code row per vector — no
     full-dimension distance against any non-probed vector anywhere in
     the plan."""
+    return _ivfpq_topk(spark, sf_dir)
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str,
+                n_probe: int = N_PROBE, top_k: int = TOP_K) -> DataFrame:
+    """ivfpq_ann's body with the probe width and k as parameters (the
+    recall sweep varies them; the registered entry uses the
+    defaults)."""
     from pyspark.sql import Window
 
     emb = _quantized_corpus(spark, sf_dir)
@@ -816,7 +847,7 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(coarse_cents))
         .withColumn("__d", l2)
         .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= N_PROBE)
+        .filter(F.col("prk") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), "cell"))
     cand = (
         probes.join(coarse_assigned.select("vec_id", "cell"), "cell")
@@ -846,7 +877,7 @@ def ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     adc.cast("long").alias("adc_d"))
             .withColumn("rk", F.row_number().over(w_rank).cast("long"))
-            .filter(F.col("rk") <= TOP_K)
+            .filter(F.col("rk") <= top_k)
             .select("query_id", "neighbor_id", "rk", "adc_d"))
 
 
@@ -945,3 +976,48 @@ def ivf_probe_store(spark: SparkSession, queries_emb: DataFrame,
     """probe_cells against the PERSISTED cell store — the query path of
     the maintained index (twin-pinned equal to the in-memory probe)."""
     return probe_cells(queries_emb, cents, spark.table(table))
+
+
+# ---------------------------------------------------------------------------
+# Recall/parameter sweep (VERDICT r6 next #4): recall@k of each ANN
+# variant against the brute-force exact twin, as a function of the
+# probe width.  Makes the accuracy-cost trade explicit and guards the
+# codebooks — a silent centroid/codebook regression shows up as a
+# recall drop before any oracle notices.  Driver-side sets are bounded
+# by N_QUERIES x k (<= 50 rows); the distance work stays distributed.
+# ---------------------------------------------------------------------------
+def recall_curve(spark: SparkSession, sf_dir: str, variant: str = "ivf",
+                 probes=(1, 2, 4, 8), k: int = TOP_K) -> list[tuple[int, float]]:
+    """[(n_probe, recall@k), ...] for ``variant`` in {'ivf',
+    'ivf_trained', 'ivfpq'} vs the exact cosine top-k.  Probing all
+    N_CELLS cells makes the flat-IVF candidate set exhaustive, so its
+    recall is 1.0 at n_probe=N_CELLS by construction; ivfpq stays
+    below that ceiling by its quantization error."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in _exact_topk(spark, sf_dir, k).collect()}
+    if variant in ("ivf", "ivf_trained"):
+        if variant == "ivf":
+            emb, cent = _ivf_flat_index(spark, sf_dir)
+        else:
+            emb = _quantized_corpus(spark, sf_dir)
+            cent, _ = _lloyd(emb)
+        ann = lambda p: _ivf_probe(emb, cent, n_probe=p, top_k=k)  # noqa: E731
+    elif variant == "ivfpq":
+        ann = lambda p: _ivfpq_topk(spark, sf_dir, n_probe=p, top_k=k)  # noqa: E731
+    else:
+        raise ValueError(variant)
+    curve = []
+    for p in probes:
+        got = {(r["query_id"], r["neighbor_id"]) for r in ann(p).collect()}
+        curve.append((p, len(got & exact) / len(exact)))
+    return curve
+
+
+def pq_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> float:
+    """recall@k of the full-scan ADC ranking (pq_ann) vs exact — the
+    pure quantization-error measurement, no probe pruning involved."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in _exact_topk(spark, sf_dir, k).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in _pq_topk(spark, sf_dir, k).collect()}
+    return len(got & exact) / len(exact)
