@@ -110,3 +110,45 @@ def test_ivfpq_subset_of_pq_ranking(spark):
         got = full.get((r.query_id, r.neighbor_id))
         if got is not None:  # pq_ann keeps only ITS top-k
             assert got == r.adc_d, r
+
+
+# ---------------------------------------------------------------------------
+# Recall/parameter sweep (VERDICT r6 next #4): pin recall@k curves at
+# sf0.1 so the accuracy-cost trade is explicit and a codebook/centroid
+# regression surfaces as a recall drop.  Everything here is fully
+# deterministic (no RNG anywhere in the pipeline), so the floors have
+# slack only against testdata regeneration, not run-to-run noise.
+# Measured r7 @ sf0.1, k=10: ivf (1,.98)(2,.98)(4,1.0)(8,1.0);
+# ivf_trained (1,.98)(2,.98)(4,.98)(8,1.0); pq full-scan ADC .24 —
+# low because the synthetic near-random embeddings concentrate cosine
+# distances (PQ quantization error dominates); random guessing would
+# be k/N = 0.005, so .1 still guards a broken codebook by 20x.
+# ---------------------------------------------------------------------------
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_ivf_recall_curve(spark):
+    curve = V.recall_curve(spark, SF01, "ivf", probes=(1, 2, 4, 8), k=10)
+    recalls = [r for _, r in curve]
+    assert recalls == sorted(recalls), curve  # candidate set only grows
+    assert recalls[0] >= 0.9, curve
+    # probing every cell makes flat IVF exhaustive -> exact by construction
+    assert recalls[-1] == 1.0, curve
+
+
+def test_ivf_trained_recall_curve(spark):
+    curve = V.recall_curve(spark, SF01, "ivf_trained",
+                           probes=(1, 8), k=10)
+    assert curve[0][1] >= 0.9, curve
+    assert curve[-1][1] == 1.0, curve
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """Probing all N_CELLS coarse cells must make IVFPQ's candidate set
+    the full corpus, i.e. exactly pq_ann's ADC ranking — the probe
+    layer is lossless; only ADC quantization costs recall."""
+    ivfpq_full = V.recall_curve(spark, SF01, "ivfpq",
+                                probes=(V.N_CELLS,), k=10)[0][1]
+    pq = V.pq_recall(spark, SF01, k=10)
+    assert ivfpq_full == pq, (ivfpq_full, pq)
+    assert pq >= 0.1, pq  # 20x the random-guess baseline of k/N=0.005
