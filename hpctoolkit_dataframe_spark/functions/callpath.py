@@ -38,12 +38,22 @@ def path_key(callpath: Column | str = "callpath") -> Column:
 
 def has_prefix(prefix: Sequence[int], callpath: Column | str = "callpath") -> Column:
     """callpath[:len(prefix)] == prefix — reference _callpath_filter
-    (hpctoolkit_dataframe.py:88-89). Empty prefix passes everything."""
+    (hpctoolkit_dataframe.py:88-89). Empty prefix passes everything.
+
+    For the common string-column case the predicate is built as ONE
+    ``F.expr`` (a single Py4J round trip, parsed JVM-side) instead of
+    2+2L driver-side Column constructions: hot_path calls this every
+    descent iteration with a growing prefix, and the O(depth^2) Py4J
+    chatter was ~0.4 s of the xml_load_hot_path floor (r7 profile)."""
     if not prefix:
         return F.lit(True)
-    c = F.col(callpath) if isinstance(callpath, str) else callpath
+    n = len(prefix)
+    if isinstance(callpath, str):
+        arr = "array(" + ",".join(f"{int(p)}L" for p in prefix) + ")"
+        return F.expr(f"size(`{callpath}`) >= {n} "
+                      f"AND slice(`{callpath}`, 1, {n}) = {arr}")
     lits = F.array(*[F.lit(int(p)).cast("bigint") for p in prefix])
-    return (F.size(c) >= len(prefix)) & (F.slice(c, 1, len(prefix)) == lits)
+    return (F.size(callpath) >= n) & (F.slice(callpath, 1, n) == lits)
 
 
 def has_suffix(suffix: Sequence[int], callpath: Column | str = "callpath") -> Column:
@@ -51,9 +61,13 @@ def has_suffix(suffix: Sequence[int], callpath: Column | str = "callpath") -> Co
     (hpctoolkit_dataframe.py:90-91). Empty suffix passes everything."""
     if not suffix:
         return F.lit(True)
-    c = F.col(callpath) if isinstance(callpath, str) else callpath
+    n = len(suffix)
+    if isinstance(callpath, str):
+        arr = "array(" + ",".join(f"{int(s)}L" for s in suffix) + ")"
+        return F.expr(f"size(`{callpath}`) >= {n} "
+                      f"AND slice(`{callpath}`, -{n}, {n}) = {arr}")
     lits = F.array(*[F.lit(int(s)).cast("bigint") for s in suffix])
-    return (F.size(c) >= len(suffix)) & (F.slice(c, -len(suffix), len(suffix)) == lits)
+    return (F.size(callpath) >= n) & (F.slice(callpath, -n, n) == lits)
 
 
 def contains_fragment(fragment: Sequence[int],

@@ -118,54 +118,41 @@ from . import curation  # noqa: E402,F401  (after dedup/vectors: reuses their SQ
 
 # ---------------------------------------------------------------------------
 # Driver-gate window ordering (VERDICT r4 #1/#3).  The external
-# correctness gate hashes the FIRST 50 registry entries only, so the
-# window is rotated each round until every query has earned a driver
-# row (rotation log: COVERAGE.md §"Driver-gate rotation").  Round 6
-# fronts (a) the two r5-red queries, now fixed (fast-path NaN->NULL
-# fidelity) with the xml-ingest canary, (b) every remaining hash-
-# capable entry never driver-gated in r1-r5 — the TPC-H gap six-pack,
-# product analytics, span extensions, the graph pair, the curation
-# suite, the BPE pair (now golden-oracled via the independent Python
-# twin) and the three new exact sketch twins — and (c) 13 keepers
-# spanning each family.  The approx sketch trio (rows-only by design,
-# r5-attested) yields its slots to the hash-gated exact twins.
+# correctness gate hashes the FIRST 50 registry entries only; after r6
+# every hash-capable entry has a green driver row, so from r7 on the
+# window follows the steady-state keeper-rotation policy (VERDICT r6
+# next #3): 8 permanent canaries spanning each family, every
+# round-new entry, and the remaining slots re-attesting the entries
+# whose LATEST green row is oldest (r7 rotates the r4-attested
+# CCT/TPC-H/events block back in; the 7 that don't fit head the r8
+# queue — rotation log: COVERAGE.md §"Driver-gate rotation").
 # ---------------------------------------------------------------------------
 _GATE_ORDER = [
-    # XML ingest path: the r5-red pair (NaN fix) + end-to-end canary
+    # permanent canaries: xml ingest end-to-end trio + one keeper per
+    # family (CCT descent, TPC-H agg, sessionization, span store,
+    # simhash kernel)
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
-    # TPC-H gap six-pack (never gated)
-    "q2_min_cost_supplier", "q11_important_parts", "q12_delay_priority",
-    "q16_supplier_counts", "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    # product analytics (never gated)
-    "funnel_view_click_purchase", "cohort_retention",
-    "event_sequence_matches", "ab_test_purchase_value",
-    "stickiness_dau_wau",
-    # span extensions + graph pair + sampling/mixture (never gated)
-    "duplicate_word_coverage", "corpus_without_dup_spans",
-    "pagerank_dup_graph", "triangle_count_dup_graph",
-    "mixture_plan", "priority_weighted_sample", "cms_heavy_hitters",
-    # curation-policy suite (never gated)
-    "bm25_topk", "hybrid_search_rrf", "semdedup_prune",
-    "dedup_keep_best", "dq_report", "scd2_customer_history",
-    "er_part_pairs", "pmi_top_pairs", "bigram_lm_score",
-    "copurchase_lift",
-    # BPE pair — golden-oracled this round (independent Python twin)
-    "bpe_train_merges", "bpe_encode_stats",
-    # exact twins of the approx sketches (new this round)
-    "exact_daily_uniques", "exact_value_percentiles",
-    "exact_weekly_uniques",
-    # last never-gated CCT projection op
-    "cct_fragment_filter",
-    # round-6-new curation components (never gated)
-    "gopher_quality_flags", "dsir_importance_weights", "canonical_dedup",
-    "curation_funnel_report", "leakage_safe_split",
-    "temperature_mixture_plan",
-    # keepers: one proven representative per family
-    "simhash64",
-    "duplicate_spans", "pii_redact_stats",
-    "incremental_dedup_resume", "q1_pricing_summary",
-    "events_sessions", "cct_hot_path",
+    "cct_hot_path", "q1_pricing_summary", "events_sessions",
+    "duplicate_spans", "simhash64",
+    # r7-new entries (two-SF verified in tests/test_oracle_two_sf.py)
+    "cct_merge_profiles", "cct_flame_diff",
+    # oldest re-attestations: latest green row is CORRECTNESS_r04
+    "cct_at_depth_3", "cct_depth_range_2_3", "cct_diff_returnflag",
+    "cct_flame_widths", "cct_hot_path_batch", "cct_hot_regions",
+    "cct_hottest_child_per_parent", "cct_nodes", "cct_prefix_subtree",
+    "cct_ratio_of_parent", "cct_ratio_of_parent_walkup",
+    "cct_ratio_of_total", "cube_returnflag_status",
+    "customer_spend_deciles", "events_asof_attribution",
+    "events_hourly", "events_json_props", "events_sliding",
+    "events_trailing_10min", "lineitem_grouping_sets",
+    "media_fake_features", "media_frame_sample", "price_quantiles",
+    "q10_returned_items", "q13_order_count_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q22_idle_customers", "q3_top_orders",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "set_ops_customers", "top_customer_per_nation",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)
