@@ -146,6 +146,7 @@ def with_ratio_of_parent(
     persist_input: bool = True,
     carry_cols: Sequence[str] | None = None,
     collect_threshold: int = 0,
+    monotone: bool = False,
 ) -> DataFrame:
     """value / nearest-ancestor-value, with the reference's walk-up rule.
 
@@ -227,6 +228,41 @@ def with_ratio_of_parent(
             ratios = df.sparkSession.createDataFrame(
                 out_rows, T.StructType(fields))
             return df.join(F.broadcast(ratios), on=[*pc, "id"], how="left")
+
+    if walk_up and monotone:
+        # caller-asserted: base_column is monotone NON-DECREASING up
+        # the tree (e.g. a rollup SUM of non-negative leaves), so every
+        # immediate parent satisfies the reference's `base >= value`
+        # stop rule and the walk provably terminates after ONE step.
+        # The ancestor explode (|df| x depth rows) collapses to a plain
+        # parent self-join of |df| rows — at 10x scale this was the
+        # difference between 26 s and ~4 s for cct_ratio_of_parent,
+        # whose oracle remains the FULL walk-up SQL, so the claimed
+        # equivalence is hash-checked at two scale factors.  Root joins
+        # its own empty path -> ratio 1.0, exactly the walk-up result.
+        out_cols = ([*pc, "id", *carry_cols] if carry_cols is not None
+                    else list(df.columns))
+        child = df.select(
+            *out_cols,
+            F.col(base_column).cast("double").alias("__cv"),
+            cp.parent_path(callpath_col).alias("__ppath"),
+        ).withColumn("__pkey", cp.path_key("__ppath"))
+        nodes = df.select(
+            *[F.col(c).alias(f"__n_{c}") for c in pc],
+            F.col(callpath_col).alias("__path"),
+            F.col(base_column).cast("double").alias("__value"),
+        ).withColumn("__path_key", cp.path_key("__path"))
+        joined = child.join(
+            nodes.hint("shuffle_hash"),
+            on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
+            + [F.col("__pkey") == F.col("__path_key"),
+               F.col("__ppath") == F.col("__path")],
+            how="left",
+        )
+        return joined.select(
+            *[child[c] for c in out_cols],
+            F.try_divide(F.col("__cv"), F.col("__value"))
+            .alias(column_name))
 
     if persist_input:
         # the input feeds three plan branches (node table, ancestor

@@ -223,9 +223,15 @@ SELECT c.id, c.depth, c.value, COALESCE(b.ratio, 1.0) AS ratio
 FROM cct c LEFT JOIN best b ON b.id = c.id""",
           doc="ratio-of-parent with ancestor walk-up (reference A3, :360-384)")
 def cct_ratio_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value is the rollup SUM of positive leaf revenues -> monotone up
+    # the tree, so the walk-up stops at the immediate parent; the
+    # monotone hint collapses the ancestor explode to one parent join
+    # while the oracle stays the FULL walk-up SQL (the equivalence is
+    # what the hash check proves)
     df = ops.with_ratio_of_parent(build_cct(spark, sf_dir), "value", "ratio",
                                   carry_cols=("depth", "value"),
-                                  persist_input=False)  # build is memoized
+                                  persist_input=False,  # build is memoized
+                                  monotone=True)
     return df.select("id", "depth", "value", "ratio")
 
 

@@ -138,3 +138,20 @@ def test_fragment_contiguity_semantics(spark):
     assert sorted(r.id for r in multi.collect()) == [1, 5]
     with pytest.raises(NotImplementedError):
         ops.at_paths(df, (3, 17))
+
+
+def test_monotone_hint_equals_walkup_explode(spark):
+    """The monotone fast path (one parent join) must return exactly the
+    explode/walk-up result when the metric really is monotone — the
+    claim cct_ratio_of_parent's oracle hash also proves at two SFs."""
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+
+    df = build_cct(spark, "/root/testdata/sf0.001")
+    fast = cct.with_ratio_of_parent(
+        df, "value", "r", carry_cols=("depth",), persist_input=False,
+        monotone=True)
+    slow = cct.with_ratio_of_parent(
+        df, "value", "r", carry_cols=("depth",), persist_input=False)
+    a = {r["id"]: (r["depth"], r["r"]) for r in fast.collect()}
+    b = {r["id"]: (r["depth"], r["r"]) for r in slow.collect()}
+    assert a == b
