@@ -435,6 +435,45 @@ def main() -> None:
               f"{sum(r['n_kept'] for r in out):,} kept across 10 "
               f"sources in {time.time()-t0:.1f}s")
 
+    # 16) multi-profile merge at fleet width: 200 profile clones of a
+    #     50k-node depth-3 tree = 10M input rows collapsing through ONE
+    #     callpath-hash shuffle with map-side partial aggregation;
+    #     every callpath appears in all 200 profiles, so the per-group
+    #     width equals the profile count — the merge must stay
+    #     row-bounded, never profile-quadratic
+    if scale >= 1:
+        from hpctoolkit_dataframe_spark.operators.cct import \
+            merge_profiles
+
+        n_nodes, n_prof = 50_000 * scale, 200
+        nodes = (spark.range(n_nodes).repartition(par)
+                 .select(F.col("id"),
+                         F.array((F.col("id") % 50).cast("long"),
+                                 (F.col("id") % 2_500).cast("long"),
+                                 F.col("id").cast("long"))
+                         .alias("callpath")))
+        profs = nodes.select(
+            "callpath",
+            F.explode(F.sequence(F.lit(1), F.lit(n_prof))).alias("p")
+        ).select(
+            "callpath",
+            (F.col("p") * (F.xxhash64("callpath") % 1000)).cast("long")
+            .alias("v_sum"),
+            (F.col("p")).cast("long").alias("v_min"),
+            (F.col("p")).cast("long").alias("v_max"))
+        t0 = time.time()
+        merged = merge_profiles(
+            profs, {"v_sum": "sum", "v_min": "min", "v_max": "max"})
+        rows = mat(merged)
+        assert rows == n_nodes, rows
+        bad = merged.filter((F.col("n_profiles") != n_prof)
+                            | (F.col("v_min") != 1)
+                            | (F.col("v_max") != n_prof)).count()
+        assert bad == 0, bad
+        print(f"merge_profiles {n_nodes * n_prof:,} rows across "
+              f"{n_prof} profiles -> {rows:,} nodes in "
+              f"{time.time()-t0:.1f}s")
+
 
 if __name__ == "__main__":
     main()
