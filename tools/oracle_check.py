@@ -80,8 +80,13 @@ def main():
         spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a single parquet FILE (the driver's testdata)
+        # or a multi-file DIRECTORY (tools/make_scale_data.py output —
+        # the splittable production shape); DuckDB needs the glob form
+        # for directories
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
