@@ -92,6 +92,22 @@ def test_kill_resume_equals_uninterrupted(spark, tmp_path):
     assert cur.count() == cur.select("doc_id").distinct().count()
     assert cur.count() == cur.select(F.md5("text")).distinct().count()
 
+    # stream == batch twin on the kept set: chunks are doc_id ranges in
+    # ascending order, so the stream's keep-first rule (prior store,
+    # then min doc_id within batch) equals the global min-doc_id
+    # canonical; kept iff that canonical doc clears the word floor
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    batch_kept = (docs
+                  .withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") == 1)
+                  .filter(F.size(F.split("text", r"\s+")) >= sc.MIN_WORDS)
+                  .select("doc_id"))
+    stream_ids = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    batch_ids = {r["doc_id"] for r in batch_kept.collect()}
+    assert stream_ids == batch_ids
+
 
 def test_new_files_resume_without_replay(spark, tmp_path):
     """Adding a file to a drained stream and re-invoking with the same

@@ -59,8 +59,15 @@ SELECTION = {
         " window and the running-sum window (same partitioning reused,"
         " no second shuffle)."),
     "cct_ratio_of_parent": (
-        "Ancestor walk-up: explode to ancestor prefixes, ONE"
-        " shuffle-hash join against the slim node table (sort-merge"
+        "Monotone walk-up short-circuit (r7): the rollup-sum metric"
+        " provably stops the walk at the immediate parent, so the plan"
+        " is ONE slim parent self-join (shuffle-hash) — no explode, no"
+        " aggregate.  The general non-monotone path (explode to"
+        " ancestor prefixes, shuffle-hash join, max-struct deepest"
+        " stopper) is cct_ratio_of_parent_walkup's plan."),
+    "cct_ratio_of_parent_walkup": (
+        "Ancestor walk-up, general path: explode to ancestor prefixes,"
+        " ONE shuffle-hash join against the slim node table (sort-merge"
         " would pay an O(n log n) sort of the exploded side), max-struct"
         " aggregate picks the deepest qualifying ancestor."),
 }
