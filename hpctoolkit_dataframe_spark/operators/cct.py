@@ -29,6 +29,18 @@ from ..functions import callpath as cp
 
 ROOT_ID = -1  # reference _ROOT_INDEX, hpctoolkit_dataframe.py:48
 
+# Build-side row cap for FORCING a shuffled-hash join in the parent/
+# ancestor self-joins.  SHJ was measured faster than sort-merge at
+# bench scale (the exploded probe side pays an O(n log n) sort under
+# SMJ), but its build-side hash map CANNOT spill: the r7 30x scale run
+# OOM'd ("not enough memory to build hash map") with an 18.6M-row
+# build side, while 6.2M (10x) was fine.  Above the cap the hint is
+# dropped and Catalyst/AQE pick the strategy (sort-merge — degrades
+# gracefully via spill).  Checked against a count of the ALREADY
+# MATERIALIZED input (memoized build or the eager localCheckpoint this
+# function itself takes), so the probe costs one cheap cached-scan job.
+SHJ_BUILD_ROW_CAP = 8_000_000
+
 
 # ---------------------------------------------------------------------------
 # filters (reference at_paths/at_depths/at_depth, :391-401)
@@ -134,6 +146,17 @@ def with_ratio_of_total(
         F.try_divide(F.col(base_column).cast("double"),
                      F.col("__root_value").cast("double")),
     ).drop("__root_value")
+
+
+def _maybe_shuffle_hash(nodes: DataFrame, df: DataFrame) -> DataFrame:
+    """Apply the shuffle-hash hint only while the build side provably
+    fits task memory (SHJ_BUILD_ROW_CAP); beyond it, no hint — Catalyst
+    picks sort-merge, which spills instead of OOMing."""
+    try:
+        n = df.count()
+    except Exception:
+        return nodes  # un-countable input: be safe, no forced SHJ
+    return nodes.hint("shuffle_hash") if n <= SHJ_BUILD_ROW_CAP else nodes
 
 
 def with_ratio_of_parent(
@@ -253,7 +276,7 @@ def with_ratio_of_parent(
             F.col(base_column).cast("double").alias("__value"),
         ).withColumn("__path_key", cp.path_key("__path"))
         joined = child.join(
-            nodes.hint("shuffle_hash"),
+            _maybe_shuffle_hash(nodes, df),
             on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
             + [F.col("__pkey") == F.col("__path_key"),
                F.col("__ppath") == F.col("__path")],
@@ -328,9 +351,9 @@ def with_ratio_of_parent(
     joined = exploded.join(
         # shuffle-hash, not sort-merge: the exploded side is |df| x depth
         # rows and sorting it dominates the join cost; the node side
-        # (the build side) is |df| slim rows — hashing it is cheap and
-        # per-partition it must fit in memory anyway for the descent
-        nodes.hint("shuffle_hash"),
+        # (the build side) is |df| slim rows — hashing it is cheap WHEN
+        # it fits (SHJ_BUILD_ROW_CAP guards the 30x OOM)
+        _maybe_shuffle_hash(nodes, df),
         on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
         + [F.col("__anc_key") == F.col("__path_key"),
            F.col("__anc_path") == F.col("__path")],

@@ -17,7 +17,8 @@ FLAGGED for reading, not failed — a broadcast->shuffle flip at 10x can
 be exactly what AQE should do, but it must be a documented fact, not a
 surprise (PERF.md logs the adjudication).
 
-Usage: python tools/scale_bench.py [scale_dir] [clones] [query ...]
+Usage: python tools/scale_bench.py [--out=FILE] [scale_dir] [clones]
+                                   [query ...]
 """
 
 from __future__ import annotations
@@ -92,6 +93,11 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
 
 def main() -> None:
     argv = sys.argv[1:]
+    out_name = "SCALE_r07.json"
+    for a in list(argv):
+        if a.startswith("--out="):
+            out_name = a[len("--out="):]
+            argv.remove(a)
     scale_dir = argv[0] if argv else "/tmp/scale_sf1"
     clones = int(argv[1]) if len(argv) > 1 else 10
     names = argv[2:] or FLAGSHIPS
@@ -168,12 +174,9 @@ def main() -> None:
     }
     if errors:
         summary["errors"] = errors
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))) if "tools" in os.path.abspath(__file__)
-        else ".", "SCALE_r07.json")
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALE_r07.json")
+        out_name)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in summary.items() if k != "queries"}))
