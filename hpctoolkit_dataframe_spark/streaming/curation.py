@@ -209,3 +209,68 @@ def curation_stream_report(spark: SparkSession, base: str) -> dict:
             entry["n_docs"] = df.count()
         out[store] = entry
     return out
+
+
+def compact_curation_stores(spark: SparkSession, base: str,
+                            stores=("fingerprints", "grams", "cms",
+                                    "dsir")) -> dict[str, tuple[int, int]]:
+    """Small-files maintenance for the batch-partitioned stores: fold
+    every committed batch partition into one consolidated
+    ``batch_id=-1`` partition per store (CMS/DSIR merge by cell-wise
+    SUM; fingerprint/gram stores by DISTINCT).
+
+    Safe under the exactly-once design: Structured Streaming's commit
+    log guarantees an already-committed batch_id never replays, so
+    folding committed partitions cannot race a replay, and -1 sorts
+    below every real batch id, so ``batch_id < current`` snapshot
+    reads keep including the consolidated history.  Run it between
+    drains (not concurrently with one).  Returns {store: (files_before,
+    files_after)}."""
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def count_files(root) -> int:
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return 0
+        it, n = fs.listFiles(p, True), 0
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if not (f.startswith("_") or f.startswith(".")):
+                n += 1
+        return n
+
+    out: dict[str, tuple[int, int]] = {}
+    for store in stores:
+        root = _path(base, store)
+        df = _read_store(spark, base, store)
+        if df is None:
+            out[store] = (0, 0)
+            continue
+        before = count_files(root)
+        batches = [r["batch_id"] for r in
+                   df.select("batch_id").distinct().collect()]
+        if store == "cms":
+            merged = df.groupBy("i", "b").agg(
+                F.sum("c").cast("long").alias("c"))
+        elif store == "dsir":
+            merged = df.groupBy("b").agg(
+                F.sum("rc").cast("long").alias("rc"),
+                F.sum("tc").cast("long").alias("tc"))
+        else:  # fingerprints / grams: sets of hashes
+            merged = df.drop("batch_id").distinct()
+        merged = merged.coalesce(1).localCheckpoint(eager=True)
+        # write the consolidated partition FIRST, then drop the folded
+        # ones — a reader in between sees duplicated rows, which every
+        # merged-read (SUM / DISTINCT) absorbs; it never sees a gap
+        _write_partition(merged, base, store, -1)
+        fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+        for b in batches:
+            if b != -1:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(
+                    f"{root}/batch_id={b}"), True)
+        out[store] = (before, count_files(root))
+    return out

@@ -148,3 +148,57 @@ def test_new_files_resume_without_replay(spark, tmp_path):
            .filter(F.col("batch_id") == 0)
            .agg(F.min("doc_id"), F.max("doc_id")).collect()[0])
     assert b0 > 0 and pre[1] < 250
+
+
+def test_compaction_preserves_stores_and_dedup(spark, tmp_path):
+    """compact_curation_stores folds committed batch partitions into a
+    consolidated batch_id=-1 partition: merged metrics must be
+    unchanged, file counts must drop, and — the load-bearing part — a
+    LATER batch's as-of-start reads must still see the consolidated
+    history (-1 < any real batch id), so re-sent content is still
+    flagged as a store duplicate."""
+    base = str(tmp_path / "stores")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    stream_dir = tmp_path / "src"
+    stream_dir.mkdir()
+
+    def stage(df, fname):
+        tmp = tmp_path / f"tmp_{fname}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        next(tmp.glob("*.parquet")).rename(stream_dir / fname)
+
+    def drain(qn):
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(stream_dir)))
+        sc.run_curation_stream(stream, base, ckpt, query_name=qn)
+
+    stage(docs.filter(F.col("doc_id") < 250), "b0.parquet")
+    drain("cmp0")
+    before = sc.curation_stream_report(spark, base)
+
+    files = sc.compact_curation_stores(spark, base)
+    for store, (b, a) in files.items():
+        assert a <= b, (store, files)
+    after = sc.curation_stream_report(spark, base)
+    for store in ("fingerprints", "grams", "cms", "dsir"):
+        b = {k: v for k, v in before[store].items() if k != "batches"}
+        a = {k: v for k, v in after[store].items() if k != "batches"}
+        assert a == b, (store, b, a)
+        assert after[store]["batches"] == [-1], store
+
+    # a later batch re-sending batch-0 content under NEW ids must be
+    # fully deduped against the compacted store
+    resend = docs.filter(F.col("doc_id") < 250).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        "text", "lang", "source")
+    stage(resend, "b1.parquet")
+    drain("cmp1")
+    cur1 = (spark.read.parquet(f"{base}/curated")
+            .filter(F.col("batch_id") == 1))
+    assert cur1.count() == 0  # every text already known to the store
+    final = sc.curation_stream_report(spark, base)
+    assert final["fingerprints"]["distinct_th"] == \
+        before["fingerprints"]["distinct_th"]
