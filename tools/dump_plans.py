@@ -68,8 +68,17 @@ SELECTION = {
     "cct_ratio_of_parent_walkup": (
         "Ancestor walk-up, general path: explode to ancestor prefixes,"
         " ONE shuffle-hash join against the slim node table (sort-merge"
-        " would pay an O(n log n) sort of the exploded side), max-struct"
-        " aggregate picks the deepest qualifying ancestor."),
+        " would pay an O(n log n) sort of the exploded side; beyond"
+        " SHJ_BUILD_ROW_CAP the hint drops and SMJ spills instead of"
+        " OOMing), max-struct aggregate picks the deepest qualifying"
+        " ancestor."),
+    "cct_merge_profiles": (
+        "Multi-profile merge: ONE grouping-sets pass builds all 3"
+        " per-profile trees (no per-profile rescan; p rides every"
+        " grouping set), then merge_profiles collapses them in one"
+        " callpath-hash shuffle with map-side partial aggregation —"
+        " sum/min/max combines and the per-node profile count in the"
+        " same aggregate."),
 }
 
 
