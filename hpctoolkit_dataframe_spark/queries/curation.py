@@ -1255,3 +1255,75 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["curation_funnel_report"].sql = _funnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: the embedding-space complement of the
+# n-gram `decontaminate` entry.  Benchmark/eval items arrive as a
+# labeled embedding set (testdata convention: label 9 plays the
+# held-out benchmark); every training vector is scored against its
+# NEAREST benchmark vector by exact quantized-integer cosine, and
+# anything above the near-dup threshold is flagged as semantic
+# leakage.  100 TB shape: the benchmark side is small BY DEFINITION
+# (eval suites are thousands of items), so it broadcasts and the
+# training corpus streams through in one scan — the only exchange is
+# the per-vector rank window; for corpus-side blow-ups the IVF/PQ
+# probes bound the candidate set the same way knn's ANN variants do.
+# Determinism: cosine is one double division of exact BIGINTs
+# (bit-identical both engines), ranking ties break on benchmark id,
+# and the threshold compare uses the identical literal on both sides
+# (the lsh_near_dup_pairs pattern).
+# ---------------------------------------------------------------------------
+SEM_LEAK_COSINE = 0.35  # == vectors.NEAR_DUP_COSINE
+
+
+@register("semantic_decontaminate", sql=f"""
+WITH e AS (
+  SELECT vec_id, label, {_QINT_SQL.format(col='embedding')} AS qe,
+         CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
+  FROM embeddings
+),
+b AS (SELECT vec_id AS b_id, qe AS b_qe, n2 AS b_n2 FROM e WHERE label = 9),
+t AS (SELECT vec_id, qe, n2 FROM e WHERE label <> 9),
+scored AS (
+  SELECT t.vec_id, b.b_id,
+         CAST(list_sum(list_transform(range(1, {DIM} + 1),
+              i -> t.qe[i] * b.b_qe[i])) AS BIGINT) AS dot,
+         t.n2, b.b_n2
+  FROM t CROSS JOIN b
+),
+ranked AS (
+  SELECT vec_id, b_id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE))) AS cos,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(b_n2 AS DOUBLE))) DESC,
+           b_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id AS doc_id, b_id AS nearest_bench, cos AS max_cos,
+       CAST(cos >= {SEM_LEAK_COSINE} AS INTEGER) AS is_leaked
+FROM ranked WHERE rk = 1""")
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _qint(F.col("embedding")).alias("qe"),
+        _norm2(F.col("embedding")).alias("n2"))
+    bench = emb.filter(F.col("label") == 9).select(
+        F.col("vec_id").alias("b_id"), F.col("qe").alias("b_qe"),
+        F.col("n2").alias("b_n2"))
+    train = emb.filter(F.col("label") != 9).select("vec_id", "qe", "n2")
+    cos = (_dot(F.col("qe"), F.col("b_qe")).cast("double")
+           / (F.sqrt(F.col("n2").cast("double"))
+              * F.sqrt(F.col("b_n2").cast("double"))))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("b_id").asc())
+    return (train.crossJoin(F.broadcast(bench))
+            .select("vec_id", "b_id", cos.alias("cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.col("b_id").alias("nearest_bench"),
+                    F.col("cos").alias("max_cos"),
+                    (F.col("cos") >= SEM_LEAK_COSINE).cast("int")
+                    .alias("is_leaked")))

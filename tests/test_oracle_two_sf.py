@@ -84,6 +84,8 @@ R7_ADDITIONS = [
     "cct_merge_profiles",
     # flame_svg_diff's signed-change layer as a DataFrame twin
     "cct_flame_diff",
+    # embedding-space leakage vs the labeled benchmark set
+    "semantic_decontaminate",
 ]
 
 

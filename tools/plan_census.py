@@ -58,6 +58,8 @@ SCALAR_BNLJ_OK = {
     "dsir_importance_weights",  # 1-row (r_tot, t_tot) corpus-scalar frame
     "curation_funnel_report",   # composes the dsir stage (same scalar)
     "temperature_mixture_plan",  # 1-row (sum_u, tok_total) scalar frame
+    "semantic_decontaminate",  # benchmark embedding set: small by
+                               # definition (eval suites), broadcast
 }
 
 
