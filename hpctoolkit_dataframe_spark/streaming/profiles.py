@@ -26,7 +26,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .curation import _read_store, _write_partition
+from .curation import _path, _read_store, _write_partition
 
 # binaryFile's fixed schema — streaming sources require it explicitly
 PROFILE_SCHEMA = T.StructType([
@@ -97,3 +97,33 @@ def merged_profile_cct(spark: SparkSession, base: str,
             for m, k in metric_combines.items()]
     aggs.append(F.sum("n_profiles").cast("long").alias("n_profiles"))
     return df.groupBy("callpath").agg(*aggs)
+
+
+def compact_profile_store(spark: SparkSession, base: str,
+                          metric_combines: dict[str, str]) -> int:
+    """Fold every committed partial into one consolidated batch_id=-1
+    partition (the curation stores' compaction discipline): because the
+    combines are associative, the fold IS the merge, so
+    merged_profile_cct before and after are identical.  Safe between
+    drains — committed batch ids never replay, and -1 sorts below every
+    real id.  Returns the number of partitions folded."""
+    df = _read_store(spark, base, STORE)
+    if df is None:
+        return 0
+    batches = [r["batch_id"] for r in
+               df.select("batch_id").distinct().collect()]
+    kinds = {"sum": F.sum, "min": F.min, "max": F.max}
+    aggs = [kinds[k](F.col(f"`{m}`")).alias(m)
+            for m, k in metric_combines.items()]
+    aggs.append(F.sum("n_profiles").cast("long").alias("n_profiles"))
+    merged = (df.groupBy("callpath").agg(*aggs)
+              .coalesce(1).localCheckpoint(eager=True))
+    _write_partition(merged, base, STORE, -1)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(_path(base, STORE)) \
+        .getFileSystem(spark._jsc.hadoopConfiguration())
+    for b in batches:
+        if b != -1:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{_path(base, STORE)}/batch_id={b}"), True)
+    return len([b for b in batches if b != -1])

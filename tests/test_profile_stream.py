@@ -69,3 +69,32 @@ def test_stream_merge_equals_batch_and_resumes(spark, tmp_path):
         for r in spark.read.parquet(f"{base}/cct")
         .select("batch_id").distinct().collect())
     assert len(batches) == 3
+
+
+def test_profile_store_compaction(spark, tmp_path):
+    """Folding the partials is the merge: merged_profile_cct is
+    identical before and after compaction, and a profile landing AFTER
+    compaction still merges in on top of the consolidated partition."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = str(tmp_path / "stores")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(EXP1, landing / "a.xml")
+    shutil.copy(EXP1, landing / "b.xml")
+    stream = sp.read_profile_stream(spark, str(landing),
+                                    max_files_per_trigger=1)
+    sp.run_profile_merge_stream(stream, base, ckpt, COMBINES,
+                                query_name="pc0")
+    before = _key_rows(sp.merged_profile_cct(spark, base, COMBINES))
+
+    assert sp.compact_profile_store(spark, base, COMBINES) == 2
+    after = _key_rows(sp.merged_profile_cct(spark, base, COMBINES))
+    assert after == before
+
+    shutil.copy(EXP1, landing / "c.xml")
+    stream2 = sp.read_profile_stream(spark, str(landing),
+                                     max_files_per_trigger=1)
+    sp.run_profile_merge_stream(stream2, base, ckpt, COMBINES,
+                                query_name="pc1")
+    final = _key_rows(sp.merged_profile_cct(spark, base, COMBINES))
+    assert final[()][3] == 3
