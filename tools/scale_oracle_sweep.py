@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Full-registry CORRECTNESS attestation at a scale step.
+
+`tools/scale_bench.py` proves the flagships keep sane plans and
+~linear timings at the 10x clone; the r7 addendum proved 14 flagships
+hash-exact there.  This tool closes the remaining gap: it runs EVERY
+registry entry's oracle comparison (tools/oracle_check.py semantics)
+against a scale-clone directory, chunked into separate subprocesses so
+one pathological entry cannot wedge the whole sweep, with a per-chunk
+timeout.
+
+Why subprocess chunks instead of one session: a sweep at 10x holds
+large shuffle files and store writes; isolating chunks bounds any
+native-memory accretion and lets a timeout kill exactly one chunk.
+
+Output: a JSON summary (default SCALE_ORACLE_r07.json) with per-entry
+status parsed from the oracle_check output lines:
+  ok / skip (rows-only, no oracle by nature) / fail / timeout.
+
+Usage: python tools/scale_oracle_sweep.py [--out=FILE]
+         [--chunk=N] [--timeout=SEC] [scale_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv):
+    out_file = os.path.join(REPO, "SCALE_ORACLE_r07.json")
+    chunk_size, timeout = 12, 2400
+    rest = []
+    for a in argv:
+        if a.startswith("--out="):
+            out_file = a.split("=", 1)[1]
+        elif a.startswith("--chunk="):
+            chunk_size = int(a.split("=", 1)[1])
+        elif a.startswith("--timeout="):
+            timeout = int(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    scale_dir = rest[0] if rest else "/tmp/scale_sf1"
+
+    from hpctoolkit_dataframe_spark.queries import REGISTRY
+
+    names = rest[1:] or list(REGISTRY)
+    chunks = [names[i:i + chunk_size]
+              for i in range(0, len(names), chunk_size)]
+    status: dict[str, dict] = {}
+    t_start = time.time()
+    for ci, chunk in enumerate(chunks, 1):
+        print(f"--- chunk {ci}/{len(chunks)}: {' '.join(chunk)}",
+              flush=True)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools/oracle_check.py"),
+                 scale_dir, *chunk],
+                cwd="/tmp", capture_output=True, text=True, timeout=timeout)
+            out = proc.stdout + proc.stderr
+            timed_out = False
+        except subprocess.TimeoutExpired as e:
+            out = ((e.stdout or b"").decode(errors="replace")
+                   if isinstance(e.stdout, bytes) else (e.stdout or ""))
+            timed_out = True
+        seen = set()
+        for line in out.splitlines():
+            m = re.match(r"(OK|SKIP|FAIL)\s+(\w+):(.*)", line)
+            if m and m.group(2) in chunk:
+                kind, name, detail = m.groups()
+                seen.add(name)
+                # a FAIL line may follow an earlier OK-ish parse; last wins
+                status[name] = {"status": kind.lower(),
+                                "detail": detail.strip()[:200]}
+                print(line, flush=True)
+        for name in chunk:
+            if name not in seen:
+                status[name] = {"status": "timeout" if timed_out
+                                else "no-output"}
+                print(f"MISS {name}: "
+                      + ("chunk timed out" if timed_out
+                         else "no status line (chunk crashed?)"),
+                      flush=True)
+        print(f"--- chunk {ci} done in {time.time()-t0:.0f}s", flush=True)
+
+    counts: dict[str, int] = {}
+    for v in status.values():
+        counts[v["status"]] = counts.get(v["status"], 0) + 1
+    summary = {
+        "scale_dir": scale_dir,
+        "n": len(status),
+        "counts": counts,
+        "wall_s": round(time.time() - t_start, 1),
+        "entries": status,
+    }
+    with open(out_file, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in summary.items() if k != "entries"}))
+    bad = [n for n, v in status.items()
+           if v["status"] not in ("ok", "skip")]
+    if bad:
+        print("NOT OK:", " ".join(sorted(bad)))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
