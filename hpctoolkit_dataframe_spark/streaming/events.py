@@ -548,7 +548,13 @@ def run_vector_index_stream(emb_stream: DataFrame, cents: DataFrame,
     (the codebook trained once up front — broadcast, never retrained
     mid-stream), and appended to the cell-bucketed store.  Queries run
     ivf_probe_store against the table between or during batches.
-    Returns the number of micro-batches processed."""
+    Returns the number of micro-batches processed.
+
+    Semantics twin only: no checkpoint, raw appends — a replayed batch
+    would double-insert.  The production shape is
+    streaming/vectors.py run_vector_store_stream (checkpointed offsets
+    + per-batch partition overwrite = exactly-once, kill/resume
+    pinned in tests/test_vector_stream.py)."""
     from ..queries.vectors import (append_to_vector_store, assign_to_cells,
                                    _norm2, _qint)
 
