@@ -474,6 +474,69 @@ def main() -> None:
               f"{n_prof} profiles -> {rows:,} nodes in "
               f"{time.time()-t0:.1f}s")
 
+    # 17) exactly-once streaming vector store at 40x the test volume:
+    #     20k synthetic 64-dim vectors land in 8 waves; the final
+    #     store must hold each vector exactly once and the probe must
+    #     stay a partition-pruned scan of N_PROBE cell directories
+    #     regardless of how many batches accreted
+    if scale >= 1:
+        import shutil
+        import tempfile
+
+        from hpctoolkit_dataframe_spark.queries import vectors as V
+        from hpctoolkit_dataframe_spark.streaming import vectors as sv
+
+        n_vec, n_waves = 20_000 * scale, 8
+        dim_cols = F.transform(
+            F.sequence(F.lit(0), F.lit(V.DIM - 1)),
+            lambda i: ((F.xxhash64(F.col("id").cast("string"), i)
+                        % 2000).cast("double") / F.lit(1000.0) - 1.0)
+            .cast("float"))
+        raw = spark.range(n_vec, numPartitions=par).select(
+            F.col("id").alias("vec_id"), dim_cols.alias("embedding"))
+        emb = raw.select(
+            "vec_id", V._qint(F.col("embedding")).alias("qe"),
+            V._norm2(F.col("embedding")).alias("n2")) \
+            .localCheckpoint(eager=True)
+        cents = emb.filter(F.col("vec_id") < V.N_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("qe").alias("ce")) \
+            .localCheckpoint(eager=True)
+        tmp = tempfile.mkdtemp(prefix="vec_scale_")
+        try:
+            landing = os.path.join(tmp, "landing")
+            os.makedirs(landing)
+            base, ckpt = os.path.join(tmp, "store"), os.path.join(
+                tmp, "ckpt")
+            per = n_vec // n_waves
+            t0 = time.time()
+            for w in range(n_waves):
+                stage = os.path.join(tmp, f"stage{w}")
+                raw.filter((F.col("vec_id") >= w * per)
+                           & (F.col("vec_id") < (w + 1) * per)) \
+                    .coalesce(1).write.mode("overwrite").parquet(stage)
+                part = next(f for f in os.listdir(stage)
+                            if f.endswith(".parquet"))
+                shutil.move(os.path.join(stage, part),
+                            os.path.join(landing, f"w{w}.parquet"))
+                stream = (spark.readStream.schema(raw.schema)
+                          .option("maxFilesPerTrigger", 1)
+                          .parquet(landing))
+                sv.run_vector_store_stream(stream, cents, base, ckpt,
+                                           query_name=f"vs_{w}")
+            store = sv.read_vector_store(spark, base)
+            rows = store.count()
+            assert rows == n_waves * per, rows
+            assert store.select("vec_id").distinct().count() == rows
+            pruned = store.filter(F.col("cell").isin([0]))
+            plan = pruned._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters: [" in plan \
+                and "DataFilters: []" in plan, plan
+            print(f"vector_store_stream {n_vec:,} vecs / {n_waves} "
+                  f"waves -> {rows:,} stored, probe partition-pruned, "
+                  f"in {time.time()-t0:.1f}s")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
