@@ -506,15 +506,22 @@ _REGISTRY["cct_hot_path_batch"].sql = _REGISTRY["cct_hot_path"].sql
 # so thresholding raw value would always yield ONE root-anchored
 # component; the ratio-of-parent criterion (reference A3's metric) is
 # non-monotone and produces genuinely disjoint regions.  All-integer
-# hotness tests (value*2 >= parent_value, value*10000 >= total) keep
-# the oracle comparison float-free.
+# hotness tests keep the oracle comparison float-free, and they divide
+# the KNOWN side instead of multiplying the tested side —
+# ``value >= ceil(parent/2)`` / ``value >= ceil(total/10000)`` is
+# integer-equivalent to ``value*2 >= parent`` / ``value*10000 >=
+# total`` but cannot overflow: at the 10x clone the root total is
+# ~3.0e15 cents, and *10000 blew past INT64 in DuckDB (and would hit
+# Spark's ANSI overflow at a further 3x) — caught by the sf1 full
+# oracle sweep.  Ceil-div on non-negative ints is engine-identical
+# (DuckDB // floors, Spark div truncates).
 # ---------------------------------------------------------------------------
 @register("cct_hot_regions", sql=f"""WITH RECURSIVE {CCT_CTES},
 hot AS (
   SELECT c.id, c.parent_id, c.value FROM cct c
   JOIN cct p ON c.parent_id = p.id
-  WHERE c.value * 2 >= p.value
-    AND c.value * 10000 >= (SELECT value FROM cct WHERE depth = 0)
+  WHERE c.value >= (p.value + 1) // 2
+    AND c.value >= ((SELECT value FROM cct WHERE depth = 0) + 9999) // 10000
 ),
 hedges AS (
   SELECT c.id AS s, c.parent_id AS d FROM hot c
@@ -551,8 +558,9 @@ def cct_hot_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = cct.alias("p")
     hot = (child.join(par, F.col("c.parent_id") == F.col("p.id"))
            .crossJoin(F.broadcast(total))
-           .filter((F.col("c.value") * 2 >= F.col("p.value"))
-                   & (F.col("c.value") * 10000 >= F.col("total")))
+           .filter((F.col("c.value") >= F.expr("(p.value + 1) div 2"))
+                   & (F.col("c.value")
+                      >= F.expr("(total + 9999) div 10000")))
            .select(F.col("c.id").alias("id"),
                    F.col("c.parent_id").alias("parent_id"),
                    F.col("c.value").alias("value")))
