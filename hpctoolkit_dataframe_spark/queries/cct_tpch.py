@@ -857,7 +857,7 @@ kept AS (
 SELECT g.id, g.depth, g.width, g.x_offset,
        c.value AS a_v, k.b_v,
        CAST(CASE WHEN k.b_v IS NOT NULL
-                 THEN ((k.b_v - c.value) * 10000) // c.value
+                 THEN ((CAST(k.b_v AS HUGEINT) - c.value) * 10000) // c.value
             END AS BIGINT) AS rel_bp,
        CASE WHEN k.b_v IS NULL OR k.b_v = c.value THEN 'grey'
             WHEN k.b_v > c.value THEN 'red' ELSE 'blue' END AS hue
@@ -903,8 +903,16 @@ def cct_flame_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(kept, geom.id == F.col("b_id"), "left")
             .select(
                 geom.id, "depth", "width", "x_offset", "a_v", "b_v",
+                # the delta*10000 multiply is 128-bit on BOTH engines
+                # (Spark DECIMAL(38,0), DuckDB HUGEINT): at sf1 the
+                # 64-bit product reached 2.5e18 and overflows at ~40x.
+                # The QUOTIENT is bounded (|rel_bp| <= 10000 since
+                # b_v <= a_v), so the final BIGINT cast is safe; div /
+                # // both truncate toward zero — verified bit-identical
+                # on negative deltas.
                 F.when(b_v.isNotNull(),
-                       F.expr("((b_v - a_v) * 10000) div a_v"))
+                       F.expr("((cast(b_v as decimal(38,0)) - a_v)"
+                              " * 10000) div a_v"))
                 .cast("long").alias("rel_bp"),
                 F.when(b_v.isNull() | (b_v == a_v), "grey")
                 .when(b_v > a_v, "red").otherwise("blue").alias("hue")))
