@@ -107,11 +107,15 @@ def encode_word(word: str, ranks: dict) -> list[str]:
 def main() -> None:
     train_rows = []
     enc_rows = []
-    for sf_dir in SF_DIRS:
+    # extra corpora (e.g. a scale clone: tools/make_scale_data.py
+    # output) can be appended on the command line so the fixture-keyed
+    # oracle also covers scale-sweep runs
+    for sf_dir in SF_DIRS + sys.argv[1:]:
         con = duckdb.connect()
+        path = f"{sf_dir}/documents.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         docs = con.execute(
-            "SELECT doc_id, text FROM "
-            f"'{sf_dir}/documents.parquet' ORDER BY doc_id").fetchall()
+            f"SELECT doc_id, text FROM {src} ORDER BY doc_id").fetchall()
         corpus_rows = len(docs)
         corpus_chars = sum(len(t) for _, t in docs if t is not None)
         merges = train(train_word_counts([t for _, t in docs]))

@@ -61,11 +61,15 @@ def main(argv):
         print(f"--- chunk {ci}/{len(chunks)}: {' '.join(chunk)}",
               flush=True)
         t0 = time.time()
+        env = dict(os.environ, PYTHONUNBUFFERED="1")  # a timed-out
+        # child would otherwise take its block-buffered per-query OK
+        # lines down with it
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools/oracle_check.py"),
                  scale_dir, *chunk],
-                cwd="/tmp", capture_output=True, text=True, timeout=timeout)
+                cwd="/tmp", capture_output=True, text=True, timeout=timeout,
+                env=env)
             out = proc.stdout + proc.stderr
             timed_out = False
         except subprocess.TimeoutExpired as e:
