@@ -52,8 +52,15 @@ def _chunked_copy(df, key, n_chunks, out_dir, tmp_root):
 
 
 def main() -> None:
+    import tempfile
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_stream"
+    # default to a FRESH base per run: reusing a base whose checkpoint
+    # survived but whose warehouse tables were cleaned makes the drain
+    # a silent no-op (every file "already processed") and the report
+    # reads empty — pass an explicit base to exercise resume instead
+    base = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="curation_stream_")
     doc_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     ev_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
