@@ -77,6 +77,10 @@ def plan_sig(df) -> dict:
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas") + plan.count("MapInArrow"),
         "py_udf": plan.count("BatchEvalPython"),
+        # AQE skew-join splits in the FINAL adaptive plan (SMJ/SHJ
+        # nodes print "skew=true" once OptimizeSkewedJoin rewrites
+        # them) — the signal the skewed-clone probe exists to observe
+        "skew_join": plan.count("skew=true"),
     }
 
 
