@@ -4,17 +4,21 @@ event-warehouse team runs daily, expressed in the repo's exact-integer
 event-time convention (LONG nanoseconds in Spark, epoch_us in the
 oracle, all bucketing by integer division).
 
-The funnel's step matching is the bucketed interval join
-(operators/interval.py) — each "next step within H" probe is one hash
-equi-join on (user, time-bucket), never a nested-loop inequality join,
-so the plan survives hot users and 100x data.
+The funnel's step matching is a single per-user ordered window scan
+(suffix-min of the next purchase, then suffix-min of the (next click,
+its next purchase) struct) — O(n log n) per user with NO join between
+steps.  The bucketed-interval-join formulation it replaced was hash
+equi-join safe, but its (user, bucket) key still emitted
+views-per-bucket x clicks-per-bucket candidate pairs, which the
+skewed-clone probe (tools/make_skew_data.py) measured at x17 wall time
+when one bot user held 45% of events; the window scan is linear in the
+hot user's row count.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators.interval import interval_join
 from . import load_table, register
 
 FUNNEL_H_US = 86_400_000_000  # step-to-step horizon: 24h in microseconds
@@ -69,48 +73,79 @@ LEFT JOIN per_day_p p ON p.day = a.day""")
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-step funnel (view -> first click within 24h -> purchase within
     24h of THAT click), reported per view-day.  Funnel attribution is
-    earliest-next-step; each step is a bucketed interval join + a
-    min-aggregate on the view id, so per-step cost is one (user,
-    bucket) hash join regardless of user skew."""
-    e = _events_us(spark, sf_dir)
-    v = (e.filter(F.col("event_type") == "view")
-         .select("event_id", "user_id", F.col("ts_us").alias("v_ts")))
-    c = (e.filter(F.col("event_type") == "click")
-         .select("user_id", F.col("ts_us").alias("c_point")))
-    p = (e.filter(F.col("event_type") == "purchase")
-         .select("user_id", F.col("ts_us").alias("p_point")))
-    # step 1: first click in (v_ts, v_ts + H]
-    vc = (interval_join(
-        c, v.withColumn("lo", F.col("v_ts") + 1)
-            .withColumn("hi", F.col("v_ts") + FUNNEL_H_US),
-        point_ts="c_point", lo="lo", hi="hi", on="user_id",
-        bucket_width=FUNNEL_H_US)
-        .groupBy("event_id", "user_id", "v_ts")
-        .agg(F.min("c_point").cast("long").alias("c_ts")))
-    # step 2: any purchase in (c_ts, c_ts + H]
-    vcp = (interval_join(
-        p, vc.withColumn("lo", F.col("c_ts") + 1)
-             .withColumn("hi", F.col("c_ts") + FUNNEL_H_US),
-        point_ts="p_point", lo="lo", hi="hi", on="user_id",
-        bucket_width=FUNNEL_H_US)
-        .select("event_id", "v_ts").distinct())
-    day = lambda col: F.expr(f"{col} div {_US_PER_DAY}").alias("day")  # noqa: E731
-    per_v = v.groupBy(day("v_ts")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_views"))
-    per_c = vc.groupBy(day("v_ts")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_clicked"))
-    per_p = vcp.groupBy(day("v_ts")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_purchased"))
-    return (per_v.join(per_c, "day", "left").join(per_p, "day", "left")
-            .select(
-        "day", "n_views",
-        F.coalesce("n_clicked", F.lit(0)).cast("long").alias("n_clicked"),
-        F.coalesce("n_purchased", F.lit(0)).cast("long")
-        .alias("n_purchased"),
-        (F.coalesce("n_clicked", F.lit(0)).cast("double")
-         / F.col("n_views").cast("double")).alias("click_rate"),
-        (F.coalesce("n_purchased", F.lit(0)).cast("double")
-         / F.col("n_views").cast("double")).alias("purchase_rate")))
+    earliest-next-step, computed by ONE per-user ordered scan:
+
+    - sort each user's events by (ts, tie-rank, event_id), where the
+      tie-rank orders purchase < click < view at EQUAL timestamps so a
+      "rows following" frame contains exactly the events with STRICTLY
+      later ts of the step being probed;
+    - pass 1: nxt_p = suffix-min of purchase ts (for a click row this
+      is the earliest purchase with ts > click ts);
+    - pass 2: nxt_c = suffix-min of struct(click ts, that click's
+      nxt_p) — struct min orders by ts first, and equal-ts clicks
+      share one nxt_p (only clicks can sort between them), so the
+      struct is well-defined and carries the step-2 answer along;
+    - a view row converts at step 1 iff nxt_c.c <= v_ts + H, and at
+      step 2 iff additionally nxt_c.p <= nxt_c.c + H.
+
+    Both windows share partition+order, so the plan is one user-key
+    shuffle + one sort — linear in any one user's activity.  The
+    previous bucketed-interval-join version emitted quadratic
+    per-(user, bucket) candidate pairs under user skew (x17 on the
+    skewed clone)."""
+    e = (_events_us(spark, sf_dir)
+         .filter(F.col("event_type").isin("view", "click", "purchase")))
+    rk = (F.when(F.col("event_type") == "purchase", 0)
+          .when(F.col("event_type") == "click", 1).otherwise(2))
+    # DESCENDING time + running min over (unboundedPreceding, current):
+    # Spark's UnboundedPreceding frame accumulates incrementally (O(n)
+    # per partition), while a (1, unboundedFollowing) frame re-scans
+    # the suffix PER ROW — O(n^2), measured as a multi-minute hang on
+    # the skewed clone's 450k-event user.  "Preceding in descending
+    # order" = strictly-later events, because at equal ts the rank
+    # sorts purchase < click < view ascending (so descending puts
+    # same-ts clicks/purchases BEHIND the rows that must not see
+    # them); the current row's own contribution to each min is NULL
+    # everywhere it is consumed (a view is never a click; a click is
+    # never a purchase), so no frame exclusion is needed.
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("rk").desc(), F.col("event_id").desc())
+    later = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sent = (1 << 62)  # orderable "no purchase follows" sentinel
+    e1 = (e.withColumn("rk", rk)
+          .withColumn("nxt_p", F.min(F.when(
+              F.col("event_type") == "purchase", F.col("ts_us")))
+              .over(later)))
+    e2 = e1.withColumn("nxt_c", F.min(F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts_us").alias("c"),
+                 F.coalesce("nxt_p", F.lit(sent)).alias("p"))))
+        .over(later))
+    v = (e2.filter(F.col("event_type") == "view")
+         .select("event_id", F.col("ts_us").alias("v_ts"), "nxt_c"))
+    clicked = F.col("nxt_c.c") <= F.col("v_ts") + FUNNEL_H_US
+    purchased = clicked & (F.col("nxt_c.p") <= F.col("nxt_c.c")
+                           + FUNNEL_H_US)
+    day = F.expr(f"v_ts div {_US_PER_DAY}").alias("day")
+    # one aggregate replaces the old per-step frames + day joins: a
+    # day's step counts are plain conditional sums over its view rows
+    # (a day with zero conversions is a 0, exactly what the old
+    # left-join + COALESCE produced)
+    return (v.groupBy(day).agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        # when/otherwise, not cast: a NULL nxt_c (no click ever
+        # follows) must count as 0, and an all-unconverted day must
+        # sum to 0, not NULL
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("long")
+        .alias("n_clicked"),
+        F.sum(F.when(purchased, 1).otherwise(0)).cast("long")
+        .alias("n_purchased"))
+        .select(
+            "day", "n_views", "n_clicked", "n_purchased",
+            (F.col("n_clicked").cast("double")
+             / F.col("n_views").cast("double")).alias("click_rate"),
+            (F.col("n_purchased").cast("double")
+             / F.col("n_views").cast("double")).alias("purchase_rate")))
 
 
 @register("cohort_retention", sql=f"""
