@@ -32,14 +32,37 @@ ROOT_ID = -1  # reference _ROOT_INDEX, hpctoolkit_dataframe.py:48
 # Build-side row cap for FORCING a shuffled-hash join in the parent/
 # ancestor self-joins.  SHJ was measured faster than sort-merge at
 # bench scale (the exploded probe side pays an O(n log n) sort under
-# SMJ), but its build-side hash map CANNOT spill: the r7 30x scale run
-# OOM'd ("not enough memory to build hash map") with an 18.6M-row
-# build side, while 6.2M (10x) was fine.  Above the cap the hint is
-# dropped and Catalyst/AQE pick the strategy (sort-merge — degrades
-# gracefully via spill).  Checked against a count of the ALREADY
-# MATERIALIZED input (memoized build or the eager localCheckpoint this
-# function itself takes), so the probe costs one cheap cached-scan job.
-SHJ_BUILD_ROW_CAP = 8_000_000
+# SMJ), but its build-side hash map CANNOT spill, so the cap must
+# scale with the heap actually available — a fixed row count is only
+# valid at the heap it was calibrated on.  Two measured OOMs pin the
+# density: the r7 30x run died at 18.6M build rows on an 8 GiB heap
+# (6.2M was fine), and the r7 low-memory probe died at the SAME 6.2M
+# rows on a 3 GiB heap.  800k rows per heap-GiB sits just above the
+# known-good 6.2M/8GiB point and a factor ~3 below both known-bad
+# points.  Above the cap the hint is dropped and Catalyst/AQE pick
+# the strategy (sort-merge — degrades gracefully via spill).  Checked
+# against a count of the ALREADY MATERIALIZED input (memoized build or
+# the eager localCheckpoint this function itself takes), so the probe
+# costs one cheap cached-scan job.
+SHJ_ROWS_PER_HEAP_GIB = 800_000
+
+
+def _shj_build_row_cap(spark) -> int:
+    """Heap-proportional SHJ build-side cap.  Local mode does the work
+    in the driver JVM; on a cluster the executors build the maps —
+    size against whichever heap applies."""
+    conf = spark.sparkContext.getConf()
+    master = conf.get("spark.master", "")
+    key = ("spark.driver.memory" if master.startswith("local")
+           else "spark.executor.memory")
+    mem = conf.get(key, "1g").strip().lower()
+    units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1, "t": 1024}
+    try:
+        gib = (float(mem[:-1]) * units[mem[-1]] if mem[-1] in units
+               else float(mem) / (1024 ** 3))  # bare bytes
+    except ValueError:
+        gib = 1.0
+    return max(1, int(gib * SHJ_ROWS_PER_HEAP_GIB))
 
 
 # ---------------------------------------------------------------------------
@@ -150,13 +173,14 @@ def with_ratio_of_total(
 
 def _maybe_shuffle_hash(nodes: DataFrame, df: DataFrame) -> DataFrame:
     """Apply the shuffle-hash hint only while the build side provably
-    fits task memory (SHJ_BUILD_ROW_CAP); beyond it, no hint — Catalyst
-    picks sort-merge, which spills instead of OOMing."""
+    fits the CURRENT heap (_shj_build_row_cap); beyond it, no hint —
+    Catalyst picks sort-merge, which spills instead of OOMing."""
     try:
         n = df.count()
     except Exception:
         return nodes  # un-countable input: be safe, no forced SHJ
-    return nodes.hint("shuffle_hash") if n <= SHJ_BUILD_ROW_CAP else nodes
+    cap = _shj_build_row_cap(df.sparkSession)
+    return nodes.hint("shuffle_hash") if n <= cap else nodes
 
 
 def with_ratio_of_parent(
@@ -352,7 +376,7 @@ def with_ratio_of_parent(
         # shuffle-hash, not sort-merge: the exploded side is |df| x depth
         # rows and sorting it dominates the join cost; the node side
         # (the build side) is |df| slim rows — hashing it is cheap WHEN
-        # it fits (SHJ_BUILD_ROW_CAP guards the 30x OOM)
+        # it fits (_shj_build_row_cap guards the 30x + low-mem OOMs)
         _maybe_shuffle_hash(nodes, df),
         on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
         + [F.col("__anc_key") == F.col("__path_key"),

@@ -20,7 +20,7 @@ from typing import Any, Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -663,6 +663,53 @@ def _guard_restart(spark: SparkSession, prefix: str,
             "fresh prefix (or drop the state tables) to start over.")
 
 
+def _first_point_after(anchors: DataFrame, points: DataFrame,
+                       anchor_ts: str, point_ts: str, out: str,
+                       on: str = "user_id") -> DataFrame:
+    """For every anchor row, the MINIMUM point timestamp STRICTLY
+    greater than the anchor's own, within the same ``on`` key — the
+    per-batch step-matching core of both funnel streams.
+
+    Shape: one union + one descending per-key sort + one incremental
+    running-min window — O(n log n) in any single key's row count.
+    The theta join it replaced (key equality + ts range) emitted
+    |anchors_of_key| x |points_of_key| candidate pairs per key; the
+    skewed-clone probe measured that shape at x17 on the batch funnel
+    when one user held 45% of events, and a firehose user does the
+    same to every micro-batch here.
+
+    Strict inequality is encoded in the sort rank: points order before
+    anchors at EQUAL ts ascending (rank 0 < 1), so after the
+    descending sort an equal-ts point lands BEHIND the anchor and out
+    of its running frame.  The frame ends at currentRow — an anchor
+    contributes NULL to the point-min, so no exclusion bound is
+    needed.  (unboundedPreceding, current) is the only frame Spark
+    accumulates incrementally; a (1, unboundedFollowing) frame
+    re-scans the suffix per row — O(n^2), see CLAUDE.md.
+
+    Returns the anchor rows (all columns) plus ``out`` (NULL when no
+    later point exists).  Horizon filtering is the caller's job."""
+    acols = anchors.columns
+    pts = points.select(
+        F.col(on).alias("__on"), F.col(point_ts).alias("__ts"),
+        F.lit(0).alias("__rk"),
+        *[F.lit(None).cast(anchors.schema[c].dataType).alias(c)
+          for c in acols if c != on])
+    anc = anchors.select(
+        F.col(on).alias("__on"), F.col(anchor_ts).alias("__ts"),
+        F.lit(1).alias("__rk"),
+        *[c for c in acols if c != on])
+    w = (Window.partitionBy("__on")
+         .orderBy(F.col("__ts").desc(), F.col("__rk").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scanned = (anc.unionByName(pts)
+               .withColumn(out, F.min(F.when(F.col("__rk") == 0,
+                                             F.col("__ts"))).over(w)))
+    return (scanned.filter(F.col("__rk") == 1)
+            .select(F.col("__on").alias(on),
+                    *[c for c in acols if c != on], out))
+
+
 def run_funnel_stream(events_stream: DataFrame, prefix: str,
                       horizon_us: int | None = None,
                       checkpoint_dir: str | None = None,
@@ -708,32 +755,28 @@ def run_funnel_stream(events_stream: DataFrame, prefix: str,
                  .select("event_id", "user_id",
                          F.col("ts_us").alias("v_ts")))
         clicks = (b.filter(F.col("event_type") == "click")
-                  .select(F.col("user_id").alias("c_user"),
-                          F.col("ts_us").alias("c_ts")))
+                  .select("user_id", F.col("ts_us").alias("c_ts")))
         purchases = (b.filter(F.col("event_type") == "purchase")
-                     .select(F.col("user_id").alias("p_user"),
-                             F.col("ts_us").alias("p_ts")))
+                     .select("user_id", F.col("ts_us").alias("p_ts")))
 
         # 1) wait-set = persisted waiting views + this batch's views
         waiting = (spark.table(f"{prefix}_views")
                    .unionByName(views).localCheckpoint(True))
-        # 2) claim first qualifying click per waiting view
-        matched = (waiting.join(
-            clicks, (F.col("c_user") == F.col("user_id"))
-            & (F.col("c_ts") > F.col("v_ts"))
-            & (F.col("c_ts") <= F.col("v_ts") + h))
-            .groupBy("event_id", "user_id", "v_ts")
-            .agg(F.min("c_ts").alias("c_ts"))
-            .localCheckpoint(True))
+        # 2) claim first qualifying click per waiting view: the
+        #    window-scan core (hot-user linear); a min <= v_ts + h is
+        #    exactly the old in-window join's MIN(c_ts)
+        matched = (_first_point_after(waiting, clicks, "v_ts", "c_ts",
+                                      out="c_ts")
+                   .filter(F.col("c_ts") <= F.col("v_ts") + h)
+                   .localCheckpoint(True))
         # 3) completed funnels: purchases against persisted + fresh vc
         vc_all = (spark.table(f"{prefix}_vc")
                   .unionByName(matched).localCheckpoint(True))
-        done = (vc_all.join(
-            purchases, (F.col("p_user") == F.col("user_id"))
-            & (F.col("p_ts") > F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + h))
-            .select("event_id", "v_ts").distinct()
-            .localCheckpoint(True))
+        done = (_first_point_after(vc_all, purchases, "c_ts", "p_ts",
+                                   out="p_ts")
+                .filter(F.col("p_ts") <= F.col("c_ts") + h)
+                .select("event_id", "v_ts").distinct()
+                .localCheckpoint(True))
 
         # emit stage records (append-only result log)
         out = (matched.select("event_id", "v_ts",
@@ -833,14 +876,16 @@ def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
             .localCheckpoint(True))
 
         # resolve step 1 for views whose click window closed below wm
+        # (window-scan core, not a theta join — hot-user linear; the
+        # left-join-with-range semantics survive as "NULL the min when
+        # it falls beyond the horizon")
         closing = views.filter(F.col("v_ts") + h < wm)
-        resolved = (closing.join(
-            clicks.withColumnRenamed("user_id", "cu"),
-            (F.col("cu") == F.col("user_id"))
-            & (F.col("c_ts") > F.col("v_ts"))
-            & (F.col("c_ts") <= F.col("v_ts") + h), "left")
-            .groupBy("event_id", "user_id", "v_ts")
-            .agg(F.min("c_ts").alias("c_ts"))
+        resolved = (_first_point_after(
+            closing, clicks.select("user_id", "c_ts"),
+            "v_ts", "c_ts", out="__nc")
+            .select("event_id", "user_id", "v_ts",
+                    F.when(F.col("__nc") <= F.col("v_ts") + h,
+                           F.col("__nc")).alias("c_ts"))
             .localCheckpoint(True))
         matched = resolved.filter(F.col("c_ts").isNotNull())
 
@@ -848,11 +893,10 @@ def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
         vc_all = (spark.table(f"{prefix}_vc").unionByName(matched)
                   .localCheckpoint(True))
         vc_closing = vc_all.filter(F.col("c_ts") + h < wm)
-        done = (vc_closing.join(
-            purchases.withColumnRenamed("user_id", "pu"),
-            (F.col("pu") == F.col("user_id"))
-            & (F.col("p_ts") > F.col("c_ts"))
-            & (F.col("p_ts") <= F.col("c_ts") + h), "left_semi")
+        done = (_first_point_after(
+            vc_closing, purchases.select("user_id", "p_ts"),
+            "c_ts", "p_ts", out="__np")
+            .filter(F.col("__np") <= F.col("c_ts") + h)
             .select("event_id", "v_ts").distinct()
             .localCheckpoint(True))
 

@@ -69,7 +69,7 @@ SELECTION = {
         "Ancestor walk-up, general path: explode to ancestor prefixes,"
         " ONE shuffle-hash join against the slim node table (sort-merge"
         " would pay an O(n log n) sort of the exploded side; beyond"
-        " SHJ_BUILD_ROW_CAP the hint drops and SMJ spills instead of"
+        " the heap-scaled SHJ build cap the hint drops and SMJ spills instead of"
         " OOMing), max-struct aggregate picks the deepest qualifying"
         " ancestor."),
     "cct_merge_profiles": (
