@@ -290,9 +290,11 @@ def main() -> None:
         print(f"duplicate_spans {n_docs:,} docs, 10% boilerplate: "
               f"{rows:,} spans in {time.time()-t0:.1f}s")
 
-    # 11) funnel over 10M synthetic events / 100k users: two bucketed
-    #     interval joins — per-step cost one (user, bucket) hash join,
-    #     immune to per-user event skew
+    # 11) funnel over 10M synthetic events, HALF of them on one bot
+    #     user: step matching is a per-user ordered window scan, so the
+    #     hot user costs one fat sort task, never candidate pairs (the
+    #     interval-join shape this replaced was quadratic per (user,
+    #     bucket) — the r7 skewed-clone finding)
     from hpctoolkit_dataframe_spark.queries.funnel import (
         funnel_view_click_purchase)
 
@@ -302,7 +304,8 @@ def main() -> None:
         F.timestamp_micros(
             (F.lit(1_700_000_000_000_000)
              + (F.xxhash64("id") % 2_592_000_000_000))).alias("ts"),
-        (F.col("id") % 100_000).alias("user_id"),
+        F.when(F.xxhash64("id", F.lit(3)) % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 100_000).alias("user_id"),
         F.element_at(
             F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
                     F.lit("error")),
@@ -536,6 +539,82 @@ def main() -> None:
                   f"in {time.time()-t0:.1f}s")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+    # 18) the EAGER streaming funnel under a firehose user: 1M events,
+    #     half on user 0, landing in 4 event-time-ordered waves.  Step
+    #     matching per micro-batch is the _first_point_after window
+    #     scan — the wait-set x batch-clicks theta join it replaced
+    #     was quadratic per user per batch.  The per-day stage fold
+    #     must equal the batch funnel on the same events (the twin
+    #     contract), at volume.
+    if scale >= 1:
+        import shutil
+        import tempfile
+
+        from hpctoolkit_dataframe_spark.queries.dedup import \
+            drop_fingerprint_store
+        from hpctoolkit_dataframe_spark.streaming import events as se
+
+        n_ev2, n_waves = 1_000_000 * scale, 4
+        sk = spark.range(n_ev2, numPartitions=par).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                (F.lit(1_700_000_000_000_000)
+                 + F.col("id") * 2_592_000)).alias("ts"),  # ordered
+            F.when(F.xxhash64("id", F.lit(3)) % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 50_000).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                        F.lit("error")),
+                (((F.xxhash64("id", F.lit(7)) % 4) + 5) % 4 + 1)
+                .cast("int")).alias("event_type"),
+            F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+        prefix = "funnel_smoke18"
+        tmp = tempfile.mkdtemp(prefix="funnel_stream_scale_")
+        try:
+            for t in ("views", "vc", "out"):
+                drop_fingerprint_store(spark, f"{prefix}_{t}")
+            landing = os.path.join(tmp, "landing")
+            os.makedirs(landing)
+            per = n_ev2 // n_waves
+            t0 = time.time()
+            for w in range(n_waves):
+                stage = os.path.join(tmp, f"s{w}")
+                sk.filter((F.col("event_id") >= w * per)
+                          & (F.col("event_id") < (w + 1) * per)) \
+                    .coalesce(1).write.mode("overwrite").parquet(stage)
+                part = next(f for f in os.listdir(stage)
+                            if f.endswith(".parquet"))
+                shutil.move(os.path.join(stage, part),
+                            os.path.join(landing, f"w{w}.parquet"))
+            stream = se.normalize_events(
+                spark.readStream.schema(se.EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(landing))
+            out = se.run_funnel_stream(stream, prefix,
+                                       query_name="funnel_smoke18")
+            day = F.expr("v_ts div 86400000000").alias("day")
+            got = {(r["day"], r["stage"]): r["n"] for r in
+                   out.groupBy(day, "stage")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+            ev_dir = os.path.join(tmp, "batchside")
+            sk.write.mode("overwrite").parquet(
+                os.path.join(ev_dir, "events.parquet"))
+            want = {}
+            for r in funnel_view_click_purchase(spark, ev_dir).collect():
+                want[(r["day"], "view")] = r["n_views"]
+                if r["n_clicked"]:
+                    want[(r["day"], "clicked")] = r["n_clicked"]
+                if r["n_purchased"]:
+                    want[(r["day"], "purchased")] = r["n_purchased"]
+            assert got == want, (len(got), len(want))
+            print(f"funnel_stream {n_ev2:,} events / {n_waves} waves, "
+                  f"50% one user: stream==batch fold in "
+                  f"{time.time()-t0:.1f}s")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            for t in ("views", "vc", "out"):
+                drop_fingerprint_store(spark, f"{prefix}_{t}")
 
 
 if __name__ == "__main__":
