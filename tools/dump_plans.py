@@ -58,6 +58,14 @@ SELECTION = {
         "Sessionization: one exchange on user_id feeding both the lag"
         " window and the running-sum window (same partitioning reused,"
         " no second shuffle)."),
+    "funnel_view_click_purchase": (
+        "3-step funnel: ONE user-key exchange + one descending sort"
+        " feeding both running-min windows (next purchase, then the"
+        " (next click, its purchase) struct), then the per-day hash"
+        " aggregate.  No join between steps at all — the interval-join"
+        " formulation this replaced emitted quadratic per-(user,"
+        " bucket) candidate pairs under user skew (r7 skewed-clone"
+        " finding)."),
     "cct_ratio_of_parent": (
         "Monotone walk-up short-circuit (r7): the rollup-sum metric"
         " provably stops the walk at the immediate parent, so the plan"
