@@ -136,6 +136,9 @@ _GATE_ORDER = [
     "duplicate_spans", "simhash64",
     # r7-new entries (two-SF verified in tests/test_oracle_two_sf.py)
     "cct_merge_profiles", "cct_flame_diff", "semantic_decontaminate",
+    # r7-REWRITTEN entry (interval joins -> per-user window scan, the
+    # skewed-clone finding): must re-attest in the round it changed
+    "funnel_view_click_purchase",
     # oldest re-attestations: latest green row is CORRECTNESS_r04
     "cct_at_depth_3", "cct_depth_range_2_3", "cct_diff_returnflag",
     "cct_flame_widths", "cct_hot_path_batch", "cct_hot_regions",
@@ -152,7 +155,10 @@ _GATE_ORDER = [
     "q19_disjunctive_revenue", "q22_idle_customers", "q3_top_orders",
     "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "set_ops_customers",
+    # (set_ops_customers rotated out to the r8 queue to hold the
+    # 50-slot budget — unchanged since its r4 green row, lowest-risk
+    # drop; funnel_view_click_purchase took the slot after its
+    # rewrite)
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)
