@@ -170,6 +170,20 @@ def test_q7_nation_filter_pushed_to_scan(spark):
     assert "NATION_9" in pushed and "NATION_10" in pushed, pushed
 
 
+def test_funnel_is_joinless_window_scan(spark):
+    """The 3-step funnel must contain NO join at all: step matching is
+    the per-user window scan (the interval-join formulation it
+    replaced was quadratic per (user, bucket) under user skew — the r7
+    skewed-clone finding).  One user-key exchange feeds both windows;
+    the only other exchange is the per-day aggregate."""
+    df = REGISTRY["funnel_view_click_purchase"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    s = explain.join_strategies(df)
+    assert all(v == 0 for v in s.values()), s
+    assert explain.exchange_count(df) <= 3, explain.exchange_count(df)
+    assert explain.python_udf_count(df) == 0
+
+
 def test_interval_join_is_hash_equi_join(spark):
     """The bucketed interval join must execute as a hash EQUI-join on
     (key, bucket) with the range predicate as a post-filter — never a
