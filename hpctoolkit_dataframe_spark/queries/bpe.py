@@ -34,6 +34,7 @@ surface; this extends the LLM-pipeline suite (SURVEY.md §6).
 from __future__ import annotations
 
 import os
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -222,16 +223,22 @@ def encode_word(word: str, ranks: dict) -> list[str]:
 def bpe_encode(docs: DataFrame, merges: list[tuple], *,
                text_col: str = "text",
                out: str = "tokens") -> DataFrame:
-    """Append a ``tokens`` array column: whitespace pre-tokenization
-    (the corpus' convention), then the trained merges applied per word.
-    Vectorized Arrow UDF with a per-batch word cache — a 10^6-row batch
-    of natural text re-encodes each distinct word once."""
+    """Append a ``tokens`` array column: ASCII-whitespace
+    pre-tokenization (re.ASCII — the SAME rule the training pass's
+    Java-regex ``\\s+`` applies; Python's default ``str.split`` is
+    unicode-aware and would split words the vocab holds joined, the
+    adversarial-text-probe finding), then the trained merges applied
+    per word.  Vectorized Arrow UDF with a per-batch word cache — a
+    10^6-row batch of natural text re-encodes each distinct word
+    once."""
     from pyspark.sql.functions import pandas_udf
 
     from .._pickle import register_module_by_value
 
     register_module_by_value(__name__)
     ranks = {(m[1], m[2]): m[0] for m in merges}
+
+    ws_ascii = re.compile(r"\s+", re.ASCII)
 
     def enc(texts: pd.Series) -> pd.Series:
         cache: dict[str, list[str]] = {}
@@ -240,7 +247,9 @@ def bpe_encode(docs: DataFrame, merges: list[tuple], *,
             if t is None:
                 return None
             toks: list[str] = []
-            for w in t.split():
+            for w in ws_ascii.split(t):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)

@@ -424,7 +424,7 @@ WITH g AS (
            range(1, greatest(length(text) - {K_GRAM - 1}, 1) + 1),
            i -> {hash8_sql(f"substr(text, CAST(i AS BIGINT), {K_GRAM})")})
            AS hs
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 m AS (
   SELECT doc_id, hs,
@@ -485,7 +485,13 @@ def _winnow_select_udf():
 
 @register("winnow_fingerprints", sql=_WINNOW_SQL)
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text: no fingerprint row, on BOTH engines (the spans-family
+    # convention).  Without the filter Spark's greatest(NULL-12, 1)
+    # manufactures a [NULL] gram list (the numpy kernel then
+    # garbage-casts it) while DuckDB's NULL propagates — the
+    # adversarial-text probe caught the divergence.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
     # one input file -> one split; spread the CPU-bound hashing first
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     n = F.length("text")

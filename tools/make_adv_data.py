@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Build the ADVERSARIAL-TEXT clone: sf0.01 with 14 edge-case documents
+appended — the third probe axis after volume (make_scale_data) and key
+skew (make_skew_data).
+
+Testdata text is plain ASCII words, so cross-engine string semantics
+(Java regex vs DuckDB RE2 vs the pure-Python fixture twins) are never
+exercised by the gate.  This clone adds the cases where they differ:
+
+- NULL text, empty text, whitespace-only text
+- unicode: accents/ß, CJK, cyrillic, Turkish dotted-I, emoji
+- UNICODE WHITESPACE (NBSP U+00A0, thin space U+2009) — the case that
+  found two real divergences in r7: Python's default ``\\s``/
+  ``str.split`` are unicode-aware while Java regex and RE2 ``\\s`` are
+  ASCII-only (winnow NULL handling; BPE fixture/encode tokenization —
+  both fixed to one ASCII-\\s rule)
+- tab/newline separators, a 5000-char single word, heavy punctuation,
+  200x repeated bigram
+
+All other tables copy through unchanged so every oracle runs:
+
+    python tools/make_adv_data.py [out_dir]        # default /tmp/adv_sf
+    python tools/oracle_check.py /tmp/adv_sf <text-family queries>
+
+BPE entries need the corpus-keyed golden regenerated first:
+``python tools/make_bpe_fixture.py /tmp/skew_sf1 /tmp/adv_sf`` (list
+every clone that should stay covered — the fixture only holds entries
+for corpora passed at build time).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.01"
+
+ADV_DOCS = [
+    (900001, "", "en"),
+    (900002, "   ", "en"),
+    (900003, None, "en"),
+    (900004, "café naïve résumé über straße",
+     "de"),
+    (900005, "日本語 テスト 中文 "
+     "文本", "ja"),
+    (900006, "emoji \U0001f600 \U0001f680 mixed ascii", "en"),
+    (900007, "TAB\tSEPARATED\tWORDS and\nnewline lines", "en"),
+    (900008, "Iİstanbul İZMİR turkish dotted", "tr"),
+    (900009, "a" * 5000, "en"),
+    (900010, ("repeat word " * 200).strip(), "en"),
+    (900011, "punct!!! ... ??? ,,,; :: () [] {} \"quoted\" 'single'", "en"),
+    (900012, "nbsp\xa0joined and\u2009thin\u2009spaces", "en"),  # NBSP + thin space, EXPLICIT escapes (invisible chars get normalized by editors)
+    (900013, "Жизнь "
+     "прекрасна cyrillic",
+     "ru"),
+    (900014, "ALLCAPS SHOUTING TEXT WITH Stops.", "en"),
+]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/adv_sf"
+    import os
+    os.makedirs(out, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        dst = f"{out}/{t}.parquet"
+        if os.path.isdir(f"{BASE}/{t}.parquet"):
+            shutil.copytree(f"{BASE}/{t}.parquet", dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(f"{BASE}/{t}.parquet", dst)
+    base = duckdb.connect().execute(
+        f"select doc_id, text, lang, source, n_chars from "
+        f"'{BASE}/documents.parquet' order by doc_id").fetchall()
+    rows = [list(r) for r in base]
+    for doc_id, text, lang in ADV_DOCS:
+        rows.append([doc_id, text, lang, "edge",
+                     len(text) if text is not None else None])
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    }), f"{out}/documents.parquet")
+    print(f"wrote {len(rows)} docs ({len(ADV_DOCS)} adversarial) to {out}")
+
+
+if __name__ == "__main__":
+    main()

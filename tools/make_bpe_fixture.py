@@ -18,8 +18,10 @@ Algorithm contract being twinned (queries/bpe.py): training tokenizes
 with the regex whitespace split (Spark ``F.split(text, '\\s+')`` minus
 empties), caps the vocabulary at the top 50 000 words by (count desc,
 word asc), runs 48 merges picking (max pair count, then
-lexicographically smallest pair); encoding pre-tokenizes with plain
-``str.split`` and repeatedly merges the lowest-rank adjacent pair.
+lexicographically smallest pair); encoding pre-tokenizes with the SAME
+ASCII-whitespace split and repeatedly merges the lowest-rank adjacent
+pair (one tokenization rule for train and encode, matching the Java/
+RE2 ASCII `\s` both engines use).
 """
 
 from __future__ import annotations
@@ -41,7 +43,11 @@ VOCAB_CAP = 50_000
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1"]
 
-_WS = re.compile(r"\s+")
+# re.ASCII: Java regex \s and DuckDB RE2 \s are ASCII-only, while
+# Python's default \s is unicode-aware — the adversarial-text probe
+# caught the fixture splitting on NBSP/thin-space where both engines
+# do not.  ONE tokenization rule everywhere: ASCII \s.
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def train_word_counts(texts: list[str]) -> dict[str, int]:
@@ -127,7 +133,9 @@ def main() -> None:
             if t is None:
                 continue
             toks: list[str] = []
-            for w in t.split():
+            for w in _WS.split(t):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)
