@@ -1283,8 +1283,11 @@ WITH e AS (
          CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
   FROM embeddings
 ),
-b AS (SELECT vec_id AS b_id, qe AS b_qe, n2 AS b_n2 FROM e WHERE label = 9),
-t AS (SELECT vec_id, qe, n2 FROM e WHERE label <> 9),
+-- n2 > 0 both sides: zero-norm vectors have no cosine (same filter as
+-- the Spark side; without it Spark ANSI throws DIVIDE_BY_ZERO)
+b AS (SELECT vec_id AS b_id, qe AS b_qe, n2 AS b_n2 FROM e
+      WHERE label = 9 AND n2 > 0),
+t AS (SELECT vec_id, qe, n2 FROM e WHERE label <> 9 AND n2 > 0),
 scored AS (
   SELECT t.vec_id, b.b_id,
          CAST(list_sum(list_transform(range(1, {DIM} + 1),
@@ -1306,9 +1309,14 @@ SELECT vec_id AS doc_id, b_id AS nearest_bench, cos AS max_cos,
        CAST(cos >= {SEM_LEAK_COSINE} AS INTEGER) AS is_leaked
 FROM ranked WHERE rk = 1""")
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n2 > 0 on BOTH sides: a zero-norm vector has no defined cosine —
+    # without the filter one degenerate vector THROWS Spark's ANSI
+    # DIVIDE_BY_ZERO and kills the whole job (the r7 adversarial-
+    # embeddings probe finding); excluded-no-verdict is the same
+    # convention winnow applies to NULL text
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _qint(F.col("embedding")).alias("qe"),
-        _norm2(F.col("embedding")).alias("n2"))
+        _norm2(F.col("embedding")).alias("n2")).filter(F.col("n2") > 0)
     bench = emb.filter(F.col("label") == 9).select(
         F.col("vec_id").alias("b_id"), F.col("qe").alias("b_qe"),
         F.col("n2").alias("b_n2"))

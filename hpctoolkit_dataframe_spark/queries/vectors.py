@@ -82,6 +82,7 @@ WITH e AS (
   SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
          CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
   FROM embeddings
+  WHERE CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) > 0
 ),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 pairs AS (
@@ -114,7 +115,9 @@ def _exact_topk(spark: SparkSession, sf_dir: str,
     curves)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
-        _norm2(F.col("embedding")).alias("n2"))
+        _norm2(F.col("embedding")).alias("n2")).filter(F.col("n2") > 0)
+    # n2 > 0: zero-norm vectors have no cosine (ANSI DIVIDE_BY_ZERO
+    # otherwise — adversarial-embeddings probe); same WHERE in the SQL
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"),
         F.col("n2").alias("q_n2"))
@@ -155,6 +158,7 @@ _IVF_TAIL_SQL = f"""assigned AS (
          row_number() OVER (PARTITION BY a.vec_id
                             ORDER BY {_L2_SQL} ASC, c.cell ASC) AS crk
   FROM e a CROSS JOIN cent c
+  WHERE a.n2 > 0
 ),
 cells AS (SELECT vec_id, qe, n2, cell FROM assigned WHERE crk = 1),
 probes AS (
@@ -162,7 +166,7 @@ probes AS (
          row_number() OVER (PARTITION BY a.vec_id
                             ORDER BY {_L2_SQL} ASC, c.cell ASC) AS prk
   FROM e a CROSS JOIN cent c
-  WHERE a.vec_id < {N_QUERIES}
+  WHERE a.vec_id < {N_QUERIES} AND a.n2 > 0
 ),
 cand AS (
   SELECT p.query_id, v.vec_id AS neighbor_id,
@@ -189,8 +193,15 @@ def _ivf_probe(emb: DataFrame, cent: DataFrame,
                n_probe: int = N_PROBE, top_k: int = TOP_K) -> DataFrame:
     """Spark twin of _IVF_TAIL_SQL: assign corpus + queries to cells by
     exact integer L2 against ``cent`` (cell, ce), join per cell, rank by
-    cosine.  ``cent`` is always tiny (N_CELLS rows) — broadcast."""
+    cosine.  ``cent`` is always tiny (N_CELLS rows) — broadcast.
+
+    n2 > 0: a zero-norm vector has no defined cosine, and under ANSI
+    mode a single one THROWS DIVIDE_BY_ZERO and kills the whole job
+    (the r7 adversarial-embeddings probe finding) — the cosine family
+    excludes them from both the query and candidate sets."""
     from pyspark.sql import Window
+
+    emb = emb.filter(F.col("n2") > 0)
 
     l2 = F.aggregate(
         F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
@@ -281,6 +292,7 @@ WITH e AS (
   SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
          CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
   FROM embeddings
+  WHERE CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) > 0
 ),
 bucketed AS (
   SELECT vec_id, qe, n2, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM e
@@ -316,7 +328,8 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bucketed is None:
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", _qint(F.col("embedding")).alias("qe"),
-            _norm2(F.col("embedding")).alias("n2"))
+            _norm2(F.col("embedding")).alias("n2")).filter(
+            F.col("n2") > 0)  # zero-norm: no cosine (ANSI div-by-zero)
         bucket = None
         for k, plane in enumerate(PLANES):
             lits = F.array(*[F.lit(s).cast("long") for s in plane])

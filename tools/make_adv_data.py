@@ -17,6 +17,14 @@ exercised by the gate.  This clone adds the cases where they differ:
 - tab/newline separators, a 5000-char single word, heavy punctuation,
   200x repeated bigram
 
+The embeddings table gets 5 edge vectors appended (the axis that found
+the ANSI DIVIDE_BY_ZERO crash class in every cosine query — one
+zero-norm vector killed the whole job):
+
+- the all-zeros vector (undefined cosine), a near-zero vector,
+  a byte-exact duplicate of vec 0, its antipodal negation, and a
+  one-hot axis vector
+
 All other tables copy through unchanged so every oracle runs:
 
     python tools/make_adv_data.py [out_dir]        # default /tmp/adv_sf
@@ -66,12 +74,31 @@ def main() -> None:
     import os
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "orders", "lineitem", "events"):
         dst = f"{out}/{t}.parquet"
         if os.path.isdir(f"{BASE}/{t}.parquet"):
             shutil.copytree(f"{BASE}/{t}.parquet", dst, dirs_exist_ok=True)
         else:
             shutil.copy(f"{BASE}/{t}.parquet", dst)
+    vecs = duckdb.connect().execute(
+        f"select vec_id, embedding, label from "
+        f"'{BASE}/embeddings.parquet' order by vec_id").fetchall()
+    vrows = [list(r) for r in vecs]
+    dim = len(vrows[0][1])
+    first = vrows[0][1]
+    vrows += [
+        [800001, [0.0] * dim, 0],                 # zero norm
+        [800002, [1e-8] * dim, 0],                # near-zero
+        [800003, list(first), 1],                 # exact dup of vec 0
+        [800004, [-x for x in first], 1],         # antipodal
+        [800005, [1.0] + [0.0] * (dim - 1), 2],   # one-hot axis
+    ]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in vrows], pa.int64()),
+        "embedding": pa.array([[float(x) for x in r[1]] for r in vrows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in vrows], pa.int32()),
+    }), f"{out}/embeddings.parquet")
     base = duckdb.connect().execute(
         f"select doc_id, text, lang, source, n_chars from "
         f"'{BASE}/documents.parquet' order by doc_id").fetchall()
