@@ -236,9 +236,12 @@ p AS (
   SELECT e.user_id, CAST(ROUND(e.value * 100) AS BIGINT) AS v_c
   FROM events e WHERE e.event_type = 'purchase'),
 g AS (
+  -- HUGEINT sums: a single $3e7 purchase makes v_c^2 overflow BIGINT
+  -- (ANSI throw on the Spark side — adversarial-events probe); the
+  -- Spark twin sums DECIMAL(38,0)
   SELECT u.grp, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(p.v_c) AS BIGINT) AS s,
-         CAST(SUM(p.v_c * p.v_c) AS BIGINT) AS ss
+         CAST(SUM(CAST(p.v_c AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(p.v_c AS HUGEINT) * p.v_c) AS HUGEINT) AS ss
   FROM p JOIN u ON u.user_id = p.user_id GROUP BY u.grp)
 SELECT a.n AS n_a, b.n AS n_b,
        CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a_c,
@@ -277,10 +280,16 @@ def ab_test_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (ev.filter(F.col("event_type") == "purchase")
          .select("user_id",
                  F.round(F.col("value") * 100).cast("long").alias("v_c")))
+    # DECIMAL(19,0) operands -> DECIMAL(38,0) products/sums: v_c^2 of a
+    # $3e7 purchase overflows INT64 and ANSI throws (adversarial-events
+    # probe); 128-bit keeps the moments exact, and the final
+    # cast-to-double of the same exact integer rounds identically on
+    # both engines (DuckDB side sums HUGEINT)
+    vc_d = F.col("v_c").cast("decimal(19,0)")
     g = (p.join(u, "user_id").groupBy("grp")
          .agg(F.count(F.lit(1)).cast("long").alias("n"),
-              F.sum("v_c").cast("long").alias("s"),
-              F.sum(F.col("v_c") * F.col("v_c")).cast("long").alias("ss")))
+              F.sum(vc_d).alias("s"),
+              F.sum(vc_d * F.col("v_c")).alias("ss")))
     a = g.filter(F.col("grp") == "A").select(
         F.col("n").alias("n_a"), F.col("s").alias("s_a"),
         F.col("ss").alias("ss_a"))

@@ -450,15 +450,28 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # date/json/map functions' — Spark builtins, demonstrated first-class)
 # ---------------------------------------------------------------------------
 @register("events_json_props", sql="""
+-- json_valid guard + TRY_CAST: DuckDB's ->> RAISES on malformed JSON
+-- and CAST raises on non-numeric strings, where Spark's
+-- get_json_object returns NULL — malformed/empty props must be a NULL
+-- skipped by the aggregates on BOTH engines, never a job-killing error
+-- (adversarial-events probe)
+WITH k AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END
+                  AS BIGINT) AS k
+  FROM events)
 SELECT event_type,
-       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
-       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
-       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(SUM(k) AS BIGINT) AS k_total,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max,
        COUNT(*) AS n
-FROM events GROUP BY event_type""")
+FROM k GROUP BY event_type""")
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast both engines: a non-numeric $.k is NULL (skipped by the
+    # aggregates), never an ANSI CAST_INVALID_INPUT that kills the job
+    # (adversarial-events probe)
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS LONG)")
     return ev.groupBy("event_type").agg(
         F.sum(k).cast("long").alias("k_total"),
         F.min(k).cast("long").alias("k_min"),
@@ -1234,33 +1247,42 @@ WITH c AS (
 s AS (
   SELECT event_id, user_id, value_cents,
          CAST(COUNT(*) OVER w AS BIGINT) AS n_user,
-         CAST(SUM(value_cents) OVER w AS BIGINT) AS s,
-         CAST(SUM(value_cents * value_cents) OVER w AS BIGINT) AS ss
+         CAST(SUM(CAST(value_cents AS HUGEINT)) OVER w AS HUGEINT) AS s,
+         CAST(SUM(CAST(value_cents AS HUGEINT) * value_cents) OVER w
+              AS HUGEINT) AS ss
   FROM c WINDOW w AS (PARTITION BY user_id)
 )
 SELECT event_id, user_id, value_cents, n_user
 FROM s
 WHERE n_user >= 2
-  AND CAST(value_cents * n_user - s AS DOUBLE)
-      * CAST(value_cents * n_user - s AS DOUBLE)
+  AND CAST(CAST(value_cents AS HUGEINT) * n_user - s AS DOUBLE)
+      * CAST(CAST(value_cents AS HUGEINT) * n_user - s AS DOUBLE)
       * CAST(n_user - 1 AS DOUBLE)
     > 9.0 * CAST(n_user AS DOUBLE)
           * (CAST(ss AS DOUBLE) * CAST(n_user AS DOUBLE)
              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""")
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user |z| > 3 outliers via exact integer moments.  The square
+    and cross terms run 128-bit (Spark DECIMAL(38,0) / DuckDB HUGEINT,
+    the cct_flame_diff pattern): a single $3*10^7 value makes
+    value_cents^2 overflow INT64, and under ANSI that THROWS and kills
+    the whole job (adversarial-events probe).  Max |term| is
+    (2^63)^2 ~ 8.5e37 — inside both DECIMAL(38,0) and HUGEINT; the
+    final to-DOUBLE casts of identical exact integers round identically
+    on both engines."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull())
     c = ev.select(
         "event_id", "user_id",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"))
     w = Window.partitionBy("user_id")
+    vc_d = F.col("value_cents").cast("decimal(19,0)")
     s = c.select(
         "event_id", "user_id", "value_cents",
         F.count(F.lit(1)).over(w).cast("long").alias("n_user"),
-        F.sum("value_cents").over(w).cast("long").alias("s"),
-        F.sum(F.col("value_cents") * F.col("value_cents")).over(w)
-        .cast("long").alias("ss"))
-    d = (F.col("value_cents") * F.col("n_user") - F.col("s")).cast("double")
+        F.sum(vc_d).over(w).alias("s"),
+        F.sum(vc_d * F.col("value_cents")).over(w).alias("ss"))
+    d = (vc_d * F.col("n_user") - F.col("s")).cast("double")
     rhs = (F.lit(9.0) * F.col("n_user").cast("double")
            * (F.col("ss").cast("double") * F.col("n_user").cast("double")
               - F.col("s").cast("double") * F.col("s").cast("double")))

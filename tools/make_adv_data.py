@@ -25,6 +25,15 @@ zero-norm vector killed the whole job):
   a byte-exact duplicate of vec 0, its antipodal negation, and a
   one-hot axis vector
 
+The events table gets 9 edge events appended (this axis found three
+more job-killers: ANSI CAST_INVALID_INPUT on a non-numeric JSON field,
+DuckDB raising on malformed/empty JSON where Spark returns NULL, and
+INT64 overflow of sum-of-squares moments on one $10^10 value):
+
+- NULL value, NULL props, empty-string props, non-JSON props, nested
+  JSON, a 1e12 value, epoch-0 and year-2099 timestamps, an unseen
+  event_type
+
 All other tables copy through unchanged so every oracle runs:
 
     python tools/make_adv_data.py [out_dir]        # default /tmp/adv_sf
@@ -74,12 +83,40 @@ def main() -> None:
     import os
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         dst = f"{out}/{t}.parquet"
         if os.path.isdir(f"{BASE}/{t}.parquet"):
             shutil.copytree(f"{BASE}/{t}.parquet", dst, dirs_exist_ok=True)
         else:
             shutil.copy(f"{BASE}/{t}.parquet", dst)
+    evs = duckdb.connect().execute(
+        f"select event_id, ts, user_id, event_type, value, props from "
+        f"'{BASE}/events.parquet' order by event_id").fetchall()
+    erows = [list(r) for r in evs]
+    base_ts = erows[0][1]
+    import datetime as dt
+    erows += [
+        [700001, base_ts, 1, "view", None, '{"a": 1}'],
+        [700002, base_ts, 1, "purchase", None, None],
+        [700003, base_ts, 1, "click", 0.0, ""],
+        [700004, base_ts, 1, "view", -5.5, "not json at all"],
+        [700005, base_ts, 1, "purchase", 1e12,
+         '{"nested": {"deep": [1,2]}}'],
+        [700006, dt.datetime(1970, 1, 1), 2, "view", 1.0, "{}"],
+        [700007, dt.datetime(2099, 12, 31, 23, 59, 59, 999999), 2,
+         "click", 2.0, "{}"],
+        [700008, base_ts, 3, "UNKNOWN_TYPE", 3.0, "{}"],
+        [700009, base_ts, 1, "view", 12345.678,
+         '{"k":"v with \\"quotes\\""}'],
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in erows], pa.int64()),
+        "ts": pa.array([r[1] for r in erows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in erows], pa.int64()),
+        "event_type": pa.array([r[3] for r in erows], pa.string()),
+        "value": pa.array([r[4] for r in erows], pa.float64()),
+        "props": pa.array([r[5] for r in erows], pa.string()),
+    }), f"{out}/events.parquet")
     vecs = duckdb.connect().execute(
         f"select vec_id, embedding, label from "
         f"'{BASE}/embeddings.parquet' order by vec_id").fetchall()
