@@ -136,29 +136,37 @@ _GATE_ORDER = [
     "duplicate_spans", "simhash64",
     # r7-new entries (two-SF verified in tests/test_oracle_two_sf.py)
     "cct_merge_profiles", "cct_flame_diff", "semantic_decontaminate",
-    # r7-REWRITTEN entry (interval joins -> per-user window scan, the
-    # skewed-clone finding): must re-attest in the round it changed
-    "funnel_view_click_purchase",
+    # r7-CHANGED entries (the skew + adversarial-clone probe fixes):
+    # anything whose Spark or oracle source changed re-attests in the
+    # round it changed — the window's first duty after the canaries
+    "funnel_view_click_purchase",       # interval joins -> window scan
+    "winnow_fingerprints",              # NULL-text convention
+    "bpe_train_merges", "bpe_encode_stats",  # one ASCII-\s rule
+    "knn_cosine", "ivf_ann", "ivf_ann_trained",  # n2>0 cosine family
+    "lsh_near_dup_pairs", "embedding_dup_clusters",
+    "events_json_props",                # JSON tolerance both engines
+    "events_zscore_outliers",           # 128-bit moments
+    "ab_test_purchase_value",           # 128-bit moments
+    "hybrid_search_rrf",                # n2>0 on the dense leg
     # oldest re-attestations: latest green row is CORRECTNESS_r04
-    "cct_at_depth_3", "cct_depth_range_2_3", "cct_diff_returnflag",
+    # (every one also hash-exact at the 10x skew clone this round)
     "cct_flame_widths", "cct_hot_path_batch", "cct_hot_regions",
     "cct_hottest_child_per_parent", "cct_nodes", "cct_prefix_subtree",
     "cct_ratio_of_parent", "cct_ratio_of_parent_walkup",
     "cct_ratio_of_total", "cube_returnflag_status",
     "customer_spend_deciles", "events_asof_attribution",
-    "events_hourly", "events_json_props", "events_sliding",
-    "events_trailing_10min", "lineitem_grouping_sets",
-    "media_fake_features", "media_frame_sample", "price_quantiles",
-    "q10_returned_items", "q13_order_count_distribution",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q22_idle_customers", "q3_top_orders",
+    "events_hourly", "events_trailing_10min", "lineitem_grouping_sets",
+    "media_fake_features", "media_frame_sample",
+    "q15_top_supplier",
+    "q18_large_orders", "q3_top_orders",
     "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    # (set_ops_customers rotated out to the r8 queue to hold the
-    # 50-slot budget — unchanged since its r4 green row, lowest-risk
-    # drop; funnel_view_click_purchase took the slot after its
-    # rewrite)
+    # (rotated to the r8 queue for the 50-slot budget, all unchanged
+    # since their r4 green rows AND skew-clone hash-exact today:
+    # q13_order_count_distribution set_ops_customers cct_at_depth_3 cct_depth_range_2_3
+    # cct_diff_returnflag events_sliding price_quantiles
+    # q10_returned_items q14_promo_revenue q17_small_quantity_revenue
+    # q19_disjunctive_revenue q22_idle_customers)
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)

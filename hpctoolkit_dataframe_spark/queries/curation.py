@@ -186,6 +186,7 @@ e AS (
   SELECT vec_id, {_QINT_SQL.format(col='embedding')} AS qe,
          CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
   FROM embeddings
+  WHERE CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) > 0
 ),
 qv AS (SELECT * FROM e WHERE vec_id = {_HYBRID_QVEC}),
 dpair AS (
@@ -226,9 +227,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
     srank = (s.withColumn("r_sparse", F.row_number().over(ws).cast("long"))
              .select("doc_id", "r_sparse"))
+    # n2 > 0: the cosine-family zero-norm exclusion (one degenerate
+    # vector otherwise throws ANSI DIVIDE_BY_ZERO — adversarial probe)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
-        _norm2(F.col("embedding")).alias("n2"))
+        _norm2(F.col("embedding")).alias("n2")).filter(F.col("n2") > 0)
     qv = emb.filter(F.col("vec_id") == _HYBRID_QVEC).select(
         F.col("qe").alias("q_qe"), F.col("n2").alias("qn2"))
     cos = (_dot(F.col("q_qe"), F.col("qe")).cast("double")

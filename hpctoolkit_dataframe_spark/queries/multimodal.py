@@ -52,11 +52,17 @@ EVERY_NTH = 2
 
 
 @register("media_frame_sample", sql=f"""
+-- octet_length = length: this gate builds its fake blobs FROM text, so
+-- the char-sliced oracle only equals the byte-sliced operator for
+-- ASCII payloads (DuckDB has no BLOB substring) — the contract is now
+-- an explicit filter on both engines instead of a corpus assumption
+-- (a CJK doc in the adversarial clone broke the implicit version)
 WITH f AS (
   SELECT doc_id AS media_id, text,
          unnest(range(0, CAST(ceil(length(text) / {CHUNK}.0) AS BIGINT)))
            AS frame_idx
-  FROM documents WHERE doc_id % 5 = 0
+  FROM documents
+  WHERE doc_id % 5 = 0 AND octet_length(encode(text)) = length(text)
 )
 SELECT media_id,
        CAST(frame_idx AS BIGINT) AS frame_idx,
@@ -74,7 +80,10 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
+        # ASCII-payload contract made explicit (see the oracle SQL
+        # comment): the operator slices BYTES, the oracle slices CHARS
+        .filter((F.col("doc_id") % 5 == 0)
+                & (F.octet_length("text") == F.length("text")))
         # one input file -> one split; spread before the Python stage
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(F.col("doc_id").alias("media_id"),
