@@ -57,6 +57,10 @@ def bench_xml(spark) -> float:
 
 
 def main() -> None:
+    # loadavg BEFORE the session spins up its 32 threads: the cleanest
+    # external-noise signal — per-query samples below include our own
+    # tasks, the pre-Spark sample cannot
+    load_pre_spark = list(os.getloadavg())
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -117,6 +121,11 @@ def main() -> None:
     # round-over-round deltas uninterpretable.  Sub-5s queries re-run
     # to a median-of-3; the expensive tail keeps one sample (its
     # relative noise is smaller and 3x would add minutes).
+    # VERDICT r7 #6: the box's load swings 0-10 within minutes and two
+    # rounds of bench adjudication burned time separating noise from
+    # regression — sample the 1-min loadavg around every query so the
+    # quiet/loaded call is mechanical, not lore.
+    loads: dict[str, list[float]] = {}
     for name, q in REGISTRY.items():
         if name in ("cct_xml_ingest", "cct_flat_profile",
                     "cct_callers_view"):
@@ -125,6 +134,7 @@ def main() -> None:
             # xml_load_hot_path above already measures
             continue
         samples = []
+        load0 = os.getloadavg()[0]
         try:
             while True:
                 t0 = time.time()
@@ -137,6 +147,7 @@ def main() -> None:
             print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        loads[name] = [round(load0, 2), round(os.getloadavg()[0], 2)]
 
     # The driver's capture keeps only a ~2 KB TAIL of stdout, and the
     # full 130+-entry per-query map is ~4 KB — round 5's BENCH json
@@ -144,11 +155,14 @@ def main() -> None:
     # value) was truncated away (VERDICT r5 #3).  Keep the final line
     # SHORT (summary + the slowest queries only) and write the complete
     # per-query map to bench_details.json next to this script.
+    ext_load = [ld for pair in loads.values() for ld in pair]
     details = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "loadavg_per_query": loads,
+        "load_pre_spark": [round(x, 2) for x in load_pre_spark],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -166,6 +180,9 @@ def main() -> None:
         "max": max(timings.values()) if timings else 0.0,
         "queries": slowest,
         "queries_full": "bench_details.json",
+        "load_pre_spark": [round(x, 2) for x in load_pre_spark],
+        "load_during": ([round(min(ext_load), 2), round(max(ext_load), 2)]
+                        if ext_load else []),
         "sf": details["sf"],
     }
     print(json.dumps(out))

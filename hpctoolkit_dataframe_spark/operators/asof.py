@@ -109,6 +109,13 @@ def asof_join(
         .withColumn("__m", matched)
         .filter(F.col("__tag") == probe_tag)
     )
+    # equi-join semantics: a NULL key never matches anything, but the
+    # window groups all NULL-key rows into one partition where a
+    # NULL-key probe would see NULL-key right rows — mask it (r8)
+    keys_ok = F.lit(True)
+    for k in keys:
+        keys_ok = keys_ok & F.col(k).isNotNull()
+    out = out.withColumn("__m", F.when(keys_ok, F.col("__m")))
     if tolerance is not None:
         out = out.withColumn(
             "__m",

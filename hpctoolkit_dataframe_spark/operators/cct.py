@@ -47,21 +47,43 @@ ROOT_ID = -1  # reference _ROOT_INDEX, hpctoolkit_dataframe.py:48
 SHJ_ROWS_PER_HEAP_GIB = 800_000
 
 
+def _parse_mem_gib(mem: str) -> float:
+    """Parse a Spark memory string to GiB, matching JavaUtils
+    byteStringAsMb: optional single-letter unit with optional trailing
+    'b' ('8g', '8gb', '512mb'), and a BARE number means MiB (Spark's
+    convention for spark.*.memory), not bytes."""
+    mem = mem.strip().lower()
+    units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1, "t": 1024,
+             "p": 1024 * 1024}
+    if mem.endswith("b") and len(mem) > 1 and mem[-2] in units:
+        mem = mem[:-1]
+    try:
+        if mem[-1] in units:
+            return float(mem[:-1]) * units[mem[-1]]
+        return float(mem) / 1024  # bare number = MiB (JavaUtils)
+    except (ValueError, IndexError):
+        return 1.0
+
+
 def _shj_build_row_cap(spark) -> int:
     """Heap-proportional SHJ build-side cap.  Local mode does the work
-    in the driver JVM; on a cluster the executors build the maps —
-    size against whichever heap applies."""
+    in the driver JVM; on a cluster the executors build the maps — and
+    the map is PER TASK, so the executor heap is divided by its task
+    slots (spark.executor.cores).  The 800k/GiB density was calibrated
+    in local mode, where concurrent tasks share the driver heap but the
+    probed joins run effectively one-at-a-time; on a cluster the
+    per-slot division is the conservative reading of the same data."""
     conf = spark.sparkContext.getConf()
     master = conf.get("spark.master", "")
-    key = ("spark.driver.memory" if master.startswith("local")
-           else "spark.executor.memory")
-    mem = conf.get(key, "1g").strip().lower()
-    units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1, "t": 1024}
-    try:
-        gib = (float(mem[:-1]) * units[mem[-1]] if mem[-1] in units
-               else float(mem) / (1024 ** 3))  # bare bytes
-    except ValueError:
-        gib = 1.0
+    if master.startswith("local"):
+        gib = _parse_mem_gib(conf.get("spark.driver.memory", "1g"))
+    else:
+        gib = _parse_mem_gib(conf.get("spark.executor.memory", "1g"))
+        try:
+            slots = max(1, int(conf.get("spark.executor.cores", "1")))
+        except ValueError:
+            slots = 1
+        gib /= slots
     return max(1, int(gib * SHJ_ROWS_PER_HEAP_GIB))
 
 

@@ -294,39 +294,57 @@ SELECT vec_id, cell,
 FROM n"""
 
 
-def _semdedup_mark(_key, pdf):
-    """Per-cell verify kernel (runs worker-side under applyInPandas):
-    one exact int64 GEMM gives every pairwise dot (|dot| <= ~1e11, far
-    inside int64), then the threshold compare 400*dot^2 >= 49*n2a*n2b
-    (magnitudes ~1e23, NOT representable in int64/float64 exactly) is
-    decided by a float64 prefilter with a 1e-9 relative margin — six
-    orders of magnitude wider than the ~5e-16 compute error, so
-    off-margin verdicts are certain — and only boundary pairs fall
-    through to arbitrary-precision Python ints.  Same result as the
-    all-exact oracle, at GEMM speed."""
+def _semdedup_mark_pair(_key, pdf):
+    """Chunk-pair verify kernel (runs worker-side under applyInPandas).
+
+    The group key is (cell, __pair) where __pair = (probe_chunk << 15)
+    | ref_chunk; chunks are contiguous CAP-sized runs of the cell's
+    vec_id-sorted members.  A probe row is a semdup iff SOME lower-id
+    cell member clears the cosine threshold — chunk ordering makes
+    every ref-chunk member lower-id than every probe-chunk member, so
+    cross-chunk pairs need no triangular mask and within-chunk pairs
+    (probe == ref chunk) keep the j < i mask.  ORing the per-pair
+    verdicts (the groupBy max downstream) reproduces the single-cell
+    kernel EXACTLY while a degenerate giant cell fans out over
+    O((n/CAP)^2) parallel tasks instead of one (SKEW_r07's x4.4 worst
+    entry; x23.7 at 30x skew).
+
+    Numerics unchanged from r6: one exact int64 GEMM (|dot| <= ~1e11),
+    threshold 400*dot^2 >= 49*n2a*n2b decided by a float64 prefilter
+    with a 1e-9 relative margin (six orders above the ~5e-16 compute
+    error), boundary pairs re-checked in arbitrary-precision ints."""
     import numpy as np
     import pandas as pd
 
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-    n = len(pdf)
-    if n == 0:
+    if len(pdf) == 0:
         return pd.DataFrame({"vec_id": [], "cell": [], "is_semdup": []})
-    q = np.array(pdf["qe"].tolist(), dtype=np.int64)
-    n2i = np.einsum("ij,ij->i", q, q)
-    n2 = n2i.astype(np.float64)
-    dup = np.zeros(n, dtype=bool)
-    # row-blocked GEMM: peak extra memory is O(block * n), never
-    # O(n^2), so a degenerate giant cell (20k identical boilerplate
-    # vectors in one bucket — scale_smoke case) stays bounded
-    block = max(256, min(n, 4_194_304 // max(n, 1) + 1))
-    for lo in range(1, n, block):
-        hi = min(lo + block, n)
-        g = q[lo:hi] @ q.T                       # exact int64 dots
+    pair = int(pdf["__pair"].iloc[0])
+    p_chunk, r_chunk = pair >> 15, pair & 0x7FFF
+    triangular = p_chunk == r_chunk
+    probes = pdf[pdf["__chunk"] == p_chunk].reset_index(drop=True)
+    refs = probes if triangular else \
+        pdf[pdf["__chunk"] == r_chunk].reset_index(drop=True)
+    qp = np.array(probes["qe"].tolist(), dtype=np.int64)
+    qr = qp if triangular else np.array(refs["qe"].tolist(),
+                                        dtype=np.int64)
+    n2p_i = np.einsum("ij,ij->i", qp, qp)
+    n2r_i = n2p_i if triangular else np.einsum("ij,ij->i", qr, qr)
+    n2p, n2r = n2p_i.astype(np.float64), n2r_i.astype(np.float64)
+    n_p, n_r = len(qp), len(qr)
+    dup = np.zeros(n_p, dtype=bool)
+    # row-blocked GEMM: peak extra memory is O(block * n_r), never
+    # O(n^2), so even the within-chunk CAP x CAP block stays bounded
+    block = max(256, min(n_p, 4_194_304 // max(n_r, 1) + 1))
+    for lo in range(1 if triangular else 0, n_p, block):
+        hi = min(lo + block, n_p)
+        g = qp[lo:hi] @ qr.T                     # exact int64 dots
         lhs = SEMDEDUP_DEN * g.astype(np.float64) ** 2
-        rhs = SEMDEDUP_NUM * np.outer(n2[lo:hi], n2)
-        col = np.arange(n)[None, :]
-        lower = col < np.arange(lo, hi)[:, None]  # j < i
-        cand = (g > 0) & lower
+        rhs = SEMDEDUP_NUM * np.outer(n2p[lo:hi], n2r)
+        cand = g > 0
+        if triangular:
+            col = np.arange(n_r)[None, :]
+            cand &= col < np.arange(lo, hi)[:, None]  # j < i
         certain = cand & (lhs >= rhs * (1 + 1e-9))
         near = cand & ~certain & (lhs >= rhs * (1 - 1e-9))
         dup[lo:hi] |= certain.any(axis=1)
@@ -335,13 +353,16 @@ def _semdedup_mark(_key, pdf):
             if not dup[i]:
                 d = int(g[bi, j])
                 if (SEMDEDUP_DEN * d * d
-                        >= SEMDEDUP_NUM * int(n2i[i]) * int(n2i[j])):
+                        >= SEMDEDUP_NUM * int(n2p_i[i]) * int(n2r_i[j])):
                     dup[i] = True
     return pd.DataFrame({
-        "vec_id": pdf["vec_id"],
-        "cell": pdf["cell"],
+        "vec_id": probes["vec_id"],
+        "cell": probes["cell"],
         "is_semdup": dup.astype("int32"),
     })
+
+
+SEMDEDUP_CELL_CAP = 2048  # rows per chunk of a cell's verify GEMM
 
 
 @register("semdedup_prune", sql=_SEMDEDUP_SQL)
@@ -354,15 +375,54 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM zip_with self-join ran the same dots interpreted per element
     at ~4 s vs ~0.3 s here at sf0.1).  Keep-lowest-id policy; the
     threshold compare is exact integer arithmetic (float prefilter,
-    big-int boundary check)."""
+    big-int boundary check).
+
+    Giant-cell cap (r8, the last uncapped degenerate-bucket knob —
+    SKEW_r07's worst entry): cells above SEMDEDUP_CELL_CAP members are
+    sub-split into vec_id-contiguous chunks and the verify runs per
+    (probe_chunk, ref_chunk <= probe_chunk) pair — exact semantics
+    (cross-chunk refs are ALL lower-id by the sort; within-chunk keeps
+    j < i), with the one giant task fanned out over (n/CAP)^2 parallel
+    ones.  Each row is shuffled ceil(n_cell/CAP) times, so total I/O
+    is O(n * n/CAP) rows — bounded by the same quadratic the verify
+    itself already pays, but parallel.  Cells at or under the cap take
+    the identical single-group path as before."""
     from .._pickle import register_module_by_value
 
-    register_module_by_value(__name__)  # _semdedup_mark runs worker-side
+    register_module_by_value(__name__)  # kernel runs worker-side
     _, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
     base = assigned.select("vec_id", "cell", "qe")
-    return (base.groupBy("cell")
-            .applyInPandas(_semdedup_mark,
-                           "vec_id long, cell long, is_semdup int"))
+    wc = Window.partitionBy("cell").orderBy("vec_id")
+    wall = wc.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    cap = F.lit(SEMDEDUP_CELL_CAP)
+    ranked = base.select(
+        "vec_id", "cell", "qe",
+        F.floor((F.row_number().over(wc) - 1) / cap)
+        .cast("int").alias("__chunk"),
+        F.ceil(F.count(F.lit(1)).over(wall) / cap)
+        .cast("int").alias("__nch"))
+    # group memberships of a chunk-c row: probe in pairs (c, 0..c),
+    # ref in pairs (c+1..K-1, c); pair key = (probe << 15) | ref
+    as_probe = F.transform(
+        F.sequence(F.lit(0), F.col("__chunk")),
+        lambda r: F.shiftleft(F.col("__chunk"), 15) + r)
+    as_ref = F.when(
+        F.col("__chunk") < F.col("__nch") - 1,
+        F.transform(F.sequence(F.col("__chunk") + 1, F.col("__nch") - 1),
+                    lambda p: F.shiftleft(p, 15) + F.col("__chunk"))
+    ).otherwise(F.array().cast("array<int>"))
+    fanned = ranked.select(
+        "vec_id", "cell", "qe", "__chunk",
+        F.explode(F.concat(as_probe, as_ref)).alias("__pair"))
+    marked = (fanned.groupBy("cell", "__pair")
+              .applyInPandas(_semdedup_mark_pair,
+                             "vec_id long, cell long, is_semdup int"))
+    # OR the per-pair verdicts; single-chunk cells (the normal case)
+    # emit exactly one verdict per row and pass through unchanged
+    return (marked.groupBy("vec_id", "cell")
+            .agg(F.max("is_semdup").cast("int").alias("is_semdup"))
+            .select("vec_id", "cell", "is_semdup"))
 
 
 # ---------------------------------------------------------------------------

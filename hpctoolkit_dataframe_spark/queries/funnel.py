@@ -122,8 +122,15 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce("nxt_p", F.lit(sent)).alias("p"))))
         .over(later))
     v = (e2.filter(F.col("event_type") == "view")
-         .select("event_id", F.col("ts_us").alias("v_ts"), "nxt_c"))
-    clicked = F.col("nxt_c.c") <= F.col("v_ts") + FUNNEL_H_US
+         .select("event_id", "user_id",
+                 F.col("ts_us").alias("v_ts"), "nxt_c"))
+    # NULL-user views count in n_views (the SQL's per_day_v keeps
+    # them) but can never convert: the oracle's equi-join never
+    # matches NULL keys, while partitionBy("user_id") groups NULL
+    # users into ONE partition where the scan would happily pair a
+    # NULL-user view with a NULL-user click (ADVICE r7).
+    clicked = (F.col("user_id").isNotNull()
+               & (F.col("nxt_c.c") <= F.col("v_ts") + FUNNEL_H_US))
     purchased = clicked & (F.col("nxt_c.p") <= F.col("nxt_c.c")
                            + FUNNEL_H_US)
     day = F.expr(f"v_ts div {_US_PER_DAY}").alias("day")

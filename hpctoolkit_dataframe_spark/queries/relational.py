@@ -1269,7 +1269,13 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole job (adversarial-events probe).  Max |term| is
     (2^63)^2 ~ 8.5e37 — inside both DECIMAL(38,0) and HUGEINT; the
     final to-DOUBLE casts of identical exact integers round identically
-    on both engines."""
+    on both engines.  Summed-moments bound (ADVICE r7): the per-user
+    SUM of such terms caps lower on Spark (DECIMAL(38,0) throws past
+    ~1e38) than DuckDB (HUGEINT ~1.7e38), leaving a narrow band where
+    the oracle passes and Spark dies — reaching it needs ~1e9 events
+    of ~$9e13 each for ONE user, accepted as out of contract for
+    cents data (clamp value_cents at ingest if a deployment ever
+    holds such values)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull())
     c = ev.select(

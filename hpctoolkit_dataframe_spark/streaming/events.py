@@ -707,7 +707,14 @@ def _first_point_after(anchors: DataFrame, points: DataFrame,
                                              F.col("__ts"))).over(w)))
     return (scanned.filter(F.col("__rk") == 1)
             .select(F.col("__on").alias(on),
-                    *[c for c in acols if c != on], out))
+                    *[c for c in acols if c != on],
+                    # a NULL key never matches under the equi-join
+                    # semantics this scan replaces, but NULL keys
+                    # share one window partition — mask the min so a
+                    # NULL-key anchor cannot claim a NULL-key point
+                    # (ADVICE r7; batch twin applies the same guard)
+                    F.when(F.col("__on").isNotNull(), F.col(out))
+                    .alias(out)))
 
 
 def run_funnel_stream(events_stream: DataFrame, prefix: str,

@@ -85,6 +85,21 @@ def test_semdedup_matches_bruteforce_cosine(spark):
             assert got[hi][1] == expect, (hi, cell, expect)
 
 
+def test_semdedup_chunked_equals_single_chunk(spark, monkeypatch):
+    """The r8 giant-cell sub-split is EXACT: forcing every cell to
+    multi-chunk (cap=16, vs sf0.001 cells of up to ~hundreds) must
+    reproduce the single-chunk verdicts bit-for-bit."""
+    from hpctoolkit_dataframe_spark.queries import curation
+
+    base = {(r["vec_id"], r["cell"], r["is_semdup"]) for r in
+            REGISTRY["semdedup_prune"].fn(spark, SF_DIR).collect()}
+    monkeypatch.setattr(curation, "SEMDEDUP_CELL_CAP", 16)
+    split = {(r["vec_id"], r["cell"], r["is_semdup"]) for r in
+             REGISTRY["semdedup_prune"].fn(spark, SF_DIR).collect()}
+    assert split == base
+    assert len(base) > 0
+
+
 def test_keep_best_one_winner_per_cluster(spark):
     rows = REGISTRY["dedup_keep_best"].fn(spark, SF_DIR).collect()
     by_cluster = {}

@@ -100,3 +100,18 @@ def test_shj_cap_scales_with_heap(spark):
     scale = {"k": 1 / 2**20, "m": 1 / 2**10, "g": 1, "t": 2**10}[m.group(2)]
     expect = max(1, int(float(m.group(1)) * scale * SHJ_ROWS_PER_HEAP_GIB))
     assert _shj_build_row_cap(spark) == expect
+
+
+def test_mem_string_parser_matches_javautils():
+    """ADVICE r7: '8gb'/'512mb' two-letter suffixes and bare-number-
+    means-MiB must match Spark's JavaUtils.byteStringAsMb convention."""
+    from hpctoolkit_dataframe_spark.operators.cct import _parse_mem_gib
+
+    assert _parse_mem_gib("8g") == 8.0
+    assert _parse_mem_gib("8gb") == 8.0
+    assert _parse_mem_gib("512mb") == 0.5
+    assert _parse_mem_gib("512m") == 0.5
+    assert _parse_mem_gib("4096") == 4.0      # bare number = MiB
+    assert _parse_mem_gib("1t") == 1024.0
+    assert _parse_mem_gib("1048576k") == 1.0
+    assert _parse_mem_gib("garbage") == 1.0   # fallback unchanged

@@ -25,14 +25,16 @@ zero-norm vector killed the whole job):
   a byte-exact duplicate of vec 0, its antipodal negation, and a
   one-hot axis vector
 
-The events table gets 9 edge events appended (this axis found three
+The events table gets 12 edge events appended (this axis found three
 more job-killers: ANSI CAST_INVALID_INPUT on a non-numeric JSON field,
 DuckDB raising on malformed/empty JSON where Spark returns NULL, and
 INT64 overflow of sum-of-squares moments on one $10^10 value):
 
 - NULL value, NULL props, empty-string props, non-JSON props, nested
   JSON, a 1e12 value, epoch-0 and year-2099 timestamps, an unseen
-  event_type
+  event_type, and a NULL-user view->click->purchase chain (equi-joins
+  never match NULL keys; window scans partitioned by user_id must
+  apply the same convention — r8)
 
 All other tables copy through unchanged so every oracle runs:
 
@@ -108,6 +110,16 @@ def main() -> None:
         [700008, base_ts, 3, "UNKNOWN_TYPE", 3.0, "{}"],
         [700009, base_ts, 1, "view", 12345.678,
          '{"k":"v with \\"quotes\\""}'],
+        # NULL-user funnel chain (r8, ADVICE r7): an equi-join never
+        # matches NULL keys, but a window partitioned by user_id puts
+        # all NULL users in ONE partition — these three rows form a
+        # perfect view->click->purchase chain that must count as an
+        # unconverted view in both engines.
+        [700010, base_ts, None, "view", 1.0, "{}"],
+        [700011, base_ts + dt.timedelta(hours=1), None, "click",
+         1.0, "{}"],
+        [700012, base_ts + dt.timedelta(hours=2), None, "purchase",
+         9.99, "{}"],
     ]
     pq.write_table(pa.table({
         "event_id": pa.array([r[0] for r in erows], pa.int64()),
