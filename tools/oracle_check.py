@@ -9,7 +9,17 @@ value comparison.  Floats are compared bit-exactly first; near-misses
 driver runs.
 
 Usage: python tools/oracle_check.py [--plain-session] [--lenient-floats]
+                                    [--hash-threshold=N] [--no-hash]
                                     [sf_dir] [query ...]
+
+Results above ``--hash-threshold`` rows (default 2,000,000) are compared
+via the order-insensitive multiset digest in
+``hpctoolkit_dataframe_spark/oracle_hash.py`` instead of collecting:
+Spark folds per-partition digests with mapInArrow (no row reaches the
+driver), DuckDB streams Arrow batches, and both sides share one
+canonicalizer so the compare stays value-exact.  This is what lets the
+100x-clone sweep attest ~62M-row CCT results that ``collect()`` cannot
+hold.  ``--no-hash`` forces the legacy collect path for every size.
 
 ``--plain-session`` builds a DEFAULT SparkSession (no UTC tz, no
 nanosAsLong, no Arrow, no AQE tuning) — the driver's gate runs under
@@ -60,6 +70,12 @@ def main():
     argv = sys.argv[1:]
     plain = "--plain-session" in argv
     lenient = "--lenient-floats" in argv
+    hash_threshold = 2_000_000
+    for a in argv:
+        if a.startswith("--hash-threshold="):
+            hash_threshold = int(a.split("=", 1)[1])
+    if "--no-hash" in argv:
+        hash_threshold = 0
     argv = [a for a in argv if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
@@ -98,15 +114,62 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            if hash_threshold:
+                # limit-probe: for small results this IS the full set
+                # (one execution, as before); larger ones switch to the
+                # distributed digest without ever collecting rows
+                probe = [tuple(r) for r in
+                         sdf.limit(hash_threshold + 1).collect()]
+                big = len(probe) > hash_threshold
+                s_rows = None if big else probe
+            else:
+                big = False
+                s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"SKIP {name}: no oracle (rows-only check: {len(s_rows)} rows, "
+            n_s = sdf.count() if big else len(s_rows)
+            print(f"SKIP {name}: no oracle (rows-only check: {n_s} rows, "
                   f"{time.time()-t0:.1f}s)")
+            continue
+        if big:
+            from hpctoolkit_dataframe_spark import oracle_hash as oh
+
+            col_order = sorted(s_cols)
+            try:
+                s_dig = oh.spark_digest(sdf, col_order)
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+                continue
+            try:
+                res = con.execute(sql)
+                d_cols = [d[0] for d in res.description]
+                if sorted(s_cols) != sorted(d_cols):
+                    failures.append(name)
+                    print(f"FAIL {name}: columns differ: spark={s_cols} "
+                          f"duck={d_cols}")
+                    continue
+                d_dig = oh.duckdb_digest(res, col_order)
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+                continue
+            if s_dig[0] != d_dig[0]:
+                failures.append(name)
+                print(f"FAIL {name}: row count: spark={s_dig[0]} "
+                      f"duck={d_dig[0]}")
+            elif s_dig != d_dig:
+                failures.append(name)
+                print(f"FAIL {name}: multiset digest mismatch over "
+                      f"{s_dig[0]} rows (value-exact compare; rerun the "
+                      "exact path on a filtered slice to diagnose)")
+            else:
+                print(f"OK   {name}: {s_dig[0]} rows "
+                      f"(hash-compare, {time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(sql)
