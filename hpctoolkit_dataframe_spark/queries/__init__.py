@@ -134,39 +134,35 @@ _GATE_ORDER = [
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
     "cct_hot_path", "q1_pricing_summary", "events_sessions",
     "duplicate_spans", "simhash64",
-    # r7-new entries (two-SF verified in tests/test_oracle_two_sf.py)
-    "cct_merge_profiles", "cct_flame_diff", "semantic_decontaminate",
-    # r7-CHANGED entries (the skew + adversarial-clone probe fixes):
-    # anything whose Spark or oracle source changed re-attests in the
-    # round it changed — the window's first duty after the canaries
-    "funnel_view_click_purchase",       # interval joins -> window scan
-    "winnow_fingerprints",              # NULL-text convention
-    "bpe_train_merges", "bpe_encode_stats",  # one ASCII-\s rule
-    "knn_cosine", "ivf_ann", "ivf_ann_trained",  # n2>0 cosine family
-    "lsh_near_dup_pairs", "embedding_dup_clusters",
-    "events_json_props",                # JSON tolerance both engines
-    "events_zscore_outliers",           # 128-bit moments
-    "ab_test_purchase_value",           # 128-bit moments
-    "hybrid_search_rrf",                # n2>0 on the dense leg
-    # oldest re-attestations: latest green row is CORRECTNESS_r04
-    # (every one also hash-exact at the 10x skew clone this round)
-    "cct_flame_widths", "cct_hot_path_batch", "cct_hot_regions",
-    "cct_hottest_child_per_parent", "cct_nodes", "cct_prefix_subtree",
-    "cct_ratio_of_parent", "cct_ratio_of_parent_walkup",
-    "cct_ratio_of_total", "cube_returnflag_status",
-    "customer_spend_deciles", "events_asof_attribution",
-    "events_hourly", "events_trailing_10min", "lineitem_grouping_sets",
-    "media_fake_features", "media_frame_sample",
-    "q15_top_supplier",
-    "q18_large_orders", "q3_top_orders",
-    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    # (rotated to the r8 queue for the 50-slot budget, all unchanged
-    # since their r4 green rows AND skew-clone hash-exact today:
-    # q13_order_count_distribution set_ops_customers cct_at_depth_3 cct_depth_range_2_3
-    # cct_diff_returnflag events_sliding price_quantiles
-    # q10_returned_items q14_promo_revenue q17_small_quantity_revenue
-    # q19_disjunctive_revenue q22_idle_customers)
+    # r8-CHANGED entries (the ADVICE-r7 fixes in a2e003e): anything
+    # whose Spark or oracle source changed re-attests in the round it
+    # changed — the window's first duty after the canaries
+    "funnel_view_click_purchase",       # NULL-user window-scan guard
+    "events_asof_attribution",          # NULL-key asof convention
+    "semdedup_prune",                   # giant-cell sub-split
+    "cct_ratio_of_parent_walkup",       # SHJ-cap parser rewrite
+    # ALL 20 remaining r4-latest entries (CORRECTNESS r01-r07 union):
+    # after this window no entry's latest green row predates r5
+    "cct_at_depth_3", "cct_depth_range_2_3", "cct_diff_returnflag",
+    "cct_sample_by_hash", "cct_stride_sample", "cct_suffix_filter",
+    "customers_without_big_orders", "distinct_types_per_brand",
+    "events_sliding", "events_user_pivot", "price_quantiles",
+    "purchase_view_windows", "q10_returned_items",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q22_idle_customers", "set_ops_customers", "top_customer_per_nation",
+    # oldest re-attestations: 18 of the 32 r5-latest entries
+    # (alphabetical; the other 14 head the r9 queue:
+    # pack_sequences posting_lists pq_ann pq_codes quality_top_decile
+    # repetition_ratio simhash_near_dup_pairs source_token_totals
+    # split_leakage_report stratified_sample token_df_vocab
+    # top_terms_per_doc training_shard_manifest user_value_history)
+    "bpe_token_stats", "corpus_report", "decontaminate",
+    "dedup_clusters", "dedup_exact", "doc_chunks", "doc_stats",
+    "duplicate_span_stats", "embedding_centroids", "incremental_dedup",
+    "ivfpq_ann", "keyword_search_topk", "kmeans_centroids",
+    "lang_guess", "lsh_verified_pairs", "minhash_lsh_pairs",
+    "minhash_signatures", "ngram_jaccard_pairs",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)
