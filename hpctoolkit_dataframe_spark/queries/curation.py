@@ -53,7 +53,7 @@ from pyspark.sql.window import Window
 from . import REGISTRY, load_table, register
 from .vectors import (
     DIM, KMEANS_ITERS, _NORM2_SQL, _QINT_SQL, _dot, _kmeans_ctes, _lloyd,
-    _norm2, _qint, _quantized_corpus)
+    _nonzero_embedding, _norm2, _qint, _quantized_corpus)
 
 # ---------------------------------------------------------------------------
 # BM25 top-k ranking
@@ -227,11 +227,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
     srank = (s.withColumn("r_sparse", F.row_number().over(ws).cast("long"))
              .select("doc_id", "r_sparse"))
-    # n2 > 0: the cosine-family zero-norm exclusion (one degenerate
-    # vector otherwise throws ANSI DIVIDE_BY_ZERO — adversarial probe)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # cosine-family zero-norm exclusion (one degenerate vector
+    # otherwise throws ANSI DIVIDE_BY_ZERO — adversarial probe); the
+    # raw-array predicate avoids re-evaluating the norm lambda in the
+    # pushed-down filter (vectors._nonzero_embedding docstring)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        _nonzero_embedding(F.col("embedding"))).select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
-        _norm2(F.col("embedding")).alias("n2")).filter(F.col("n2") > 0)
+        _norm2(F.col("embedding")).alias("n2"))
     qv = emb.filter(F.col("vec_id") == _HYBRID_QVEC).select(
         F.col("qe").alias("q_qe"), F.col("n2").alias("qn2"))
     cos = (_dot(F.col("q_qe"), F.col("qe")).cast("double")
@@ -1372,14 +1375,16 @@ SELECT vec_id AS doc_id, b_id AS nearest_bench, cos AS max_cos,
        CAST(cos >= {SEM_LEAK_COSINE} AS INTEGER) AS is_leaked
 FROM ranked WHERE rk = 1""")
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # n2 > 0 on BOTH sides: a zero-norm vector has no defined cosine —
-    # without the filter one degenerate vector THROWS Spark's ANSI
-    # DIVIDE_BY_ZERO and kills the whole job (the r7 adversarial-
-    # embeddings probe finding); excluded-no-verdict is the same
-    # convention winnow applies to NULL text
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # zero-norm exclusion on BOTH sides: a zero-norm vector has no
+    # defined cosine — without the filter one degenerate vector THROWS
+    # Spark's ANSI DIVIDE_BY_ZERO and kills the whole job (the r7
+    # adversarial-embeddings probe finding); excluded-no-verdict is the
+    # same convention winnow applies to NULL text.  Raw-array predicate
+    # per vectors._nonzero_embedding (no double norm evaluation).
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        _nonzero_embedding(F.col("embedding"))).select(
         "vec_id", "label", _qint(F.col("embedding")).alias("qe"),
-        _norm2(F.col("embedding")).alias("n2")).filter(F.col("n2") > 0)
+        _norm2(F.col("embedding")).alias("n2"))
     bench = emb.filter(F.col("label") == 9).select(
         F.col("vec_id").alias("b_id"), F.col("qe").alias("b_qe"),
         F.col("n2").alias("b_n2"))

@@ -74,6 +74,25 @@ def _norm2(col):
 _NORM2_SQL = ("list_sum(list_transform(" + _QINT_SQL + ", v -> v * v))")
 
 
+def _nonzero_embedding(col):
+    """Pushdown-cheap exact twin of ``_norm2(col) > 0`` on the RAW array.
+
+    n2 = sum(qe^2) is NULL iff the array is NULL or has a NULL element,
+    and 0 iff every element quantizes to 0; qe[i] = ROUND(x*QUANT)
+    (HALF_UP, away from zero) != 0  <=>  |CAST(x AS DOUBLE) * QUANT|
+    >= 0.5 evaluated on the very same double.  Filtering the RAW column
+    instead of the computed n2 matters: predicate pushdown substitutes
+    the alias, so ``filter(n2 > 0)`` re-evaluates the whole interpreted
+    O(dim) norm lambda in a Filter node below the Project that computes
+    it again (r8 matched-load A/B: knn_cosine x1.3 from exactly this).
+    Both exists() scans short-circuit at the first hit.  The DuckDB
+    oracles keep ``WHERE n2 > 0`` — the equivalence is engine-internal.
+    """
+    q = F.lit(float(QUANT))
+    return (~F.exists(col, lambda x: x.isNull())) & F.exists(
+        col, lambda x: F.abs(x.cast("double") * q) >= F.lit(0.5))
+
+
 # ---------------------------------------------------------------------------
 # brute-force cosine top-k (correctness baseline)
 # ---------------------------------------------------------------------------
@@ -113,11 +132,12 @@ def _exact_topk(spark: SparkSession, sf_dir: str,
     """Brute-force exact cosine top-k — the ground truth every ANN
     variant's recall is measured against (tests/test_vectors.py recall
     curves)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        _nonzero_embedding(F.col("embedding"))).select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
-        _norm2(F.col("embedding")).alias("n2")).filter(F.col("n2") > 0)
-    # n2 > 0: zero-norm vectors have no cosine (ANSI DIVIDE_BY_ZERO
-    # otherwise — adversarial-embeddings probe); same WHERE in the SQL
+        _norm2(F.col("embedding")).alias("n2"))
+    # zero-norm vectors have no cosine (ANSI DIVIDE_BY_ZERO otherwise —
+    # adversarial-embeddings probe); WHERE n2 > 0 in the SQL
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"),
         F.col("n2").alias("q_n2"))
@@ -326,10 +346,11 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (session_key(spark), sf_dir)
     bucketed = _BUCKETED_CACHE.get(cache_key)
     if bucketed is None:
-        emb = load_table(spark, sf_dir, "embeddings").select(
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            _nonzero_embedding(F.col("embedding"))).select(
             "vec_id", _qint(F.col("embedding")).alias("qe"),
-            _norm2(F.col("embedding")).alias("n2")).filter(
-            F.col("n2") > 0)  # zero-norm: no cosine (ANSI div-by-zero)
+            _norm2(F.col("embedding")).alias("n2"))
+        # zero-norm: no cosine (ANSI div-by-zero)
         bucket = None
         for k, plane in enumerate(PLANES):
             lits = F.array(*[F.lit(s).cast("long") for s in plane])
