@@ -340,3 +340,21 @@ def test_registry_wide_plan_census(spark):
     rows = plan_census.census(spark, SF_DIR, list(REGISTRY))
     bad = plan_census.violations(rows)
     assert not bad, bad
+
+
+def test_cosine_zero_norm_filter_has_no_norm_lambda(spark):
+    """The cosine family's zero-norm exclusion must never evaluate the
+    O(dim) norm aggregate inside a Filter node: Catalyst pushes an
+    aliased-column filter below the Project with the alias substituted,
+    which made the interpreted norm lambda run twice per corpus row
+    (r8 matched-load A/B: a real x1.3 on knn_cosine).  The guard is the
+    short-circuit exists() pair on the raw array (vectors.
+    _nonzero_embedding); the norm aggregate may appear only in Project
+    nodes."""
+    for name in ("knn_cosine", "hybrid_search_rrf",
+                 "semantic_decontaminate"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = explain.executed_plan(df)
+        bad = [ln for ln in plan.splitlines()
+               if "Filter" in ln and "aggregate(" in ln]
+        assert not bad, (name, bad[:2])
