@@ -1375,31 +1375,84 @@ SELECT vec_id AS doc_id, b_id AS nearest_bench, cos AS max_cos,
        CAST(cos >= {SEM_LEAK_COSINE} AS INTEGER) AS is_leaked
 FROM ranked WHERE rk = 1""")
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One training-corpus scan against a broadcast benchmark matrix.
+
+    r8 rewrite: the original crossJoin + interpreted zip_with dot +
+    row_number window shipped |train|x|bench| pair ROWS through an
+    exchange and ran the O(dim) dot INTERPRETED per pair — the 100x
+    clone (180k x 19.2k = 3.5e9 pairs) timed out a 2400 s chunk.  Now
+    the quantized bench matrix (bounded by definition: eval suites)
+    collects once, broadcasts, and a mapInPandas int64 GEMM scores
+    each Arrow batch of training vectors, emitting only the per-vector
+    argmax — ZERO exchanges, no pair materialization (the semdedup /
+    CLAUDE.md numpy-for-array-algorithms recipe; quantization and
+    norms stay JVM-side).  Determinism is unchanged: the dot is exact
+    int64 (same values the JVM fold produced), cos is the identical
+    IEEE expression double(dot) / (sqrt(double(n2)) * sqrt(double(
+    b_n2))) — every op correctly rounded, bit-equal both engines —
+    and the argmax scans bench columns in ascending b_id order, so
+    equal-cos ties break on the smallest b_id exactly like the SQL
+    row_number's (cos DESC, b_id ASC)."""
+    import numpy as np
+
+    from .._pickle import register_module_by_value
+
+    register_module_by_value(__name__)  # kernel runs worker-side
     # zero-norm exclusion on BOTH sides: a zero-norm vector has no
     # defined cosine — without the filter one degenerate vector THROWS
     # Spark's ANSI DIVIDE_BY_ZERO and kills the whole job (the r7
     # adversarial-embeddings probe finding); excluded-no-verdict is the
     # same convention winnow applies to NULL text.  Raw-array predicate
     # per vectors._nonzero_embedding (no double norm evaluation).
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).filter(
         _nonzero_embedding(F.col("embedding"))).select(
         "vec_id", "label", _qint(F.col("embedding")).alias("qe"),
         _norm2(F.col("embedding")).alias("n2"))
-    bench = emb.filter(F.col("label") == 9).select(
-        F.col("vec_id").alias("b_id"), F.col("qe").alias("b_qe"),
-        F.col("n2").alias("b_n2"))
+    out_schema = ("doc_id long, nearest_bench long, max_cos double, "
+                  "is_leaked int")
+    # bounded collect (the audited-collect convention): the benchmark
+    # side is an eval suite, small by definition; sorted by b_id so
+    # the kernel's first-max argmax IS the (cos DESC, b_id ASC) rank
+    brows = (emb.filter(F.col("label") == 9)
+             .select("vec_id", "qe", "n2").orderBy("vec_id").collect())
+    if not brows:
+        return spark.createDataFrame([], out_schema)
+    b_ids = np.array([r["vec_id"] for r in brows], dtype=np.int64)
+    b_qe_t = np.array([r["qe"] for r in brows], dtype=np.int64).T.copy()
+    b_rt = np.sqrt(np.array([r["n2"] for r in brows], dtype=np.int64)
+                   .astype(np.float64))
+    bc = spark.sparkContext.broadcast((b_ids, b_qe_t, b_rt))
+    thr = float(SEM_LEAK_COSINE)
+    # sub-chunk rows so the per-chunk cos matrix stays ~32 M doubles
+    # regardless of benchmark width
+    rows_per = max(16, (1 << 25) // len(b_ids))
+
+    def _score(batches):
+        import numpy as _np
+        import pandas as _pd
+        ids, qt, rt = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _np.stack(pdf["qe"].to_numpy()).astype(_np.int64)
+            r = _np.sqrt(pdf["n2"].to_numpy()
+                         .astype(_np.int64).astype(_np.float64))
+            best_j = _np.empty(len(pdf), dtype=_np.int64)
+            best_c = _np.empty(len(pdf), dtype=_np.float64)
+            for lo in range(0, len(pdf), rows_per):
+                hi = min(lo + rows_per, len(pdf))
+                dots = q[lo:hi] @ qt                      # exact int64
+                cos = dots.astype(_np.float64) / (
+                    r[lo:hi, None] * rt[None, :])
+                j = _np.argmax(cos, axis=1)               # first max:
+                best_j[lo:hi] = j                         # lowest b_id
+                best_c[lo:hi] = cos[_np.arange(hi - lo), j]
+            yield _pd.DataFrame({
+                "doc_id": pdf["vec_id"].to_numpy(),
+                "nearest_bench": ids[best_j],
+                "max_cos": best_c,
+                "is_leaked": (best_c >= thr).astype("int32"),
+            })
+
     train = emb.filter(F.col("label") != 9).select("vec_id", "qe", "n2")
-    cos = (_dot(F.col("qe"), F.col("b_qe")).cast("double")
-           / (F.sqrt(F.col("n2").cast("double"))
-              * F.sqrt(F.col("b_n2").cast("double"))))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("b_id").asc())
-    return (train.crossJoin(F.broadcast(bench))
-            .select("vec_id", "b_id", cos.alias("cos"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("vec_id").alias("doc_id"),
-                    F.col("b_id").alias("nearest_bench"),
-                    F.col("cos").alias("max_cos"),
-                    (F.col("cos") >= SEM_LEAK_COSINE).cast("int")
-                    .alias("is_leaked")))
+    return train.mapInPandas(_score, out_schema)

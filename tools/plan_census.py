@@ -35,6 +35,9 @@ ARROW_OK = {
     "bpe_train_merges", "bpe_encode_stats",           # Arrow encode
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",  # XML parse
     "semdedup_prune",        # per-cell int64 GEMM verify (applyInPandas)
+    "semantic_decontaminate",  # broadcast-bench int64 GEMM argmax
+                               # (mapInPandas; r8 — replaced the
+                               # crossJoin + interpreted per-pair dot)
 }
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -58,8 +61,6 @@ SCALAR_BNLJ_OK = {
     "dsir_importance_weights",  # 1-row (r_tot, t_tot) corpus-scalar frame
     "curation_funnel_report",   # composes the dsir stage (same scalar)
     "temperature_mixture_plan",  # 1-row (sum_u, tok_total) scalar frame
-    "semantic_decontaminate",  # benchmark embedding set: small by
-                               # definition (eval suites), broadcast
 }
 
 
@@ -83,6 +84,13 @@ def census(spark, sf_dir: str, names):
                 "bnlj": joins["broadcast_nested_loop"],
                 "exchanges": explain.exchange_count(df),
                 "codegen": explain.codegen_stage_count(df),
+                # O(dim) higher-order aggregate lambda inside a Filter:
+                # Catalyst's pushdown substitutes the alias, so the
+                # interpreted lambda re-runs per row below the Project
+                # that computes it again (r8 knn_cosine x1.3 finding)
+                "filter_agg": sum(
+                    1 for ln in plan.splitlines()
+                    if "Filter" in ln and "aggregate(" in ln),
             })
         except Exception as exc:
             rows.append({"query": name, "error": f"{type(exc).__name__}: {exc}"[:200]})
@@ -103,6 +111,11 @@ def violations(rows):
             bad.append((r["query"], "CartesianProduct"))
         if r["bnlj"] and r["query"] not in SCALAR_BNLJ_OK:
             bad.append((r["query"], f"BroadcastNestedLoopJoin x{r['bnlj']}"))
+        if r.get("filter_agg"):
+            bad.append((r["query"],
+                        f"aggregate lambda in Filter x{r['filter_agg']} "
+                        "(alias-pushdown double-eval; use a raw-column "
+                        "predicate like vectors._nonzero_embedding)"))
     return bad
 
 
