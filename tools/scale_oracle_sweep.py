@@ -18,7 +18,12 @@ status parsed from the oracle_check output lines:
   ok / skip (rows-only, no oracle by nature) / fail / timeout.
 
 Usage: python tools/scale_oracle_sweep.py [--out=FILE]
-         [--chunk=N] [--timeout=SEC] [scale_dir] [query ...]
+         [--chunk=N] [--timeout=SEC] [--resume] [scale_dir] [query ...]
+
+The out-file is (re)written after EVERY chunk, so a killed sweep loses
+at most one chunk of work; `--resume` reloads an existing out-file and
+skips entries already ok/skip there (failed/timed-out entries re-run).
+A multi-hour 100x sweep survives session churn this way.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main(argv):
     out_file = os.path.join(REPO, "SCALE_ORACLE_r07.json")
     chunk_size, timeout = 12, 2400
+    resume = False
     rest = []
     for a in argv:
         if a.startswith("--out="):
@@ -46,6 +52,8 @@ def main(argv):
             chunk_size = int(a.split("=", 1)[1])
         elif a.startswith("--timeout="):
             timeout = int(a.split("=", 1)[1])
+        elif a == "--resume":
+            resume = True
         else:
             rest.append(a)
     scale_dir = rest[0] if rest else "/tmp/scale_sf1"
@@ -53,10 +61,33 @@ def main(argv):
     from hpctoolkit_dataframe_spark.queries import REGISTRY
 
     names = rest[1:] or list(REGISTRY)
+    status: dict[str, dict] = {}
+    if resume and os.path.exists(out_file):
+        with open(out_file) as f:
+            status = json.load(f).get("entries", {})
+        done = {n for n, v in status.items()
+                if v["status"] in ("ok", "skip")}
+        print(f"--- resume: {len(done)} already ok/skip in {out_file}",
+              flush=True)
+        names = [n for n in names if n not in done]
     chunks = [names[i:i + chunk_size]
               for i in range(0, len(names), chunk_size)]
-    status: dict[str, dict] = {}
     t_start = time.time()
+
+    def write_out():
+        counts: dict[str, int] = {}
+        for v in status.values():
+            counts[v["status"]] = counts.get(v["status"], 0) + 1
+        summary = {
+            "scale_dir": scale_dir,
+            "n": len(status),
+            "counts": counts,
+            "wall_s": round(time.time() - t_start, 1),
+            "entries": status,
+        }
+        with open(out_file, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        return summary
     for ci, chunk in enumerate(chunks, 1):
         print(f"--- chunk {ci}/{len(chunks)}: {' '.join(chunk)}",
               flush=True)
@@ -94,20 +125,10 @@ def main(argv):
                       + ("chunk timed out" if timed_out
                          else "no status line (chunk crashed?)"),
                       flush=True)
+        write_out()  # checkpoint: a killed sweep loses <= one chunk
         print(f"--- chunk {ci} done in {time.time()-t0:.0f}s", flush=True)
 
-    counts: dict[str, int] = {}
-    for v in status.values():
-        counts[v["status"]] = counts.get(v["status"], 0) + 1
-    summary = {
-        "scale_dir": scale_dir,
-        "n": len(status),
-        "counts": counts,
-        "wall_s": round(time.time() - t_start, 1),
-        "entries": status,
-    }
-    with open(out_file, "w") as f:
-        json.dump(summary, f, indent=1, sort_keys=True)
+    summary = write_out()
     print(json.dumps({k: v for k, v in summary.items() if k != "entries"}))
     bad = [n for n, v in status.items()
            if v["status"] not in ("ok", "skip")]
