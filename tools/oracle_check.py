@@ -10,6 +10,7 @@ driver runs.
 
 Usage: python tools/oracle_check.py [--plain-session] [--lenient-floats]
                                     [--hash-threshold=N] [--no-hash]
+                                    [--rows-only]
                                     [sf_dir] [query ...]
 
 Results above ``--hash-threshold`` rows (default 2,000,000) are compared
@@ -20,6 +21,14 @@ driver), DuckDB streams Arrow batches, and both sides share one
 canonicalizer so the compare stays value-exact.  This is what lets the
 100x-clone sweep attest ~62M-row CCT results that ``collect()`` cannot
 hold.  ``--no-hash`` forces the legacy collect path for every size.
+
+``--rows-only`` skips the DuckDB compare for the named queries and
+records a SKIP after executing the Spark side end-to-end — for entries
+whose ORACLE is declared infeasible at the probed scale (e.g.
+semantic_decontaminate's SQL twin is an inherently quadratic 3.5e9-pair
+crossJoin at the 100x clone, while the Spark GEMM side runs in ~150 s).
+Use sparingly and say why in the sweep notes; a rows-only row is a
+weaker attestation and the artifacts must show which rows are weak.
 
 ``--plain-session`` builds a DEFAULT SparkSession (no UTC tz, no
 nanosAsLong, no Arrow, no AQE tuning) — the driver's gate runs under
@@ -70,6 +79,7 @@ def main():
     argv = sys.argv[1:]
     plain = "--plain-session" in argv
     lenient = "--lenient-floats" in argv
+    rows_only = "--rows-only" in argv
     hash_threshold = 2_000_000
     for a in argv:
         if a.startswith("--hash-threshold="):
@@ -130,6 +140,15 @@ def main():
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         sql = oracles.get(name)
+        if rows_only:
+            # caller declared the ORACLE side infeasible at this scale
+            # (e.g. an inherently quadratic SQL twin at the 100x clone);
+            # the Spark side still must execute end-to-end
+            n_s = sdf.count() if big else len(s_rows)
+            print(f"SKIP {name}: rows-only at caller request — oracle "
+                  f"declared infeasible at this scale ({n_s} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
         if sql is None:
             n_s = sdf.count() if big else len(s_rows)
             print(f"SKIP {name}: no oracle (rows-only check: {n_s} rows, "
