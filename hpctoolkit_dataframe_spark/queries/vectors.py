@@ -974,8 +974,21 @@ def probe_cells(queries_emb: DataFrame, cents: DataFrame,
     """Top-k cosine against an assigned-cells frame: probe N_PROBE
     nearest cells per query, rank only those cells' vectors.  ``cells``
     may be an in-memory assignment (twin tests) or the persisted store
-    (``ivf_probe_store``) — identical semantics either way."""
+    (``ivf_probe_store``) — identical semantics either way.
+
+    n2 > 0 on BOTH inputs: the cosine-family zero-norm exclusion
+    (_ivf_probe docstring) applied here too — the streaming store is
+    filtered at ingest, but an in-memory assignment or a raw query
+    frame may still carry a zero-norm vector, and one throws ANSI
+    DIVIDE_BY_ZERO (found by the r8 streaming x skew x adversarial
+    probe: the skewadv clone's zero-norm query vector killed every
+    store probe).  Both frames carry a MATERIALIZED n2 column
+    (checkpoint / parquet store), so this is a cheap column predicate,
+    not the aliased-lambda double-eval the census bans."""
     from pyspark.sql import Window
+
+    queries_emb = queries_emb.filter(F.col("n2") > 0)
+    cells = cells.filter(F.col("n2") > 0)
 
     l2 = F.aggregate(
         F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),

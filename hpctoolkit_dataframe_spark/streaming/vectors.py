@@ -52,9 +52,17 @@ def process_vector_batch(batch_df: DataFrame, batch_id: int, base: str,
     raises AFTER the write — the crash window where the work is on disk
     but the offset is uncommitted; the replay must overwrite, not
     double-insert (the test hook; production passes None)."""
-    from ..queries.vectors import _norm2, _qint, assign_to_cells
+    from ..queries.vectors import (
+        _nonzero_embedding, _norm2, _qint, assign_to_cells)
 
-    emb = batch_df.select(
+    # zero-norm exclusion AT INGEST — the same excluded-no-verdict
+    # convention every batch cosine query applies (r7 adversarial
+    # finding): a zero-norm vector has no cosine, and one landing in
+    # the persisted store makes every later probe throw ANSI
+    # DIVIDE_BY_ZERO (found by the r8 streaming x skew x adversarial
+    # probe, tools/stream_skew_probe.py on the skewadv clone — the
+    # batch twin excludes at load, so this also restores twin equality)
+    emb = batch_df.filter(_nonzero_embedding(F.col("embedding"))).select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
         _norm2(F.col("embedding")).alias("n2"))
     assigned = assign_to_cells(emb, cents)

@@ -284,6 +284,10 @@ def probe_vectors(spark, skew_dir, n_waves=5):
         queries = emb_all.filter(F.col("vec_id") < V.N_QUERIES)
         raw = load_table(spark, skew_dir, "embeddings") \
             .filter(F.col("vec_id") >= V.N_QUERIES)
+        # the store excludes zero-norm vectors at ingest (the cosine-
+        # family convention) — exactly-once is judged on that contract
+        n_storeable = raw.filter(
+            V._nonzero_embedding(F.col("embedding"))).count()
 
         def probe(base):
             return {(r.query_id, r.rk): (r.neighbor_id, round(r.cos, 9))
@@ -325,7 +329,8 @@ def probe_vectors(spark, skew_dir, n_waves=5):
         res["wave_sec"] = secs_a
         res["superlinear_ratio"] = _wave_ratio(secs_a)
         store_rows = sv.read_vector_store(spark, base_a).count()
-        res["exactly_once"] = store_rows == n_raw
+        res["exactly_once"] = store_rows == n_storeable
+        res["zero_norm_excluded"] = int(n_raw - n_storeable)
         probe_a = probe(base_a)
         want = {(r.query_id, r.rk): (r.neighbor_id, round(r.cos, 9))
                 for r in V.probe_cells(
