@@ -18,7 +18,8 @@ status parsed from the oracle_check output lines:
   ok / skip (rows-only, no oracle by nature) / fail / timeout.
 
 Usage: python tools/scale_oracle_sweep.py [--out=FILE]
-         [--chunk=N] [--timeout=SEC] [--resume] [scale_dir] [query ...]
+         [--chunk=N] [--timeout=SEC] [--resume] [--rows-only=n1,n2]
+         [scale_dir] [query ...]
 
 The out-file is (re)written after EVERY chunk, so a killed sweep loses
 at most one chunk of work; `--resume` reloads an existing out-file and
@@ -44,6 +45,7 @@ def main(argv):
     out_file = os.path.join(REPO, "SCALE_ORACLE_r07.json")
     chunk_size, timeout = 12, 2400
     resume = False
+    rows_only: set[str] = set()
     rest = []
     for a in argv:
         if a.startswith("--out="):
@@ -54,6 +56,11 @@ def main(argv):
             timeout = int(a.split("=", 1)[1])
         elif a == "--resume":
             resume = True
+        elif a.startswith("--rows-only="):
+            # entries whose ORACLE is declared infeasible at this scale
+            # (oracle_check --rows-only): run each in its own chunk with
+            # the flag, recording an explicit weak-row SKIP
+            rows_only = set(a.split("=", 1)[1].split(","))
         else:
             rest.append(a)
     scale_dir = rest[0] if rest else "/tmp/scale_sf1"
@@ -70,8 +77,12 @@ def main(argv):
         print(f"--- resume: {len(done)} already ok/skip in {out_file}",
               flush=True)
         names = [n for n in names if n not in done]
+    ro_names = [n for n in names if n in rows_only]
+    names = [n for n in names if n not in rows_only]
     chunks = [names[i:i + chunk_size]
               for i in range(0, len(names), chunk_size)]
+    # each rows-only entry gets its own flagged chunk at the end
+    chunks += [[n] for n in ro_names]
     t_start = time.time()
 
     def write_out():
@@ -96,9 +107,11 @@ def main(argv):
         # child would otherwise take its block-buffered per-query OK
         # lines down with it
         try:
+            flags = (["--rows-only"]
+                     if all(n in rows_only for n in chunk) else [])
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools/oracle_check.py"),
-                 scale_dir, *chunk],
+                 *flags, scale_dir, *chunk],
                 cwd="/tmp", capture_output=True, text=True, timeout=timeout,
                 env=env)
             out = proc.stdout + proc.stderr
