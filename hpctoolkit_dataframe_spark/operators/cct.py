@@ -57,6 +57,11 @@ def _parse_mem_gib(mem: str) -> float:
              "p": 1024 * 1024}
     if mem.endswith("b") and len(mem) > 1 and mem[-2] in units:
         mem = mem[:-1]
+    elif mem.endswith("b") and mem[:-1].isdigit():
+        # bare 'b' with no unit letter is BYTES in JavaUtils ('800b');
+        # falling through to the MiB fallback overstated heap ~1000x
+        # for this form (ADVICE r8)
+        return float(mem[:-1]) / (1024 ** 3)
     try:
         if mem[-1] in units:
             return float(mem[:-1]) * units[mem[-1]]

@@ -300,8 +300,9 @@ FROM n"""
 def _semdedup_mark_pair(_key, pdf):
     """Chunk-pair verify kernel (runs worker-side under applyInPandas).
 
-    The group key is (cell, __pair) where __pair = (probe_chunk << 15)
-    | ref_chunk; chunks are contiguous CAP-sized runs of the cell's
+    The group key is (cell, __pair) where __pair = (probe_chunk << 31)
+    | ref_chunk (a long — 31 bits per side cannot collide at any
+    reachable cell size); chunks are contiguous CAP-sized runs of the cell's
     vec_id-sorted members.  A probe row is a semdup iff SOME lower-id
     cell member clears the cosine threshold — chunk ordering makes
     every ref-chunk member lower-id than every probe-chunk member, so
@@ -323,7 +324,7 @@ def _semdedup_mark_pair(_key, pdf):
     if len(pdf) == 0:
         return pd.DataFrame({"vec_id": [], "cell": [], "is_semdup": []})
     pair = int(pdf["__pair"].iloc[0])
-    p_chunk, r_chunk = pair >> 15, pair & 0x7FFF
+    p_chunk, r_chunk = pair >> 31, pair & 0x7FFFFFFF
     triangular = p_chunk == r_chunk
     probes = pdf[pdf["__chunk"] == p_chunk].reset_index(drop=True)
     refs = probes if triangular else \
@@ -406,15 +407,21 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.count(F.lit(1)).over(wall) / cap)
         .cast("int").alias("__nch"))
     # group memberships of a chunk-c row: probe in pairs (c, 0..c),
-    # ref in pairs (c+1..K-1, c); pair key = (probe << 15) | ref
+    # ref in pairs (c+1..K-1, c); pair key = (probe << 31) | ref as a
+    # LONG — 31 bits per side holds 2^31 chunks (4.4e12 rows per cell
+    # at CAP=2048) where the r8 15-bit int key silently collided past
+    # 32768 chunks (~67M rows in ONE cell), mis-assigning chunk roles
+    # in the kernel with no error (ADVICE r8)
     as_probe = F.transform(
         F.sequence(F.lit(0), F.col("__chunk")),
-        lambda r: F.shiftleft(F.col("__chunk"), 15) + r)
+        lambda r: F.shiftleft(F.col("__chunk").cast("long"), 31)
+        + r.cast("long"))
     as_ref = F.when(
         F.col("__chunk") < F.col("__nch") - 1,
         F.transform(F.sequence(F.col("__chunk") + 1, F.col("__nch") - 1),
-                    lambda p: F.shiftleft(p, 15) + F.col("__chunk"))
-    ).otherwise(F.array().cast("array<int>"))
+                    lambda p: F.shiftleft(p.cast("long"), 31)
+                    + F.col("__chunk").cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
     fanned = ranked.select(
         "vec_id", "cell", "qe", "__chunk",
         F.explode(F.concat(as_probe, as_ref)).alias("__pair"))
@@ -1341,6 +1348,11 @@ REGISTRY["curation_funnel_report"].sql = _funnel_sql()
 # (the lsh_near_dup_pairs pattern).
 # ---------------------------------------------------------------------------
 SEM_LEAK_COSINE = 0.35  # == vectors.NEAR_DUP_COSINE
+# Driver-collect ceiling for the broadcast benchmark matrix: 2M rows of
+# (id + ~64-int qe + n2) is ~1-2 GB broadcast — already past where a
+# real deployment should shard the benchmark instead (ADVICE r8: the
+# collect grows linearly with corpus scale in this synthetic labeling).
+SEM_BENCH_ROW_CAP = 2_000_000
 
 
 @register("semantic_decontaminate", sql=f"""
@@ -1411,10 +1423,21 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = ("doc_id long, nearest_bench long, max_cos double, "
                   "is_leaked int")
     # bounded collect (the audited-collect convention): the benchmark
-    # side is an eval suite, small by definition; sorted by b_id so
-    # the kernel's first-max argmax IS the (cos DESC, b_id ASC) rank
-    brows = (emb.filter(F.col("label") == 9)
-             .select("vec_id", "qe", "n2").orderBy("vec_id").collect())
+    # side is an eval suite, small by definition — but in THIS corpus
+    # label==9 is a constant fraction of embeddings, so the collect
+    # grows linearly with scale (19.2k rows at 100x; unbounded beyond).
+    # Count first and fail loudly above the cap instead of silently
+    # eating driver memory (ADVICE r8); the count scans only (label),
+    # one cheap column-pruned job.
+    bench = emb.filter(F.col("label") == 9)
+    n_bench = bench.count()
+    if n_bench > SEM_BENCH_ROW_CAP:
+        raise ValueError(
+            f"semantic_decontaminate: benchmark side has {n_bench} rows, "
+            f"above the driver-collect cap {SEM_BENCH_ROW_CAP}; shard the "
+            "benchmark or raise SEM_BENCH_ROW_CAP knowingly — the bench "
+            "matrix is broadcast whole to every executor")
+    brows = (bench.select("vec_id", "qe", "n2").orderBy("vec_id").collect())
     if not brows:
         return spark.createDataFrame([], out_schema)
     b_ids = np.array([r["vec_id"] for r in brows], dtype=np.int64)

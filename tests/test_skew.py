@@ -114,4 +114,8 @@ def test_mem_string_parser_matches_javautils():
     assert _parse_mem_gib("4096") == 4.0      # bare number = MiB
     assert _parse_mem_gib("1t") == 1024.0
     assert _parse_mem_gib("1048576k") == 1.0
+    # ADVICE r8: bare 'b' with no unit letter is BYTES in JavaUtils,
+    # not the MiB/fallback path (which overstated heap ~1000x)
+    assert _parse_mem_gib("800b") == 800 / 1024 ** 3
+    assert _parse_mem_gib(str(1024 ** 3) + "b") == 1.0
     assert _parse_mem_gib("garbage") == 1.0   # fallback unchanged

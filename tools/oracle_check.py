@@ -105,6 +105,14 @@ def main():
 
         spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # explicit spill location (env-overridable): the default is a
+    # cwd-relative .tmp, which in the r8 100x sweep sat on the same
+    # volume as 30 GB of live Spark shuffle files and hit ENOSPC
+    # (cct_hot_regions); pointing it at a chosen dir makes the spill
+    # placement a deliberate decision rather than a cwd accident
+    tmpdir = os.environ.get("DUCKDB_TEMP_DIR", "/tmp/duckdb_spill")
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
     for t in TABLES:
         # a table may be a single parquet FILE (the driver's testdata)
         # or a multi-file DIRECTORY (tools/make_scale_data.py output —
@@ -121,6 +129,24 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        sql = oracles.get(name)
+        if rows_only or sql is None:
+            # no DuckDB compare will happen — run the Spark side
+            # end-to-end exactly ONCE (a count; no limit probe, no
+            # second execution — ADVICE r8: the probe+count pair
+            # roughly doubled sweep wall time on ~62M-row entries)
+            try:
+                n_s = fn(spark, sf_dir).count()
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+                continue
+            why = ("rows-only at caller request — oracle declared "
+                   "infeasible at this scale" if rows_only
+                   else "no oracle — rows-only check")
+            print(f"SKIP {name}: {why} ({n_s} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -138,21 +164,6 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
-            continue
-        sql = oracles.get(name)
-        if rows_only:
-            # caller declared the ORACLE side infeasible at this scale
-            # (e.g. an inherently quadratic SQL twin at the 100x clone);
-            # the Spark side still must execute end-to-end
-            n_s = sdf.count() if big else len(s_rows)
-            print(f"SKIP {name}: rows-only at caller request — oracle "
-                  f"declared infeasible at this scale ({n_s} rows, "
-                  f"{time.time()-t0:.1f}s)")
-            continue
-        if sql is None:
-            n_s = sdf.count() if big else len(s_rows)
-            print(f"SKIP {name}: no oracle (rows-only check: {n_s} rows, "
-                  f"{time.time()-t0:.1f}s)")
             continue
         if big:
             from hpctoolkit_dataframe_spark import oracle_hash as oh

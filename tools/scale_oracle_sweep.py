@@ -147,6 +147,17 @@ def main(argv):
            if v["status"] not in ("ok", "skip")]
     if bad:
         print("NOT OK:", " ".join(sorted(bad)))
+    # completeness gate (VERDICT r8 wrong#3): when sweeping the whole
+    # registry (no explicit query list), a resumed/merged artifact must
+    # hold a row for EVERY registry entry — the r8 100x sweep silently
+    # dropped 17 entries across a resumed-halves merge and nothing
+    # noticed until the judge diffed it against the registry
+    if not rest[1:]:
+        dropped = sorted(set(REGISTRY) - set(status))
+        if dropped:
+            print(f"INCOMPLETE: {len(dropped)} registry entries have no "
+                  f"recorded row: {' '.join(dropped)}")
+            return 1
     return 1 if bad else 0
 
 
