@@ -93,6 +93,292 @@ def _shj_build_row_cap(spark) -> int:
 
 
 # ---------------------------------------------------------------------------
+# broadcast-scan walk-up (r9): the general (non-monotone) walk-up used
+# to explode every node into its ancestor prefixes (|df| x depth rows)
+# and shuffle them against the node table (SHJ under the cap, else
+# SMJ), then aggregate the deepest qualifying ancestor and join back —
+# three shuffles of depth-multiplied data.  But the per-node decision
+# only needs ancestor VALUES along the node's own path, and the node
+# value table packs to 25 bytes/row (two 64-bit path hashes + float64
+# value + null flag): at the 100x clone's 6.2M-node tree that is
+# ~150 MB — shippable to every MACHINE once (SparkFiles + np.memmap,
+# page-cache shared across that machine's Python workers, NOT one copy
+# per worker) and scanned with vectorized searchsorted.  The whole
+# operator becomes: one slim map-build job, one mapInPandas scan —
+# ZERO shuffles.  Gated on a heap-proportional row cap with fallback
+# to the explode path (same philosophy as SHJ_BUILD_ROW_CAP).
+#
+# Path identity uses two independent 64-bit polynomial rolling hashes
+# (h' = h*A + (id + X) mod 2^64) seeded per partition-column tuple;
+# a false hit needs a simultaneous 128-bit collision against ~2^23
+# keys (~1e-24 over the probe volume) and any such event would fail
+# the hash-exact oracle gate, not silently corrupt downstream.
+# ---------------------------------------------------------------------------
+WALKUP_BCAST_ROWS_PER_HEAP_GIB = 8_000_000   # 25 B/row packed map
+_WK_A1 = 0x9E3779B97F4A7C15  # odd multipliers (splitmix64 / xxh finalizer
+_WK_A2 = 0xC2B2AE3D27D4EB4F  # constants), independent streams
+_WK_X = 0xD6E8FEB86659FD93   # id mix-in so id 0 advances the hash
+
+
+def _walkup_bcast_row_cap(spark) -> int:
+    """Heap-proportional cap for the broadcast walk-up map.  The map is
+    memmap'd from a SparkFiles-distributed file, so the steady-state
+    cost is one page-cache copy per machine; the binding constraint is
+    the DRIVER assembling and sorting the packed arrays (~2 transient
+    copies at 25 B/row).  8M rows/GiB keeps that under ~40% of heap."""
+    conf = spark.sparkContext.getConf()
+    gib = _parse_mem_gib(conf.get("spark.driver.memory", "1g"))
+    return max(1, int(gib * WALKUP_BCAST_ROWS_PER_HEAP_GIB))
+
+
+def _pc_seed_arrays(pdf, pc):
+    """Per-row (seed1, seed2) uint64 arrays from the partition-column
+    tuple, so identical paths under different profiles never meet."""
+    import hashlib
+
+    import numpy as np
+
+    def seeds(tup):
+        b = repr(tup).encode()
+        return (int.from_bytes(hashlib.blake2b(
+                    b, digest_size=8, person=b"walkup-1").digest(), "little"),
+                int.from_bytes(hashlib.blake2b(
+                    b, digest_size=8, person=b"walkup-2").digest(), "little"))
+
+    n = len(pdf)
+    if not pc:
+        s1, s2 = seeds(())
+        return (np.full(n, s1, dtype=np.uint64),
+                np.full(n, s2, dtype=np.uint64))
+    import pandas as pd
+
+    keys = pd.Series(list(zip(*(pdf[c] for c in pc))), index=pdf.index)
+    codes, uniques = pd.factorize(keys)
+    pairs = [seeds(u) for u in uniques]
+    u1 = np.array([p[0] for p in pairs], dtype=np.uint64)
+    u2 = np.array([p[1] for p in pairs], dtype=np.uint64)
+    return u1[codes], u2[codes]
+
+
+def _prefix_hash_matrix(paths, s1, s2):
+    """(n, dmax+1) running-hash matrices: column k holds the hash of
+    the length-k prefix of each row's path (column 0 = the seed = the
+    empty path).  Fully vectorized over rows; the k-loop is bounded by
+    tree depth."""
+    import numpy as np
+
+    n = len(paths)
+    plist = [np.asarray(p, dtype=np.int64) for p in paths]
+    depths = np.fromiter((len(p) for p in plist), dtype=np.int64, count=n)
+    dmax = int(depths.max()) if n else 0
+    ids = np.zeros((n, dmax), dtype=np.uint64)
+    if dmax:
+        flat = (np.concatenate(plist) if plist else
+                np.empty(0, np.int64)).view(np.uint64)
+        rows = np.repeat(np.arange(n), depths)
+        ends = np.cumsum(depths)
+        cols = np.arange(int(ends[-1]) if n else 0) - np.repeat(
+            ends - depths, depths)
+        ids[rows, cols] = flat
+    h1 = np.empty((n, dmax + 1), dtype=np.uint64)
+    h2 = np.empty((n, dmax + 1), dtype=np.uint64)
+    h1[:, 0], h2[:, 0] = s1, s2
+    a1, a2, x = np.uint64(_WK_A1), np.uint64(_WK_A2), np.uint64(_WK_X)
+    for k in range(dmax):
+        mixed = ids[:, k] + x
+        h1[:, k + 1] = h1[:, k] * a1 + mixed
+        h2[:, k + 1] = h2[:, k] * a2 + mixed
+    return h1, h2, depths
+
+
+def _walkup_lookup(h1s, h2s, q1, q2):
+    """Vectorized 128-bit probe of the sorted map: searchsorted on h1,
+    then verify (h1, h2) scanning at most 4 slots forward (the map is
+    sorted by (h1, h2); >3 same-h1 keys needs multiple 64-bit
+    collisions among the keys themselves)."""
+    import numpy as np
+
+    p = np.searchsorted(h1s, q1)
+    found = np.zeros(q1.shape, dtype=bool)
+    idx = np.zeros(q1.shape, dtype=np.int64)
+    for off in range(4):
+        pi = p + off
+        cand = np.nonzero(~found & (pi < h1s.size))[0]
+        if not cand.size:
+            break
+        pc_ = pi[cand]
+        hit = (h1s[pc_] == q1[cand]) & (h2s[pc_] == q2[cand])
+        found[cand[hit]] = True
+        idx[cand[hit]] = pc_[hit]
+    return found, idx
+
+
+_WALKUP_MAPS: dict = {}  # worker-side memmap cache (empty when pickled)
+
+
+def _load_walkup_map(fname):
+    got = _WALKUP_MAPS.get(fname)
+    if got is None:
+        import numpy as np
+        from pyspark import SparkFiles
+
+        path = SparkFiles.get(fname)
+        raw = np.memmap(path, dtype=np.uint8, mode="r")
+        n = int(np.frombuffer(raw[:8].tobytes(), dtype=np.int64)[0])
+        o = 8
+        h1s = np.frombuffer(raw, dtype=np.uint64, count=n, offset=o)
+        o += 8 * n
+        h2s = np.frombuffer(raw, dtype=np.uint64, count=n, offset=o)
+        o += 8 * n
+        vals = np.frombuffer(raw, dtype=np.float64, count=n, offset=o)
+        o += 8 * n
+        nulls = np.frombuffer(raw, dtype=np.uint8, count=n,
+                              offset=o).astype(bool)
+        got = (h1s, h2s, vals, nulls)
+        _WALKUP_MAPS[fname] = got
+    return got
+
+
+_WALKUP_FILES_ADDED: set = set()  # driver-side addFile dedup
+
+
+def _walkup_broadcast_scan(df, base_column, column_name, pc,
+                           callpath_col, carry_cols):
+    """Zero-shuffle walk-up: build the (path-hash -> value) map with one
+    slim job, distribute it via SparkFiles, resolve every node's walk in
+    one vectorized mapInPandas scan.  Exact same semantics as the
+    explode path (pinned equal by tests/test_cct_ops.py)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from .._pickle import register_module_by_value
+
+    register_module_by_value(__name__)
+    spark = df.sparkSession
+    pc = list(pc)
+    slim_map = df.select(
+        *pc, F.col(callpath_col).alias("__path"),
+        F.col(base_column).cast("double").alias("__v"))
+    pc_names = list(pc)
+
+    def _pack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            s1, s2 = _pc_seed_arrays(pdf, pc_names)
+            h1m, h2m, depths = _prefix_hash_matrix(pdf["__path"], s1, s2)
+            rows = np.arange(n)
+            h1 = h1m[rows, depths]
+            h2 = h2m[rows, depths]
+            vals = pdf["__v"].to_numpy(dtype="float64", na_value=np.nan)
+            nulls = pdf["__v"].isna().to_numpy().astype(np.uint8)
+            yield pd.DataFrame({"blob": [h1.tobytes() + h2.tobytes()
+                                         + vals.tobytes() + nulls.tobytes()]})
+
+    blobs = [r[0] for r in
+             slim_map.mapInPandas(_pack, "blob binary").collect()]
+    parts1, parts2, partsv, partsn = [], [], [], []
+    for b in blobs:
+        m = len(b) // 25
+        parts1.append(np.frombuffer(b, np.uint64, m, 0))
+        parts2.append(np.frombuffer(b, np.uint64, m, 8 * m))
+        partsv.append(np.frombuffer(b, np.float64, m, 16 * m))
+        partsn.append(np.frombuffer(b, np.uint8, m, 24 * m))
+    h1s = np.concatenate(parts1) if parts1 else np.empty(0, np.uint64)
+    h2s = np.concatenate(parts2) if parts2 else np.empty(0, np.uint64)
+    vals = np.concatenate(partsv) if partsv else np.empty(0, np.float64)
+    nulls = np.concatenate(partsn) if partsn else np.empty(0, np.uint8)
+    order = np.lexsort((h2s, h1s))
+    h1s, h2s, vals, nulls = h1s[order], h2s[order], vals[order], nulls[order]
+    payload = (np.int64(len(h1s)).tobytes() + h1s.tobytes() + h2s.tobytes()
+               + vals.tobytes() + nulls.tobytes())
+    import hashlib
+
+    fname = ("walkup_map_"
+             + hashlib.blake2b(payload, digest_size=12).hexdigest() + ".bin")
+    mapdir = os.path.join(tempfile.gettempdir(), "walkup_maps")
+    os.makedirs(mapdir, exist_ok=True)
+    fpath = os.path.join(mapdir, fname)
+    if fname not in _WALKUP_FILES_ADDED:
+        if not os.path.exists(fpath):
+            tmp = fpath + ".part"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, fpath)  # atomic: concurrent builders race-safe
+        spark.sparkContext.addFile(fpath)
+        _WALKUP_FILES_ADDED.add(fname)
+    del payload, parts1, parts2, partsv, partsn, blobs
+
+    carry = list(carry_cols) if carry_cols is not None else None
+    out_carry = carry if carry is not None else []
+    slim_scan = df.select(
+        *pc, "id", *out_carry,
+        F.col(callpath_col).alias("__path"),
+        F.col(base_column).cast("double").alias("__cv"))
+    from pyspark.sql import types as T
+
+    out_fields = ([df.schema[c] for c in pc]
+                  + [T.StructField("id", df.schema["id"].dataType)]
+                  + [df.schema[c] for c in out_carry]
+                  + [T.StructField(column_name, T.DoubleType())])
+    out_schema = T.StructType(out_fields)
+    out_names = [*pc, "id", *out_carry]
+
+    def _scan(batches):
+        import pandas as pd
+
+        h1s, h2s, mvals, mnulls = _load_walkup_map(fname)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            s1, s2 = _pc_seed_arrays(pdf, pc_names)
+            h1m, h2m, depths = _prefix_hash_matrix(pdf["__path"], s1, s2)
+            dmax = h1m.shape[1] - 1
+            cols = np.arange(dmax + 1)
+            # a depth-d node queries prefixes 0..d-1; the root (d=0)
+            # queries its own (empty) path -> ratio 1.0 (reference
+            # :369-374)
+            qmask = cols[None, :] < np.maximum(depths, 1)[:, None]
+            found, midx = _walkup_lookup(h1s, h2s, h1m.ravel(), h2m.ravel())
+            found = found.reshape(h1m.shape) & qmask
+            v = mvals[midx].reshape(h1m.shape)
+            vnull = mnulls[midx].reshape(h1m.shape) & found
+            cv = pdf["__cv"].to_numpy(dtype="float64", na_value=np.nan)
+            # an ancestor stops the walk when base >= value, base is
+            # NULL (reference NaN: `NaN < x` is False), or it is the
+            # root; MISSING prefixes are skipped (walk continues)
+            with np.errstate(invalid="ignore"):
+                q = found & ((v >= cv[:, None]) | vnull | (cols[None, :] == 0))
+            anyq = q.any(axis=1)
+            deep = dmax - np.argmax(q[:, ::-1], axis=1)
+            rows = np.arange(n)
+            base = v[rows, deep]
+            basenull = vnull[rows, deep]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ratio = cv / base
+            # try_divide semantics: NULL on zero/NULL base, NULL cv,
+            # or no qualifying ancestor (the explode path's left join)
+            bad = (~anyq | basenull | np.isnan(cv)
+                   | np.isnan(base) | (base == 0))
+            # pass carried columns through as the SERIES Arrow delivered
+            # (no to_numpy: int-with-null and NaN-vs-NULL fidelity);
+            # the ratio itself uses an EXPLICIT null mask — never a bare
+            # NaN-means-NULL float column (the r5 trap class)
+            out = {c: pdf[c].reset_index(drop=True) for c in out_names}
+            out[column_name] = pd.arrays.FloatingArray(
+                np.where(bad, 0.0, ratio), bad.copy())
+            yield pd.DataFrame(out)
+
+    return slim_scan.mapInPandas(_scan, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # filters (reference at_paths/at_depths/at_depth, :391-401)
 # ---------------------------------------------------------------------------
 
@@ -236,14 +522,22 @@ def with_ratio_of_parent(
     if no ancestor qualifies the walk terminates at the root, which is
     used regardless.  The root row itself resolves to itself (ratio 1.0).
 
-    Spark plan: explode each node into its ancestor prefixes
+    Spark plan, chosen by input size (r9): while the node table fits
+    the heap-proportional broadcast cap (_walkup_bcast_row_cap, 25 B
+    per node packed), the walk resolves with ZERO shuffles — one slim
+    job packs (path-hash, value) per node, the sorted map ships once
+    per machine via SparkFiles + np.memmap, and one mapInPandas scan
+    answers every node's walk with vectorized searchsorted.  Beyond
+    the cap (or when the input can't be counted) it falls back to the
+    distributed plan: explode each node into its ancestor prefixes
     (depth d -> d prefixes), join ancestors to node values on
     (partition, path-hash, path), keep qualifying ancestors
     (value >= own, or root), pick the deepest with a max_by aggregate.
     The explode factor equals tree depth (~25 max in fixtures) and the
     join keys include the profile partition, so work stays proportional
     and co-partitioned at scale.  With ``walk_up=False`` this reduces to
-    the plain parent join (single self-join, no explode).
+    the plain parent join (single self-join, no explode).  Both paths
+    are pinned value-equal by tests/test_cct_ops.py.
     """
     column_name = column_name or f"{base_column} ratio of parent"
     pc = list(partition_cols)
@@ -348,6 +642,25 @@ def with_ratio_of_parent(
         # 1-2 partitions feeding the CPU-heavy ancestor explode.
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism).localCheckpoint(eager=True)
+
+    if walk_up:
+        # zero-shuffle broadcast-scan path (r9): when the node table
+        # packs under the heap-proportional cap, resolve every walk
+        # against a SparkFiles-distributed hash map instead of the
+        # ancestor explode + shuffle join + aggregate + join-back.
+        # df is materialized here (memoized build or the checkpoint
+        # above), so the count is one cheap cached-scan job.
+        try:
+            n_nodes = df.count()
+        except Exception:
+            n_nodes = None
+        if (n_nodes is not None
+                and n_nodes <= _walkup_bcast_row_cap(df.sparkSession)):
+            out = _walkup_broadcast_scan(df, base_column, column_name,
+                                         pc, callpath_col, carry_cols)
+            if carry_cols is not None:
+                return out
+            return df.join(out, on=[*pc, "id"], how="left")
 
     # right side gets renamed columns: self-joins on same-lineage frames
     # otherwise resolve both sides to one attribute (trivially-true join)

@@ -134,35 +134,34 @@ _GATE_ORDER = [
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
     "cct_hot_path", "q1_pricing_summary", "events_sessions",
     "duplicate_spans", "simhash64",
-    # r8-CHANGED entries (the ADVICE-r7 fixes in a2e003e): anything
-    # whose Spark or oracle source changed re-attests in the round it
-    # changed — the window's first duty after the canaries
-    "funnel_view_click_purchase",       # NULL-user window-scan guard
-    "events_asof_attribution",          # NULL-key asof convention
-    "semdedup_prune",                   # giant-cell sub-split
-    "cct_ratio_of_parent_walkup",       # SHJ-cap parser rewrite
-    # ALL 20 remaining r4-latest entries (CORRECTNESS r01-r07 union):
-    # after this window no entry's latest green row predates r5
-    "cct_at_depth_3", "cct_depth_range_2_3", "cct_diff_returnflag",
-    "cct_sample_by_hash", "cct_stride_sample", "cct_suffix_filter",
-    "customers_without_big_orders", "distinct_types_per_brand",
-    "events_sliding", "events_user_pivot", "price_quantiles",
-    "purchase_view_windows", "q10_returned_items",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q22_idle_customers", "set_ops_customers", "top_customer_per_nation",
-    # oldest re-attestations: 18 of the 32 r5-latest entries
-    # (alphabetical; the other 14 head the r9 queue:
-    # pack_sequences posting_lists pq_ann pq_codes quality_top_decile
-    # repetition_ratio simhash_near_dup_pairs source_token_totals
-    # split_leakage_report stratified_sample token_df_vocab
-    # top_terms_per_doc training_shard_manifest user_value_history)
-    "bpe_token_stats", "corpus_report", "decontaminate",
-    "dedup_clusters", "dedup_exact", "doc_chunks", "doc_stats",
-    "duplicate_span_stats", "embedding_centroids", "incremental_dedup",
-    "ivfpq_ann", "keyword_search_topk", "kmeans_centroids",
-    "lang_guess", "lsh_verified_pairs", "minhash_lsh_pairs",
-    "minhash_signatures", "ngram_jaccard_pairs",
+    # r9-CHANGED entries (the ADVICE-r8 fixes): anything whose Spark
+    # or oracle source changed re-attests in the round it changed
+    "semdedup_prune",                   # 31-bit chunk-pair key (long)
+    "semantic_decontaminate",           # bench-collect row-count guard
+    "cct_ratio_of_parent_walkup",       # mem-parser 'b'-suffix (SHJ cap)
+    # the full r8 rotation queue: ALL 14 remaining r5-latest entries —
+    # after this window no entry's latest green row predates r6
+    "pack_sequences", "posting_lists", "pq_ann", "pq_codes",
+    "quality_top_decile", "repetition_ratio", "simhash_near_dup_pairs",
+    "source_token_totals", "split_leakage_report", "stratified_sample",
+    "token_df_vocab", "top_terms_per_doc", "training_shard_manifest",
+    "user_value_history",
+    # oldest re-attestations: 25 of the 36 r6-latest entries
+    # (alphabetical; the other 11 head the r10 queue:
+    # priority_weighted_sample q11_important_parts q12_delay_priority
+    # q16_supplier_counts q20_dominant_suppliers q21_waiting_suppliers
+    # q2_min_cost_supplier scd2_customer_history stickiness_dau_wau
+    # temperature_mixture_plan triangle_count_dup_graph)
+    "bigram_lm_score", "bm25_topk", "canonical_dedup",
+    "cct_fragment_filter", "cms_heavy_hitters", "cohort_retention",
+    "copurchase_lift", "corpus_without_dup_spans",
+    "curation_funnel_report", "dedup_keep_best", "dq_report",
+    "dsir_importance_weights", "duplicate_word_coverage",
+    "er_part_pairs", "event_sequence_matches", "exact_daily_uniques",
+    "exact_value_percentiles", "exact_weekly_uniques",
+    "gopher_quality_flags", "incremental_dedup_resume",
+    "leakage_safe_split", "mixture_plan", "pagerank_dup_graph",
+    "pii_redact_stats", "pmi_top_pairs",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)

@@ -140,6 +140,35 @@ def test_fragment_contiguity_semantics(spark):
         ops.at_paths(df, (3, 17))
 
 
+def test_broadcast_scan_equals_explode_walkup(spark, tree, monkeypatch):
+    """The r9 zero-shuffle broadcast-scan walk-up must reproduce the
+    ancestor-explode path bit-for-bit — on the non-monotone sf0.001
+    CCT (real tree, avg-leaf metric) AND on the synthetic tree with
+    per-profile partitioning and the skip-smaller-ancestor branch."""
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+
+    df = build_cct(spark, "/root/testdata/sf0.001").withColumn(
+        "avg_leaf", F.col("value").cast("double") / F.col("leaves"))
+    bcast = cct.with_ratio_of_parent(
+        df, "avg_leaf", "r", carry_cols=("depth",), persist_input=False)
+    monkeypatch.setattr(cct, "WALKUP_BCAST_ROWS_PER_HEAP_GIB", 0)
+    explode = cct.with_ratio_of_parent(
+        df, "avg_leaf", "r", carry_cols=("depth",), persist_input=False)
+    a = {r["id"]: (r["depth"], r["r"]) for r in bcast.collect()}
+    b = {r["id"]: (r["depth"], r["r"]) for r in explode.collect()}
+    assert a == b and len(a) > 100
+    # per-profile isolation + carry=None join-back shape, both paths
+    monkeypatch.setattr(cct, "WALKUP_BCAST_ROWS_PER_HEAP_GIB", 8_000_000)
+    p_b = cct.with_ratio_of_parent(
+        tree, "value", "r", partition_cols=["profile_id"]).collect()
+    monkeypatch.setattr(cct, "WALKUP_BCAST_ROWS_PER_HEAP_GIB", 0)
+    p_e = cct.with_ratio_of_parent(
+        tree, "value", "r", partition_cols=["profile_id"]).collect()
+    key = lambda rows: sorted((r["profile_id"], r["id"], r["r"])
+                              for r in rows)
+    assert key(p_b) == key(p_e)
+
+
 def test_monotone_hint_equals_walkup_explode(spark):
     """The monotone fast path (one parent join) must return exactly the
     explode/walk-up result when the metric really is monotone — the

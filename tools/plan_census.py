@@ -38,6 +38,9 @@ ARROW_OK = {
     "semantic_decontaminate",  # broadcast-bench int64 GEMM argmax
                                # (mapInPandas; r8 — replaced the
                                # crossJoin + interpreted per-pair dot)
+    "cct_ratio_of_parent_walkup",  # r9 zero-shuffle broadcast-scan:
+                                   # map-pack + searchsorted walk
+                                   # kernels (2 mapInPandas stages)
 }
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin:
