@@ -1355,7 +1355,15 @@ SEM_LEAK_COSINE = 0.35  # == vectors.NEAR_DUP_COSINE
 SEM_BENCH_ROW_CAP = 2_000_000
 
 
-@register("semantic_decontaminate", sql=f"""
+def _sem_decon_sql(probe_pred: str = "TRUE") -> str:
+    """The semantic-decontamination oracle, parameterized by a probe-
+    side predicate.  The registry twin uses TRUE (whole corpus); the
+    SAMPLED twin (queries/sampled.py) restricts the PROBE side to a
+    deterministic residue class, which divides the oracle's inherently
+    quadratic |train| x |bench| pair count by the modulus while keeping
+    every sampled verdict EXACT (each verdict depends on the probe row
+    and the FULL benchmark side, which is never sampled)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, label, {_QINT_SQL.format(col='embedding')} AS qe,
          CAST({_NORM2_SQL.format(col='embedding')} AS BIGINT) AS n2
@@ -1365,7 +1373,8 @@ WITH e AS (
 -- the Spark side; without it Spark ANSI throws DIVIDE_BY_ZERO)
 b AS (SELECT vec_id AS b_id, qe AS b_qe, n2 AS b_n2 FROM e
       WHERE label = 9 AND n2 > 0),
-t AS (SELECT vec_id, qe, n2 FROM e WHERE label <> 9 AND n2 > 0),
+t AS (SELECT vec_id, qe, n2 FROM e
+      WHERE label <> 9 AND n2 > 0 AND ({probe_pred})),
 scored AS (
   SELECT t.vec_id, b.b_id,
          CAST(list_sum(list_transform(range(1, {DIM} + 1),
@@ -1385,8 +1394,12 @@ ranked AS (
 )
 SELECT vec_id AS doc_id, b_id AS nearest_bench, cos AS max_cos,
        CAST(cos >= {SEM_LEAK_COSINE} AS INTEGER) AS is_leaked
-FROM ranked WHERE rk = 1""")
-def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+FROM ranked WHERE rk = 1"""
+
+
+@register("semantic_decontaminate", sql=_sem_decon_sql())
+def semantic_decontaminate(spark: SparkSession, sf_dir: str,
+                           sample_mod: int | None = None) -> DataFrame:
     """One training-corpus scan against a broadcast benchmark matrix.
 
     r8 rewrite: the original crossJoin + interpreted zip_with dot +
@@ -1477,5 +1490,11 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_leaked": (best_c >= thr).astype("int32"),
             })
 
-    train = emb.filter(F.col("label") != 9).select("vec_id", "qe", "n2")
-    return train.mapInPandas(_score, out_schema)
+    train = emb.filter(F.col("label") != 9)
+    if sample_mod:
+        # SAMPLED-twin mode (queries/sampled.py): deterministic probe
+        # subset — verdicts for sampled probes are exact (the bench
+        # side above is never sampled)
+        train = train.filter(F.col("vec_id") % sample_mod == 0)
+    return train.select("vec_id", "qe", "n2").mapInPandas(_score,
+                                                          out_schema)

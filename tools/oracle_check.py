@@ -80,10 +80,18 @@ def main():
     plain = "--plain-session" in argv
     lenient = "--lenient-floats" in argv
     rows_only = "--rows-only" in argv
+    sampled: set[str] = set()
     hash_threshold = 2_000_000
     for a in argv:
         if a.startswith("--hash-threshold="):
             hash_threshold = int(a.split("=", 1)[1])
+        elif a.startswith("--sampled="):
+            # use the SAMPLED oracle twin (queries/sampled.py) for the
+            # named entries: deterministic probe-dimension subset,
+            # full value compare on the sampled result — for oracles
+            # whose whole-result SQL is super-linear at the probed
+            # scale.  Unknown names are a hard error.
+            sampled = set(a.split("=", 1)[1].split(","))
     if "--no-hash" in argv:
         hash_threshold = 0
     argv = [a for a in argv if not a.startswith("--")]
@@ -124,10 +132,21 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if sampled:
+        from hpctoolkit_dataframe_spark.queries.sampled import SAMPLED
+
+        unknown = sampled - set(SAMPLED)
+        if unknown:
+            print(f"FATAL: no SAMPLED twin for {sorted(unknown)}")
+            sys.exit(2)
+        for n in sampled:
+            queries[n] = SAMPLED[n].fn
+            oracles[n] = SAMPLED[n].sql
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        tag = " [sampled twin]" if name in sampled else ""
         t0 = time.time()
         sql = oracles.get(name)
         if rows_only or sql is None:
@@ -199,7 +218,7 @@ def main():
                       "exact path on a filtered slice to diagnose)")
             else:
                 print(f"OK   {name}: {s_dig[0]} rows "
-                      f"(hash-compare, {time.time()-t0:.1f}s)")
+                      f"(hash-compare{tag}, {time.time()-t0:.1f}s)")
             continue
         try:
             res = con.execute(sql)
@@ -244,7 +263,7 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"OK   {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            print(f"OK   {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s{tag})")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 

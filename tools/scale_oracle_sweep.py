@@ -46,6 +46,7 @@ def main(argv):
     chunk_size, timeout = 12, 2400
     resume = False
     rows_only: set[str] = set()
+    sampled: set[str] = set()
     rest = []
     for a in argv:
         if a.startswith("--out="):
@@ -61,6 +62,13 @@ def main(argv):
             # (oracle_check --rows-only): run each in its own chunk with
             # the flag, recording an explicit weak-row SKIP
             rows_only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--sampled="):
+            # entries compared via their SAMPLED oracle twin
+            # (queries/sampled.py; oracle_check --sampled): value-level
+            # evidence on a deterministic probe subset where the
+            # whole-result oracle is super-linear — each in its own
+            # flagged chunk so the artifact row carries the tag
+            sampled = set(a.split("=", 1)[1].split(","))
         else:
             rest.append(a)
     scale_dir = rest[0] if rest else "/tmp/scale_sf1"
@@ -73,16 +81,21 @@ def main(argv):
         with open(out_file) as f:
             status = json.load(f).get("entries", {})
         done = {n for n, v in status.items()
-                if v["status"] in ("ok", "skip")}
+                if v["status"] == "ok"
+                or (v["status"] == "skip" and n not in sampled)}
+        # a resumed 'skip' row re-runs when the caller now provides a
+        # SAMPLED twin for it — the row's evidence class is upgrading
         print(f"--- resume: {len(done)} already ok/skip in {out_file}",
               flush=True)
         names = [n for n in names if n not in done]
     ro_names = [n for n in names if n in rows_only]
-    names = [n for n in names if n not in rows_only]
+    sm_names = [n for n in names if n in sampled and n not in rows_only]
+    names = [n for n in names if n not in rows_only and n not in sampled]
     chunks = [names[i:i + chunk_size]
               for i in range(0, len(names), chunk_size)]
     # each rows-only entry gets its own flagged chunk at the end
     chunks += [[n] for n in ro_names]
+    chunks += [[n] for n in sm_names]
     t_start = time.time()
 
     def write_out():
@@ -109,6 +122,8 @@ def main(argv):
         try:
             flags = (["--rows-only"]
                      if all(n in rows_only for n in chunk) else [])
+            if chunk and all(n in sampled for n in chunk):
+                flags = [f"--sampled={','.join(chunk)}"]
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools/oracle_check.py"),
                  *flags, scale_dir, *chunk],
