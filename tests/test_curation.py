@@ -100,6 +100,25 @@ def test_semdedup_chunked_equals_single_chunk(spark, monkeypatch):
     assert len(base) > 0
 
 
+def test_sampled_decontaminate_is_exact_subset(spark):
+    """The SAMPLED oracle twin (queries/sampled.py) must equal the FULL
+    result filtered to the sampled residue class — sampling the probe
+    dimension may drop rows but can never change a surviving verdict
+    (each verdict depends on the probe row + the full bench side)."""
+    from hpctoolkit_dataframe_spark.queries.sampled import (SAMPLE_MOD,
+                                                            SAMPLED)
+
+    full = {r["doc_id"]: (r["nearest_bench"], r["max_cos"], r["is_leaked"])
+            for r in REGISTRY["semantic_decontaminate"].fn(spark, SF_DIR)
+            .collect()}
+    samp = {r["doc_id"]: (r["nearest_bench"], r["max_cos"], r["is_leaked"])
+            for r in SAMPLED["semantic_decontaminate"].fn(spark, SF_DIR)
+            .collect()}
+    expect = {k: v for k, v in full.items() if k % SAMPLE_MOD == 0}
+    assert samp == expect
+    assert 0 < len(samp) < len(full)
+
+
 def test_keep_best_one_winner_per_cluster(spark):
     rows = REGISTRY["dedup_keep_best"].fn(spark, SF_DIR).collect()
     by_cluster = {}
