@@ -827,8 +827,8 @@ pc AS (
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
 scored AS (
   SELECT p.tok_a, p.tok_b, p.c_xy, a.c AS c_a, b.c AS c_b,
-         CAST(p.c_xy * t.t * t.t AS DOUBLE)
-           / CAST(n.n * a.c * b.c AS DOUBLE) AS pmi_ratio
+         CAST(CAST(p.c_xy AS HUGEINT) * t.t * t.t AS DOUBLE)
+           / CAST(CAST(n.n AS HUGEINT) * a.c * b.c AS DOUBLE) AS pmi_ratio
   FROM pc p
   JOIN uni a ON a.token = p.tok_a
   JOIN uni b ON b.token = p.tok_b
@@ -841,9 +841,12 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-pair exchange, two joins against the unigram dim (broadcast
     at vocab scale), two broadcast scalars — the classic map-side-heavy
     counting shape that survives any corpus size.  Ordering ties break
-    on the token pair, and the overflow budget is explicit:
-    c_xy*T^2 and N*c_a*c_b stay under 2^63 up to ~10^9 total tokens
-    (shift to per-mille scaled counts beyond)."""
+    on the token pair.  The products run in exact wide integers —
+    DECIMAL(38,0) / HUGEINT, the r7 adversarial-moments pattern — with
+    ONE int->double rounding per side and one division: c_xy*T^2 blew
+    past 2^63 at the 100x clone's 2.6e9-token corpus (the r9 sweep
+    caught the documented "~10^9 token" cliff as a live ANSI
+    ArithmeticException); 38 digits hold to ~10^12 tokens per side."""
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull())
          .select("doc_id", F.split(F.col("text"), r"\s+").alias("toks")))
@@ -871,9 +874,11 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .crossJoin(F.broadcast(tot))
               .crossJoin(F.broadcast(n))
               .select("tok_a", "tok_b", "c_xy", "c_a", "c_b",
-                      ((F.col("c_xy") * F.col("t") * F.col("t"))
+                      ((F.col("c_xy").cast("decimal(38,0)")
+                        * F.col("t") * F.col("t"))
                        .cast("double")
-                       / (F.col("n") * F.col("c_a") * F.col("c_b"))
+                       / (F.col("n").cast("decimal(38,0)")
+                          * F.col("c_a") * F.col("c_b"))
                        .cast("double")).alias("pmi_ratio")))
     return (scored.orderBy(F.col("pmi_ratio").desc(), F.col("tok_a").asc(),
                            F.col("tok_b").asc())

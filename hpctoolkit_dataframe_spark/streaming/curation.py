@@ -176,8 +176,8 @@ def run_curation_stream(docs_stream: DataFrame, base: str,
          .queryName(query_name)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return q
+    from ._drain import drain
+    return drain(q)
 
 
 def curation_stream_report(spark: SparkSession, base: str) -> dict:

@@ -16,6 +16,8 @@ Design notes for 100 TB / continuous ingestion:
 
 from __future__ import annotations
 
+from . import _drain
+
 from typing import Any, Iterable
 
 import numpy as np
@@ -377,7 +379,7 @@ def run_available_now(stream_df: DataFrame, query_name: str,
         .outputMode(output_mode)
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    _drain.drain(q, 600)
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()
 
@@ -502,7 +504,7 @@ def run_store_dedup_stream(docs_stream: DataFrame, table: str,
 
     q = (docs_stream.writeStream.foreachBatch(process)
          .queryName(query_name).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain.drain(q, 600)
     return out
 
 
@@ -536,7 +538,7 @@ def run_gram_store_stream(docs_stream: DataFrame, table: str,
 
     q = (docs_stream.writeStream.foreachBatch(process)
          .queryName(query_name).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain.drain(q, 600)
     return out
 
 
@@ -570,7 +572,7 @@ def run_vector_index_stream(emb_stream: DataFrame, cents: DataFrame,
 
     q = (emb_stream.writeStream.foreachBatch(process)
          .queryName(query_name).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain.drain(q, 600)
     return n_batches
 
 
@@ -595,7 +597,7 @@ def run_cms_stream(docs_stream: DataFrame, store_path: str,
 
     q = (docs_stream.writeStream.foreachBatch(process)
          .queryName(query_name).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain.drain(q, 600)
     return n_batches
 
 
@@ -624,7 +626,7 @@ def run_dsir_stream(docs_stream: DataFrame, store_path: str,
 
     q = (docs_stream.writeStream.foreachBatch(process)
          .queryName(query_name).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _drain.drain(q, 600)
     return n_batches
 
 
@@ -818,7 +820,7 @@ def run_funnel_stream(events_stream: DataFrame, prefix: str,
         # leftover state and double-counts; resumption is test-pinned)
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.queryName(query_name).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    _drain.drain(q, 900)
     return spark.table(f"{prefix}_out")
 
 
@@ -936,7 +938,7 @@ def run_funnel_stream_ooo(events_stream: DataFrame, prefix: str,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.queryName(query_name).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    _drain.drain(q, 900)
     return spark.table(f"{prefix}_out")
 
 

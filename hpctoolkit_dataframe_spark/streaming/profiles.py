@@ -80,8 +80,8 @@ def run_profile_merge_stream(profiles_stream: DataFrame, base: str,
          .queryName(query_name)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return q
+    from ._drain import drain
+    return drain(q)
 
 
 def merged_profile_cct(spark: SparkSession, base: str,

@@ -91,8 +91,8 @@ def run_vector_store_stream(emb_stream: DataFrame, cents: DataFrame,
          .queryName(query_name)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return q
+    from ._drain import drain
+    return drain(q)
 
 
 def read_vector_store(spark: SparkSession, base: str) -> DataFrame:
