@@ -74,12 +74,13 @@ SELECTION = {
         " ancestor prefixes, shuffle-hash join, max-struct deepest"
         " stopper) is cct_ratio_of_parent_walkup's plan."),
     "cct_ratio_of_parent_walkup": (
-        "Ancestor walk-up, general path: explode to ancestor prefixes,"
-        " ONE shuffle-hash join against the slim node table (sort-merge"
-        " would pay an O(n log n) sort of the exploded side; beyond"
-        " the heap-scaled SHJ build cap the hint drops and SMJ spills instead of"
-        " OOMing), max-struct aggregate picks the deepest qualifying"
-        " ancestor."),
+        "Ancestor walk-up, general path (r9 broadcast-scan): ZERO"
+        " shuffles — the packed (path-hash -> value) node map ships"
+        " once per machine (SparkFiles + np.memmap) and one"
+        " mapInPandas scan resolves every walk with vectorized"
+        " searchsorted.  Above the heap-scaled map cap it falls back"
+        " to the explode + shuffle-hash join + max-struct plan"
+        " (which itself falls SHJ->SMJ past the build cap)."),
     "cct_merge_profiles": (
         "Multi-profile merge: ONE grouping-sets pass builds all 3"
         " per-profile trees (no per-profile rescan; p rides every"
