@@ -47,6 +47,7 @@ def main(argv):
     resume = False
     rows_only: set[str] = set()
     sampled: set[str] = set()
+    force = False
     rest = []
     for a in argv:
         if a.startswith("--out="):
@@ -57,6 +58,11 @@ def main(argv):
             timeout = int(a.split("=", 1)[1])
         elif a == "--resume":
             resume = True
+        elif a == "--force":
+            # with --resume: re-run the explicitly NAMED entries even
+            # if their recorded row is ok/skip (their plan or oracle
+            # changed this round and the row must reflect the new code)
+            force = True
         elif a.startswith("--rows-only="):
             # entries whose ORACLE is declared infeasible at this scale
             # (oracle_check --rows-only): run each in its own chunk with
@@ -80,11 +86,13 @@ def main(argv):
     if resume and os.path.exists(out_file):
         with open(out_file) as f:
             status = json.load(f).get("entries", {})
-        done = {n for n, v in status.items()
-                if v["status"] == "ok"
-                or (v["status"] == "skip" and n not in sampled)}
+        done = set() if (force and rest[1:]) else {
+            n for n, v in status.items()
+            if v["status"] == "ok"
+            or (v["status"] == "skip" and n not in sampled)}
         # a resumed 'skip' row re-runs when the caller now provides a
-        # SAMPLED twin for it — the row's evidence class is upgrading
+        # SAMPLED twin for it — the row's evidence class is upgrading;
+        # --force re-runs the named entries regardless (changed code)
         print(f"--- resume: {len(done)} already ok/skip in {out_file}",
               flush=True)
         names = [n for n in names if n not in done]
