@@ -280,8 +280,14 @@ def _walkup_broadcast_scan(df, base_column, column_name, pc,
             yield pd.DataFrame({"blob": [h1.tobytes() + h2.tobytes()
                                          + vals.tobytes() + nulls.tobytes()]})
 
+    # toLocalIterator, not collect: the packed map is ~25 B/row (1.5 GB
+    # at the 100x clone's 62M nodes) and a collect() of that trips
+    # spark.driver.maxResultSize (1 GiB default — exactly what happened
+    # at the 100x probe); streaming partition-sized blobs bounds the
+    # in-flight result at one partition regardless of total map size
     blobs = [r[0] for r in
-             slim_map.mapInPandas(_pack, "blob binary").collect()]
+             slim_map.mapInPandas(_pack, "blob binary")
+             .toLocalIterator(prefetchPartitions=True)]
     parts1, parts2, partsv, partsn = [], [], [], []
     for b in blobs:
         m = len(b) // 25

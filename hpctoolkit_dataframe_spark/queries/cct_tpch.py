@@ -97,9 +97,35 @@ def build_cct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     out = build_cct_plan(spark, sf_dir)
     out = out.repartition(
-        spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
+        _cct_checkpoint_partitions(spark, sf_dir)).localCheckpoint(eager=True)
     _CCT_CACHE[key] = out
     return out
+
+
+def _cct_checkpoint_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for the materialized tree, scaled by INPUT size.
+
+    A flat defaultParallelism (32) put ~1.9M CCT rows (~250 MB
+    deserialized) in each checkpoint partition at the 100x clone, and
+    32 tasks caching that concurrently OOM'd the 8 GiB heap (r9 100x
+    walk-up probe).  CCT rows ~= lineitem rows, so size off the
+    lineitem parquet bytes (~18 B/row on disk): one partition per 8 MB
+    of input keeps the deserialized partition near 60 MB.  sf0.1 and
+    the 10x clone stay at defaultParallelism (the floor), so nothing
+    below 100x changes."""
+    import os
+
+    try:
+        p = f"{sf_dir}/lineitem.parquet"
+        if os.path.isdir(p):
+            nbytes = sum(os.path.getsize(os.path.join(p, f))
+                         for f in os.listdir(p) if f.endswith(".parquet"))
+        else:
+            nbytes = os.path.getsize(p)
+    except OSError:
+        nbytes = 0  # non-local storage: fall back to the floor
+    return min(1024, max(spark.sparkContext.defaultParallelism,
+                         nbytes // (8 << 20)))
 
 
 def build_cct_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
