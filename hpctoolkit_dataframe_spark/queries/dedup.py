@@ -26,9 +26,15 @@ from . import REGISTRY, hash8_sql, load_table, register
 # registered by textops so the two can never drift
 _PAIRS_SQL = REGISTRY["minhash_lsh_pairs"].sql
 
+# AS MATERIALIZED on the multiply-referenced CTEs: DuckDB re-executes
+# an inlined CTE per reference, so the recursive closure re-ran the
+# whole MinHash pair pipeline every iteration — 192.8 s -> 12.5 s on
+# pagerank at sf0.1, and the difference between a 2 300 s row and a
+# timeout at the 100x clone.  Values are unchanged (same plan output,
+# forced spool), so the oracle stays hash-exact.
 _CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
-e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+WITH RECURSIVE pairs AS MATERIALIZED ({_PAIRS_SQL}),
+e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
       UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
 r(n, root) AS (
   SELECT s, s FROM e GROUP BY s
@@ -86,8 +92,8 @@ _VEC_PAIRS_SQL = REGISTRY["lsh_near_dup_pairs"].sql
 # (it defines `e`); DuckDB resolves the inner reference against the
 # OUTER name otherwise.
 _VEC_CLUSTERS_SQL = f"""
-WITH RECURSIVE vpairs AS ({_VEC_PAIRS_SQL}),
-vedges AS (SELECT vec_a AS s, vec_b AS d FROM vpairs
+WITH RECURSIVE vpairs AS MATERIALIZED ({_VEC_PAIRS_SQL}),
+vedges AS MATERIALIZED (SELECT vec_a AS s, vec_b AS d FROM vpairs
            UNION ALL SELECT vec_b AS s, vec_a AS d FROM vpairs),
 vreach(n, root) AS (
   SELECT s, s FROM vedges GROUP BY s
@@ -507,10 +513,11 @@ def _pr_iter_sql(k: int) -> str:
 
 
 @register("pagerank_dup_graph", sql=f"""
-WITH pairs AS ({_PAIRS_SQL}),
-e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+WITH pairs AS MATERIALIZED ({_PAIRS_SQL}),
+e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
       UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
-deg AS (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+deg AS MATERIALIZED (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM e GROUP BY s),
 r0 AS (SELECT n, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
 {', '.join(_pr_iter_sql(k) for k in range(1, PR_ITERS + 1))}
 SELECT deg.n AS doc_id, deg.deg, r{PR_ITERS}.r AS rank_e12
@@ -541,9 +548,10 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("triangle_count_dup_graph", sql=f"""
-WITH pairs AS ({_PAIRS_SQL}),
-e AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
-      FROM pairs),
+WITH pairs AS MATERIALIZED ({_PAIRS_SQL}),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+  FROM pairs),
 tri AS (
   SELECT e1.a, e1.b, e2.b AS c
   FROM e e1 JOIN e e2 ON e2.a = e1.b
