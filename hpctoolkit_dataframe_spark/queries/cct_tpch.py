@@ -30,6 +30,11 @@ LINE_OFF = 1_000_000_000
 # ---------------------------------------------------------------------------
 # shared CTE set for every oracle (DuckDB SQL mirror of build_cct)
 # ---------------------------------------------------------------------------
+# `cct` is AS MATERIALIZED: several oracles reference it 2-3 times
+# (self-joins, scalar root subqueries) and DuckDB re-executes an
+# inlined CTE per reference — at the 100x clone the 3 re-evaluations
+# of this rollup in cct_hot_regions spilled >75 GB and ENOSPC'd two
+# rounds running; one spool is ~linear in the tree size instead.
 CCT_CTES = f"""
 base AS (
   SELECT CAST(n.n_regionkey + {REGION_OFF} AS BIGINT) AS k1,
@@ -53,7 +58,7 @@ rolled AS (
   FROM base
   GROUP BY ROLLUP (k1, k2, k3, k4, k5)
 ),
-cct AS (
+cct AS MATERIALIZED (
   SELECT CASE gid WHEN 0 THEN 5 WHEN 1 THEN 4 WHEN 3 THEN 3
                   WHEN 7 THEN 2 WHEN 15 THEN 1 ELSE 0 END AS depth,
          CASE gid WHEN 0 THEN k5 WHEN 1 THEN k4 WHEN 3 THEN k3
