@@ -20,6 +20,7 @@ tree exactly this way at ingest, hpctoolkit_dataframe.py:233-289):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -114,7 +115,20 @@ def _shj_build_row_cap(spark) -> int:
 # keys (~1e-24 over the probe volume) and any such event would fail
 # the hash-exact oracle gate, not silently corrupt downstream.
 # ---------------------------------------------------------------------------
-WALKUP_BCAST_ROWS_PER_HEAP_GIB = 8_000_000   # 25 B/row packed map
+# Default 0 = the ancestor-explode path always (opt in via env).  The
+# broadcast-scan variant was written as the r9 answer to the walk-up's
+# skew/wall-time flags, and its first A/B (load 30-46) showed x1.5-2.2
+# wins — but a matched QUIET-box A/B (3 reps, count action, same
+# session) showed explode >= bcast at every scale: sf0.1 4.2 vs 5.8 s,
+# 10x 23 vs 30 s, 10x-skew 12.4 vs 14.4 s, 100x 295 vs 355 s.  The
+# original numbers were load-confounded (fewer stages suffer less
+# contention), and the scan path's driver-assembled map is the
+# anti-scale piece: it caps at driver heap (64M rows at 8 GiB) while
+# the explode's shuffle is the primitive that actually survives a
+# 1000-executor scale-up.  The path is retained, value-pinned equal
+# (tests/test_cct_ops.py), for contention-bound deployments.
+WALKUP_BCAST_ROWS_PER_HEAP_GIB = int(os.environ.get(
+    "SPARK_GRAFT_WALKUP_BCAST_ROWS_PER_HEAP_GIB", "0"))  # 25 B/row map
 _WK_A1 = 0x9E3779B97F4A7C15  # odd multipliers (splitmix64 / xxh finalizer
 _WK_A2 = 0xC2B2AE3D27D4EB4F  # constants), independent streams
 _WK_X = 0xD6E8FEB86659FD93   # id mix-in so id 0 advances the hash

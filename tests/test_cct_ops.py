@@ -149,6 +149,7 @@ def test_broadcast_scan_equals_explode_walkup(spark, tree, monkeypatch):
 
     df = build_cct(spark, "/root/testdata/sf0.001").withColumn(
         "avg_leaf", F.col("value").cast("double") / F.col("leaves"))
+    monkeypatch.setattr(cct, "WALKUP_BCAST_ROWS_PER_HEAP_GIB", 8_000_000)
     bcast = cct.with_ratio_of_parent(
         df, "avg_leaf", "r", carry_cols=("depth",), persist_input=False)
     monkeypatch.setattr(cct, "WALKUP_BCAST_ROWS_PER_HEAP_GIB", 0)

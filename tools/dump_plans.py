@@ -74,13 +74,15 @@ SELECTION = {
         " ancestor prefixes, shuffle-hash join, max-struct deepest"
         " stopper) is cct_ratio_of_parent_walkup's plan."),
     "cct_ratio_of_parent_walkup": (
-        "Ancestor walk-up, general path (r9 broadcast-scan): ZERO"
-        " shuffles — the packed (path-hash -> value) node map ships"
-        " once per machine (SparkFiles + np.memmap) and one"
-        " mapInPandas scan resolves every walk with vectorized"
-        " searchsorted.  Above the heap-scaled map cap it falls back"
-        " to the explode + shuffle-hash join + max-struct plan"
-        " (which itself falls SHJ->SMJ past the build cap)."),
+        "Ancestor walk-up, general path: explode to ancestor prefixes,"
+        " shuffle-hash join against the node table (SHJ->SMJ past the"
+        " heap-scaled build cap), max-struct deepest stopper, join-"
+        " back.  The r9 broadcast-scan variant (packed path-hash map +"
+        " searchsorted mapInPandas scan) is retained opt-in via"
+        " SPARK_GRAFT_WALKUP_BCAST_ROWS_PER_HEAP_GIB; a quiet-box"
+        " matched A/B showed explode >= scan at every scale and the"
+        " scan's driver-assembled map caps at driver heap — see"
+        " PERF.md r9 re-adjudication."),
     "cct_merge_profiles": (
         "Multi-profile merge: ONE grouping-sets pass builds all 3"
         " per-profile trees (no per-profile rescan; p rides every"

@@ -38,9 +38,10 @@ ARROW_OK = {
     "semantic_decontaminate",  # broadcast-bench int64 GEMM argmax
                                # (mapInPandas; r8 — replaced the
                                # crossJoin + interpreted per-pair dot)
-    "cct_ratio_of_parent_walkup",  # r9 zero-shuffle broadcast-scan:
-                                   # map-pack + searchsorted walk
-                                   # kernels (2 mapInPandas stages)
+    "cct_ratio_of_parent_walkup",  # opt-in broadcast-scan variant
+                                   # (SPARK_GRAFT_WALKUP_BCAST_...):
+                                   # 2 mapInPandas stages when enabled;
+                                   # default explode plan has none
 }
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin:
