@@ -127,8 +127,16 @@ def _shj_build_row_cap(spark) -> int:
 # the explode's shuffle is the primitive that actually survives a
 # 1000-executor scale-up.  The path is retained, value-pinned equal
 # (tests/test_cct_ops.py), for contention-bound deployments.
-WALKUP_BCAST_ROWS_PER_HEAP_GIB = int(os.environ.get(
-    "SPARK_GRAFT_WALKUP_BCAST_ROWS_PER_HEAP_GIB", "0"))  # 25 B/row map
+try:
+    WALKUP_BCAST_ROWS_PER_HEAP_GIB = int(os.environ.get(
+        "SPARK_GRAFT_WALKUP_BCAST_ROWS_PER_HEAP_GIB", "0"))  # 25 B/row map
+except ValueError as _e:  # a malformed value ('8g') must name the knob,
+    # not kill every import of the package with a bare int() traceback
+    raise ValueError(
+        "SPARK_GRAFT_WALKUP_BCAST_ROWS_PER_HEAP_GIB must be an integer "
+        f"(rows per driver-heap GiB), got "
+        f"{os.environ['SPARK_GRAFT_WALKUP_BCAST_ROWS_PER_HEAP_GIB']!r}"
+    ) from _e
 _WK_A1 = 0x9E3779B97F4A7C15  # odd multipliers (splitmix64 / xxh finalizer
 _WK_A2 = 0xC2B2AE3D27D4EB4F  # constants), independent streams
 _WK_X = 0xD6E8FEB86659FD93   # id mix-in so id 0 advances the hash
@@ -140,6 +148,8 @@ def _walkup_bcast_row_cap(spark) -> int:
     cost is one page-cache copy per machine; the binding constraint is
     the DRIVER assembling and sorting the packed arrays (~2 transient
     copies at 25 B/row).  8M rows/GiB keeps that under ~40% of heap."""
+    if WALKUP_BCAST_ROWS_PER_HEAP_GIB <= 0:
+        return 0  # knob disabled: no frame, not even 1-row, qualifies
     conf = spark.sparkContext.getConf()
     gib = _parse_mem_gib(conf.get("spark.driver.memory", "1g"))
     return max(1, int(gib * WALKUP_BCAST_ROWS_PER_HEAP_GIB))
@@ -542,14 +552,18 @@ def with_ratio_of_parent(
     if no ancestor qualifies the walk terminates at the root, which is
     used regardless.  The root row itself resolves to itself (ratio 1.0).
 
-    Spark plan, chosen by input size (r9): while the node table fits
-    the heap-proportional broadcast cap (_walkup_bcast_row_cap, 25 B
+    Spark plan (r9 default): the DISTRIBUTED ancestor-explode path —
+    it is the plan whose shuffle primitive survives a 1000-executor
+    scale-up, and the matched quiet-box A/B showed it >= the scan at
+    every probed scale (PERF.md r9).  An opt-in broadcast-scan variant
+    exists for contention-bound single-box deployments: set
+    SPARK_GRAFT_WALKUP_BCAST_ROWS_PER_HEAP_GIB > 0 and, while the node
+    table fits the heap-proportional cap (_walkup_bcast_row_cap, 25 B
     per node packed), the walk resolves with ZERO shuffles — one slim
     job packs (path-hash, value) per node, the sorted map ships once
     per machine via SparkFiles + np.memmap, and one mapInPandas scan
-    answers every node's walk with vectorized searchsorted.  Beyond
-    the cap (or when the input can't be counted) it falls back to the
-    distributed plan: explode each node into its ancestor prefixes
+    answers every node's walk with vectorized searchsorted.  The
+    default path: explode each node into its ancestor prefixes
     (depth d -> d prefixes), join ancestors to node values on
     (partition, path-hash, path), keep qualifying ancestors
     (value >= own, or root), pick the deepest with a max_by aggregate.
@@ -663,13 +677,16 @@ def with_ratio_of_parent(
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism).localCheckpoint(eager=True)
 
-    if walk_up:
-        # zero-shuffle broadcast-scan path (r9): when the node table
-        # packs under the heap-proportional cap, resolve every walk
-        # against a SparkFiles-distributed hash map instead of the
-        # ancestor explode + shuffle join + aggregate + join-back.
-        # df is materialized here (memoized build or the checkpoint
-        # above), so the count is one cheap cached-scan job.
+    if walk_up and WALKUP_BCAST_ROWS_PER_HEAP_GIB > 0:
+        # OPT-IN zero-shuffle broadcast-scan path (r9, default off):
+        # when the node table packs under the heap-proportional cap,
+        # resolve every walk against a SparkFiles-distributed hash map
+        # instead of the ancestor explode + shuffle join + aggregate +
+        # join-back.  df is materialized here (memoized build or the
+        # checkpoint above), so the count is one cheap cached-scan job.
+        # With the knob at its default 0 this whole branch — including
+        # the count() that would recompute an unmaterialized input —
+        # is skipped (ADVICE r9 #1).
         try:
             n_nodes = df.count()
         except Exception:

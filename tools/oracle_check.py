@@ -121,6 +121,18 @@ def main():
     tmpdir = os.environ.get("DUCKDB_TEMP_DIR", "/tmp/duckdb_spill")
     os.makedirs(tmpdir, exist_ok=True)
     con.execute(f"SET temp_directory='{tmpdir}'")
+    # spill/memory budgets (VERDICT r9 #8): the r9 skew-100x funnel
+    # oracle spilled until the VOLUME was full, killing the whole sweep
+    # (and any co-located Spark shuffle files).  Cap the spill so a
+    # runaway oracle fails ITS row with a clean out-of-temp error
+    # instead of taking the box down; cap memory so DuckDB spills
+    # predictably instead of fighting the JVM for the last GiB.
+    max_spill = os.environ.get("DUCKDB_MAX_TEMP_SIZE", "40GiB")
+    if max_spill.lower() not in ("", "none", "off"):
+        con.execute(f"SET max_temp_directory_size='{max_spill}'")
+    mem_limit = os.environ.get("DUCKDB_MEMORY_LIMIT", "")
+    if mem_limit:
+        con.execute(f"SET memory_limit='{mem_limit}'")
     for t in TABLES:
         # a table may be a single parquet FILE (the driver's testdata)
         # or a multi-file DIRECTORY (tools/make_scale_data.py output —
@@ -166,6 +178,11 @@ def main():
             print(f"SKIP {name}: {why} ({n_s} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
+        # engine-attributable wall split (VERDICT r9 #2): one combined
+        # number made "dedup_keep_best 2766.6s" unattributable — most of
+        # it was DuckDB.  t_spark covers plan+execute on the Spark side,
+        # t_duck the oracle execute+fetch/digest.
+        t_spark = t_duck = 0.0
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -184,16 +201,20 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
+        t_spark += time.time() - t0
         if big:
             from hpctoolkit_dataframe_spark import oracle_hash as oh
 
             col_order = sorted(s_cols)
+            t1 = time.time()
             try:
                 s_dig = oh.spark_digest(sdf, col_order)
             except Exception as e:
                 failures.append(name)
                 print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
                 continue
+            t_spark += time.time() - t1
+            t1 = time.time()
             try:
                 res = con.execute(sql)
                 d_cols = [d[0] for d in res.description]
@@ -207,6 +228,7 @@ def main():
                 failures.append(name)
                 print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
                 continue
+            t_duck = time.time() - t1
             if s_dig[0] != d_dig[0]:
                 failures.append(name)
                 print(f"FAIL {name}: row count: spark={s_dig[0]} "
@@ -218,8 +240,10 @@ def main():
                       "exact path on a filtered slice to diagnose)")
             else:
                 print(f"OK   {name}: {s_dig[0]} rows "
-                      f"(hash-compare{tag}, {time.time()-t0:.1f}s)")
+                      f"(hash-compare{tag}, spark {t_spark:.1f}s + "
+                      f"duck {t_duck:.1f}s)")
             continue
+        t1 = time.time()
         try:
             res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
@@ -228,6 +252,7 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
+        t_duck = time.time() - t1
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
@@ -263,7 +288,8 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"OK   {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s{tag})")
+            print(f"OK   {name}: {len(s_rows)} rows (spark {t_spark:.1f}s + "
+                  f"duck {t_duck:.1f}s{tag})")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
