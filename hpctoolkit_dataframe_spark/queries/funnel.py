@@ -38,17 +38,30 @@ WITH e AS (SELECT event_id, user_id, event_type,
 v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'view'),
 c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
 p AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase'),
+-- earliest-next-step via ASOF (nearest-match) joins: the former
+-- banded v x c equi-join emitted quadratic per-user candidate pairs
+-- and spilled the r9 skew-100x sweep to ENOSPC (one bot user = 45%
+-- of events); ASOF picks each view's first later click directly —
+-- linear in the hot user, values identical (verified old==new at
+-- sf0.001/0.01/0.1 + both skew clones).  MATERIALIZED fences keep
+-- the horizon filter OUT of the ASOF ON clause (DuckDB rejects a
+-- second pushed inequality), and the first-later-click is in the
+-- 24h window iff it is <= v_ts + H, so filter-after == min-within.
+vc0 AS MATERIALIZED (
+  SELECT v.event_id, v.user_id, v.ts_us AS v_ts, c.ts_us AS c_ts
+  FROM v ASOF LEFT JOIN c ON c.user_id = v.user_id AND c.ts_us > v.ts_us
+),
 vc AS (
-  SELECT v.event_id, v.user_id, v.ts_us AS v_ts,
-         CAST(MIN(c.ts_us) AS BIGINT) AS c_ts
-  FROM v JOIN c ON c.user_id = v.user_id
-       AND c.ts_us > v.ts_us AND c.ts_us <= v.ts_us + {FUNNEL_H_US}
-  GROUP BY v.event_id, v.user_id, v.ts_us
+  SELECT event_id, user_id, v_ts, CAST(c_ts AS BIGINT) AS c_ts FROM vc0
+  WHERE c_ts IS NOT NULL AND c_ts <= v_ts + {FUNNEL_H_US}
+),
+vcp0 AS MATERIALIZED (
+  SELECT vc.event_id, vc.v_ts, vc.c_ts, p.ts_us AS p_ts
+  FROM vc ASOF LEFT JOIN p ON p.user_id = vc.user_id AND p.ts_us > vc.c_ts
 ),
 vcp AS (
-  SELECT DISTINCT vc.event_id, vc.v_ts
-  FROM vc JOIN p ON p.user_id = vc.user_id
-       AND p.ts_us > vc.c_ts AND p.ts_us <= vc.c_ts + {FUNNEL_H_US}
+  SELECT event_id, v_ts FROM vcp0
+  WHERE p_ts IS NOT NULL AND p_ts <= c_ts + {FUNNEL_H_US}
 ),
 per_day_v AS (
   SELECT ts_us // {_US_PER_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n_views
