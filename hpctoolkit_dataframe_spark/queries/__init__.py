@@ -134,34 +134,34 @@ _GATE_ORDER = [
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
     "cct_hot_path", "q1_pricing_summary", "events_sessions",
     "duplicate_spans", "simhash64",
-    # r9-CHANGED entries (the ADVICE-r8 fixes): anything whose Spark
-    # or oracle source changed re-attests in the round it changed
-    "semdedup_prune",                   # 31-bit chunk-pair key (long)
-    "semantic_decontaminate",           # bench-collect row-count guard
-    "cct_ratio_of_parent_walkup",       # mem-parser 'b'-suffix (SHJ cap)
-    # the full r8 rotation queue: ALL 14 remaining r5-latest entries —
-    # after this window no entry's latest green row predates r6
-    "pack_sequences", "posting_lists", "pq_ann", "pq_codes",
-    "quality_top_decile", "repetition_ratio", "simhash_near_dup_pairs",
-    "source_token_totals", "split_leakage_report", "stratified_sample",
-    "token_df_vocab", "top_terms_per_doc", "training_shard_manifest",
-    "user_value_history",
-    # oldest re-attestations: 25 of the 36 r6-latest entries
-    # (alphabetical; the other 11 head the r10 queue:
-    # priority_weighted_sample q11_important_parts q12_delay_priority
-    # q16_supplier_counts q20_dominant_suppliers q21_waiting_suppliers
-    # q2_min_cost_supplier scd2_customer_history stickiness_dau_wau
-    # temperature_mixture_plan triangle_count_dup_graph)
-    "bigram_lm_score", "bm25_topk", "canonical_dedup",
-    "cct_fragment_filter", "cms_heavy_hitters", "cohort_retention",
-    "copurchase_lift", "corpus_without_dup_spans",
-    "curation_funnel_report", "dedup_keep_best", "dq_report",
-    "dsir_importance_weights", "duplicate_word_coverage",
-    "er_part_pairs", "event_sequence_matches", "exact_daily_uniques",
-    "exact_value_percentiles", "exact_weekly_uniques",
-    "gopher_quality_flags", "incremental_dedup_resume",
-    "leakage_safe_split", "mixture_plan", "pagerank_dup_graph",
-    "pii_redact_stats", "pmi_top_pairs",
+    # r10-CHANGED entries: anything whose Spark or oracle source
+    # changed re-attests in the round it changed
+    "funnel_view_click_purchase",       # oracle rewritten to ASOF joins
+    "cct_ratio_of_parent_walkup",       # dead-bcast-branch skip at knob 0
+    # the full r9 rotation queue: ALL 11 remaining r6-latest entries —
+    # after this window no entry's latest green row predates r7
+    "priority_weighted_sample", "q11_important_parts",
+    "q12_delay_priority", "q16_supplier_counts",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q2_min_cost_supplier", "scd2_customer_history",
+    "stickiness_dau_wau", "temperature_mixture_plan",
+    "triangle_count_dup_graph",
+    # oldest re-attestations: 29 of the 38 r7-latest entries
+    # (alphabetical; the other 9 head the r11 queue:
+    # q18_large_orders q3_top_orders q4_order_priority
+    # q5_region_revenue q6_forecast_revenue q7_nation_volume
+    # q8_market_share q9_product_profit winnow_fingerprints)
+    "ab_test_purchase_value", "bpe_encode_stats", "bpe_train_merges",
+    "cct_flame_diff", "cct_flame_widths", "cct_hot_path_batch",
+    "cct_hot_regions", "cct_hottest_child_per_parent",
+    "cct_merge_profiles", "cct_nodes", "cct_prefix_subtree",
+    "cct_ratio_of_parent", "cct_ratio_of_total",
+    "cube_returnflag_status", "customer_spend_deciles",
+    "embedding_dup_clusters", "events_hourly", "events_json_props",
+    "events_trailing_10min", "events_zscore_outliers",
+    "hybrid_search_rrf", "ivf_ann", "ivf_ann_trained", "knn_cosine",
+    "lineitem_grouping_sets", "lsh_near_dup_pairs",
+    "media_fake_features", "media_frame_sample", "q15_top_supplier",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)
