@@ -113,10 +113,16 @@ def encode_word(word: str, ranks: dict) -> list[str]:
 def main() -> None:
     train_rows = []
     enc_rows = []
-    # extra corpora (e.g. a scale clone: tools/make_scale_data.py
-    # output) can be appended on the command line so the fixture-keyed
-    # oracle also covers scale-sweep runs
-    for sf_dir in SF_DIRS + sys.argv[1:]:
+    # --append: keep every existing fixture row whose corpus key is not
+    # being regenerated, and compute only the named dirs.  Needed when
+    # adding a NEW clone while earlier clones (e.g. a deleted /tmp adv
+    # clone) are no longer on disk — a full rebuild would silently drop
+    # their keys and un-oracle their old sweep artifacts.
+    args = sys.argv[1:]
+    append = "--append" in args
+    args = [a for a in args if a != "--append"]
+    dirs = args if append else SF_DIRS + args
+    for sf_dir in dirs:
         con = duckdb.connect()
         path = f"{sf_dir}/documents.parquet"
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
@@ -146,6 +152,19 @@ def main() -> None:
         print(f"{sf_dir}: {len(merges)} merges, {len(docs)} docs "
               f"(chars={corpus_chars})", file=sys.stderr)
 
+    if append:
+        new_keys = {(r[0], r[1]) for r in train_rows} | {
+            (r[0], r[1]) for r in enc_rows}
+        old_train = duckdb.connect().execute(
+            f"SELECT * FROM '{FIXDIR}/bpe_train_golden.parquet'").fetchall()
+        old_enc = duckdb.connect().execute(
+            f"SELECT * FROM '{FIXDIR}/bpe_encode_golden.parquet'").fetchall()
+        kept_t = [r for r in old_train if (r[0], r[1]) not in new_keys]
+        kept_e = [r for r in old_enc if (r[0], r[1]) not in new_keys]
+        print(f"--append: keeping {len(kept_t)} train / {len(kept_e)} "
+              f"encode rows from existing fixture", file=sys.stderr)
+        train_rows = kept_t + train_rows
+        enc_rows = kept_e + enc_rows
     pq.write_table(pa.table(
         {"corpus_rows": pa.array([r[0] for r in train_rows], pa.int64()),
          "corpus_chars": pa.array([r[1] for r in train_rows], pa.int64()),
