@@ -170,6 +170,17 @@ def test_broadcast_scan_equals_explode_walkup(spark, tree, monkeypatch):
     assert key(p_b) == key(p_e)
 
 
+def test_walkup_bcast_cap_disabled_at_default(spark, monkeypatch):
+    """ADVICE r9 #1: with the knob at its default 0 the row cap must be
+    0 (not max(1, ...) = 1), so no frame — not even 1 row — can slip
+    into the 'disabled' broadcast-scan path, and the walk-up branch
+    skips its sizing count() entirely."""
+    monkeypatch.setattr(cct, "WALKUP_BCAST_ROWS_PER_HEAP_GIB", 0)
+    assert cct._walkup_bcast_row_cap(spark) == 0
+    monkeypatch.setattr(cct, "WALKUP_BCAST_ROWS_PER_HEAP_GIB", 8_000_000)
+    assert cct._walkup_bcast_row_cap(spark) > 0
+
+
 def test_monotone_hint_equals_walkup_explode(spark):
     """The monotone fast path (one parent join) must return exactly the
     explode/walk-up result when the metric really is monotone — the
