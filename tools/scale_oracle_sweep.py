@@ -152,6 +152,13 @@ def main(argv):
                 # a FAIL line may follow an earlier OK-ish parse; last wins
                 status[name] = {"status": kind.lower(),
                                 "detail": detail.strip()[:200]}
+                # machine-readable engine/oracle wall split (VERDICT r9
+                # #2) when oracle_check printed one
+                ts = re.search(r"spark (\d+\.?\d*)s \+ duck (\d+\.?\d*)s",
+                               detail)
+                if ts:
+                    status[name]["spark_s"] = float(ts.group(1))
+                    status[name]["duck_s"] = float(ts.group(2))
                 print(line, flush=True)
         for name in chunk:
             if name not in seen:
