@@ -138,6 +138,8 @@ _GATE_ORDER = [
     # changed re-attests in the round it changed
     "funnel_view_click_purchase",       # oracle rewritten to ASOF joins
     "cct_ratio_of_parent_walkup",       # dead-bcast-branch skip at knob 0
+    # r10-NEW entry (every round-new entry gates in its round)
+    "semdedup_cell_pressure",
     # the full r9 rotation queue: ALL 11 remaining r6-latest entries —
     # after this window no entry's latest green row predates r7
     "priority_weighted_sample", "q11_important_parts",
@@ -146,11 +148,12 @@ _GATE_ORDER = [
     "q2_min_cost_supplier", "scd2_customer_history",
     "stickiness_dau_wau", "temperature_mixture_plan",
     "triangle_count_dup_graph",
-    # oldest re-attestations: 29 of the 38 r7-latest entries
-    # (alphabetical; the other 9 head the r11 queue:
-    # q18_large_orders q3_top_orders q4_order_priority
-    # q5_region_revenue q6_forecast_revenue q7_nation_volume
-    # q8_market_share q9_product_profit winnow_fingerprints)
+    # oldest re-attestations: 28 of the 38 r7-latest entries
+    # (alphabetical; the other 10 head the r11 queue:
+    # q15_top_supplier q18_large_orders q3_top_orders
+    # q4_order_priority q5_region_revenue q6_forecast_revenue
+    # q7_nation_volume q8_market_share q9_product_profit
+    # winnow_fingerprints)
     "ab_test_purchase_value", "bpe_encode_stats", "bpe_train_merges",
     "cct_flame_diff", "cct_flame_widths", "cct_hot_path_batch",
     "cct_hot_regions", "cct_hottest_child_per_parent",
@@ -161,7 +164,7 @@ _GATE_ORDER = [
     "events_trailing_10min", "events_zscore_outliers",
     "hybrid_search_rrf", "ivf_ann", "ivf_ann_trained", "knn_cosine",
     "lineitem_grouping_sets", "lsh_near_dup_pairs",
-    "media_fake_features", "media_frame_sample", "q15_top_supplier",
+    "media_fake_features", "media_frame_sample",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)

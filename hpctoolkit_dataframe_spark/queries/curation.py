@@ -435,6 +435,46 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cell", "is_semdup"))
 
 
+@register("semdedup_cell_pressure", sql=f"""
+WITH {_kmeans_ctes()},
+a AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS members
+  FROM s{KMEANS_ITERS} GROUP BY cell
+)
+SELECT cell, members,
+       CAST((members + {SEMDEDUP_CELL_CAP - 1}) // {SEMDEDUP_CELL_CAP}
+            AS BIGINT) AS chunks,
+       CAST(((members + {SEMDEDUP_CELL_CAP - 1}) // {SEMDEDUP_CELL_CAP})
+            * ((members + {SEMDEDUP_CELL_CAP - 1}) // {SEMDEDUP_CELL_CAP}
+               + 1) // 2 AS BIGINT) AS chunk_pairs,
+       CAST(members * ((members + {SEMDEDUP_CELL_CAP - 1})
+                       // {SEMDEDUP_CELL_CAP}) AS BIGINT) AS fanout_rows
+FROM a""")
+def semdedup_cell_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight pressure report for semdedup_prune's giant-cell cap
+    (VERDICT r9 #7 observability ask): per k-means cell, the member
+    count and the fan-out the cap will generate — `chunks` CAP-sized
+    sub-splits, `chunk_pairs` parallel GEMM tasks (the quadratic
+    verify cost, (n/CAP)^2-ish), and `fanout_rows` shuffled rows (each
+    member ships once per chunk it pairs with).  One groupBy over the
+    assignment — no GEMM, no pair explosion — so an operator can audit
+    a skewed corpus's worst cell BEFORE paying for the verify (the
+    skew clone's byte-identical 30% lands in one cell; this is the
+    query that says so in seconds)."""
+    _, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
+    cap = SEMDEDUP_CELL_CAP
+    members = F.col("members")
+    chunks = F.floor((members + (cap - 1)) / cap).cast("long")
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("members"))
+            .select(
+                "cell", "members",
+                chunks.alias("chunks"),
+                (chunks * (chunks + 1) / 2).cast("long")
+                .alias("chunk_pairs"),
+                (members * chunks).cast("long").alias("fanout_rows")))
+
+
 # ---------------------------------------------------------------------------
 # keep-best dedup policy: quality argmax per near-dup cluster
 # ---------------------------------------------------------------------------
