@@ -272,22 +272,30 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("q21_waiting_suppliers", sql="""
 WITH lo AS (
+  -- the textbook EXISTS/NOT-EXISTS pair is a correlated lineitem
+  -- self-join on l_orderkey with an inequality — quadratic in a hot
+  -- order's row count (154 s at the 10x skew clone's 340k-row orders,
+  -- ~100x that at skew-100x: infeasible).  DISTINCT window aggregates
+  -- per order say the same thing linearly: a late row counts iff its
+  -- order has >1 distinct suppliers and exactly 1 distinct LATE
+  -- supplier (then the late row's supplier IS that supplier).
+  -- Row-exact vs the EXISTS form at sf0.01/sf0.1/skew-10x.
   SELECT l.l_orderkey, l.l_suppkey,
-         CAST(l.l_shipdate AS DATE) AS ship_d,
-         CAST(o.o_orderdate AS DATE) AS order_d
+         CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+           AS is_late
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+),
+w AS (
+  SELECT l_orderkey, l_suppkey, is_late,
+         COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+           OVER (PARTITION BY l_orderkey) AS n_late_supp
+  FROM lo
 )
 SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-WHERE l1.ship_d > l1.order_d + 60
-  AND EXISTS (SELECT 1 FROM lo l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lo l3
-                  WHERE l3.l_orderkey = l1.l_orderkey
-                    AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.ship_d > l3.order_d + 60)
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE w.is_late AND w.n_supp > 1 AND w.n_late_supp = 1
 GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT 100""")
