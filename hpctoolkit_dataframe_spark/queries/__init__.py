@@ -138,22 +138,24 @@ _GATE_ORDER = [
     # changed re-attests in the round it changed
     "funnel_view_click_purchase",       # oracle rewritten to ASOF joins
     "cct_ratio_of_parent_walkup",       # dead-bcast-branch skip at knob 0
+    "q21_waiting_suppliers",            # oracle: window aggs, not EXISTS
+    "copurchase_lift",                  # degenerate-basket cap, both sides
     # r10-NEW entry (every round-new entry gates in its round)
     "semdedup_cell_pressure",
     # the full r9 rotation queue: ALL 11 remaining r6-latest entries —
     # after this window no entry's latest green row predates r7
     "priority_weighted_sample", "q11_important_parts",
     "q12_delay_priority", "q16_supplier_counts",
-    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q20_dominant_suppliers",
     "q2_min_cost_supplier", "scd2_customer_history",
     "stickiness_dau_wau", "temperature_mixture_plan",
     "triangle_count_dup_graph",
-    # oldest re-attestations: 28 of the 38 r7-latest entries
-    # (alphabetical; the other 10 head the r11 queue:
-    # q15_top_supplier q18_large_orders q3_top_orders
-    # q4_order_priority q5_region_revenue q6_forecast_revenue
-    # q7_nation_volume q8_market_share q9_product_profit
-    # winnow_fingerprints)
+    # oldest re-attestations: 27 of the 38 r7-latest entries
+    # (alphabetical; the other 11 head the r11 queue:
+    # media_frame_sample q15_top_supplier q18_large_orders
+    # q3_top_orders q4_order_priority q5_region_revenue
+    # q6_forecast_revenue q7_nation_volume q8_market_share
+    # q9_product_profit winnow_fingerprints)
     "ab_test_purchase_value", "bpe_encode_stats", "bpe_train_merges",
     "cct_flame_diff", "cct_flame_widths", "cct_hot_path_batch",
     "cct_hot_regions", "cct_hottest_child_per_parent",
@@ -164,7 +166,7 @@ _GATE_ORDER = [
     "events_trailing_10min", "events_zscore_outliers",
     "hybrid_search_rrf", "ivf_ann", "ivf_ann_trained", "knn_cosine",
     "lineitem_grouping_sets", "lsh_near_dup_pairs",
-    "media_fake_features", "media_frame_sample",
+    "media_fake_features",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)

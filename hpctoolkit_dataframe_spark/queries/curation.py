@@ -1011,10 +1011,22 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 BASKET_MIN_SUP = 2
 BASKET_TOP_K = 50
+# degenerate-basket exclusion: pair generation is quadratic in basket
+# size, so one bot/ETL-artifact basket dominates the whole job (the
+# skew-100x clone's 8 hot orders hold ~17.6k distinct parts each =
+# ~1.2e9 pairs; every legitimate basket at every probed scale is <= 17
+# items).  Standard market-basket practice: baskets above the cap are
+# excluded from the analysis entirely (n, item counts, and pairs all
+# computed over included baskets) — deterministic, engine-identical.
+BASKET_SIZE_CAP = 1024
 
 
 @register("copurchase_lift", sql=f"""
-WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+b AS (
+  SELECT l_orderkey, l_partkey FROM b0
+  QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {BASKET_SIZE_CAP}
+),
 n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
 ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM b
        GROUP BY l_partkey),
@@ -1044,6 +1056,14 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream is proportional to observed pairs, not the catalog."""
     b = (load_table(spark, sf_dir, "lineitem")
          .select("l_orderkey", "l_partkey").distinct())
+    # degenerate-basket cap (BASKET_SIZE_CAP docstring): the size
+    # filter reuses the distinct's orderkey clustering — a window
+    # count, no extra shuffle — and everything downstream (n, item
+    # counts, pairs) sees only included baskets
+    wb = Window.partitionBy("l_orderkey")
+    b = (b.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+         .filter(F.col("__bsz") <= BASKET_SIZE_CAP)
+         .drop("__bsz"))
     n = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
     ic = (b.groupBy("l_partkey")
           .agg(F.count(F.lit(1)).cast("long").alias("c")))
