@@ -546,8 +546,14 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("purchase_id"), "ts_us")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("event_id").alias("view_id"), "ts_us")
+    # time_buckets: one bot user holding 45% of events is a WINDOW
+    # skew — the single (user)-partitioned sort task held 45M rows at
+    # the skew-100x clone and ground for most of an hour.  The asof
+    # operator's hot-key pre-split spreads every key's timeline over
+    # 32 stitched ranges (results property-tested identical); the two
+    # extra small aggregations are noise at uniform scale.
     out = asof_join(purchases, views, on="user_id", left_ts="ts_us",
-                    right_cols=["view_id"])
+                    right_cols=["view_id"], time_buckets=32)
     return out.select(
         "user_id", "purchase_id", "ts_us",
         F.col("view_id").cast("long").alias("view_id"),
