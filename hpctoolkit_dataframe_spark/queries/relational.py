@@ -1170,15 +1170,45 @@ WITH e AS (SELECT user_id, event_id, event_type,
 p AS (SELECT user_id, event_id AS purchase_id,
              ts_us - {ATTRIBUTION_WINDOW_US} AS lo_us, ts_us AS hi_us
       FROM e WHERE event_type = 'purchase'),
-v AS (SELECT user_id, event_id AS view_id, ts_us FROM e
-      WHERE event_type = 'view')
-SELECT p.purchase_id, p.user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_views,
-       CAST(MIN(v.ts_us) AS BIGINT) AS first_view_us,
-       CAST(MAX(v.ts_us) AS BIGINT) AS last_view_us
-FROM p JOIN v ON v.user_id = p.user_id
-              AND v.ts_us >= p.lo_us AND v.ts_us <= p.hi_us
-GROUP BY p.purchase_id, p.user_id""")
+v AS (SELECT user_id, ts_us FROM e WHERE event_type = 'view'),
+-- trailing-window COUNT/MIN/MAX without materializing pairs: the old
+-- banded v x p inequality join emitted every (purchase, view-in-6h)
+-- pair and ran the skew-100x bot user out of the 25 GiB spill budget.
+-- Per-(user, ts) cumulative view counts turn each purchase into three
+-- nearest-match lookups: cum at hi (backward asof), cum strictly
+-- before lo (backward, <), and the first view at/after lo (forward) —
+-- n = cum_hi - cum_lo, first/last come straight off the asof rows.
+-- Grouping v by (user, ts) first makes every asof tie-free (one row
+-- per timestamp, cum = count through that ts).  Row-exact vs the pair
+-- join at sf0.001/0.01/0.1 + skew-10x; 5.6 s at skew-100x.
+v3 AS MATERIALIZED (
+  SELECT user_id, ts_us,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id ORDER BY ts_us)
+              AS BIGINT) AS cum
+  FROM v GROUP BY user_id, ts_us
+),
+hi AS MATERIALIZED (
+  SELECT p.purchase_id, p.user_id, p.lo_us, p.hi_us,
+         h.cum AS cum_hi, h.ts_us AS ts_hi
+  FROM p ASOF LEFT JOIN v3 h
+    ON h.user_id = p.user_id AND h.ts_us <= p.hi_us
+),
+lo AS MATERIALIZED (
+  SELECT hi.*, l.cum AS cum_lo
+  FROM hi ASOF LEFT JOIN v3 l
+    ON l.user_id = hi.user_id AND l.ts_us < hi.lo_us
+),
+fw AS MATERIALIZED (
+  SELECT lo.*, f.ts_us AS ts_fw
+  FROM lo ASOF LEFT JOIN v3 f
+    ON f.user_id = lo.user_id AND f.ts_us >= lo.lo_us
+)
+SELECT purchase_id, user_id,
+       CAST(cum_hi - COALESCE(cum_lo, 0) AS BIGINT) AS n_views,
+       CAST(ts_fw AS BIGINT) AS first_view_us,
+       CAST(ts_hi AS BIGINT) AS last_view_us
+FROM fw
+WHERE cum_hi IS NOT NULL AND cum_hi - COALESCE(cum_lo, 0) > 0""")
 def purchase_view_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.interval import interval_join
 
