@@ -462,17 +462,17 @@ def semdedup_cell_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew clone's byte-identical 30% lands in one cell; this is the
     query that says so in seconds)."""
     _, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
-    cap = SEMDEDUP_CELL_CAP
-    members = F.col("members")
-    chunks = F.floor((members + (cap - 1)) / cap).cast("long")
+    # integer div end-to-end (repo scaled-BIGINT rule): the oracle's
+    # `//` is exact, so a double round-trip here would diverge past 2^53
+    ch = f"((members + {SEMDEDUP_CELL_CAP - 1}) div {SEMDEDUP_CELL_CAP})"
     return (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).cast("long").alias("members"))
             .select(
                 "cell", "members",
-                chunks.alias("chunks"),
-                (chunks * (chunks + 1) / 2).cast("long")
-                .alias("chunk_pairs"),
-                (members * chunks).cast("long").alias("fanout_rows")))
+                F.expr(ch).alias("chunks"),
+                F.expr(f"({ch} * ({ch} + 1)) div 2").alias("chunk_pairs"),
+                F.expr(f"members * {ch}").cast("long")
+                .alias("fanout_rows")))
 
 
 # ---------------------------------------------------------------------------
@@ -1056,10 +1056,11 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream is proportional to observed pairs, not the catalog."""
     b = (load_table(spark, sf_dir, "lineitem")
          .select("l_orderkey", "l_partkey").distinct())
-    # degenerate-basket cap (BASKET_SIZE_CAP docstring): the size
-    # filter reuses the distinct's orderkey clustering — a window
-    # count, no extra shuffle — and everything downstream (n, item
-    # counts, pairs) sees only included baskets
+    # degenerate-basket cap (BASKET_SIZE_CAP docstring): the window
+    # count costs one (l_orderkey) exchange on top of the distinct's
+    # (l_orderkey, l_partkey) hash partitioning — accepted as the
+    # skew-insurance premium; everything downstream (n, item counts,
+    # pairs) sees only included baskets
     wb = Window.partitionBy("l_orderkey")
     b = (b.withColumn("__bsz", F.count(F.lit(1)).over(wb))
          .filter(F.col("__bsz") <= BASKET_SIZE_CAP)

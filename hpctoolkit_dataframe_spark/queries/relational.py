@@ -518,25 +518,25 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # formulation: inequality join + max_by with a [ts, id] tie-break.
 # ---------------------------------------------------------------------------
 @register("events_asof_attribution", sql="""
+-- ASOF LEFT JOIN replaces the former per-user inequality join + MAX
+-- (quadratic per key — timed out at the skew-100x clone, same class
+-- the funnel oracle shed in funnel.py).  DuckDB's ASOF picks the
+-- single greatest v.ts_us <= p.ts_us per probe but breaks right-side
+-- timestamp TIES arbitrarily, so v is pre-deduped to one row per
+-- (user_id, ts_us) keeping MAX(event_id) — the Spark operator's
+-- payload-struct tie-break (operators/asof.py:16-19).
 WITH e AS (SELECT user_id, event_id, event_type,
                   CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
 p AS (SELECT user_id, event_id, ts_us FROM e
       WHERE event_type = 'purchase'),
-v AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'view'),
-m AS (
-  SELECT p.user_id, p.event_id AS purchase_id, p.ts_us,
-         MAX(v.ts_us) AS view_ts_us
-  FROM p LEFT JOIN v
-    ON v.user_id = p.user_id AND v.ts_us <= p.ts_us
-  GROUP BY 1, 2, 3
-)
-SELECT m.user_id, m.purchase_id, m.ts_us,
-       CAST(MAX(v.event_id) AS BIGINT) AS view_id,
-       CAST(m.view_ts_us AS BIGINT) AS view_ts_us,
-       CAST((m.ts_us - m.view_ts_us) // 1000000 AS BIGINT) AS lag_s
-FROM m LEFT JOIN v
-  ON v.user_id = m.user_id AND v.ts_us = m.view_ts_us
-GROUP BY m.user_id, m.purchase_id, m.ts_us, m.view_ts_us""")
+v AS (SELECT user_id, MAX(event_id) AS view_id, ts_us FROM e
+      WHERE event_type = 'view' GROUP BY user_id, ts_us)
+SELECT p.user_id, p.event_id AS purchase_id, p.ts_us,
+       CAST(v.view_id AS BIGINT) AS view_id,
+       CAST(v.ts_us AS BIGINT) AS view_ts_us,
+       CAST((p.ts_us - v.ts_us) // 1000000 AS BIGINT) AS lag_s
+FROM p ASOF LEFT JOIN v
+  ON v.user_id = p.user_id AND v.ts_us <= p.ts_us""")
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 

@@ -149,13 +149,38 @@ def test_headline_queries_no_python_udfs(spark):
 
 
 def test_asof_join_plan_shape(spark):
-    """Union+window form: no cartesian/nested-loop anything, and the
-    whole join costs at most the key shuffle plus input spreads."""
-    df = REGISTRY["events_asof_attribution"].fn(spark, SF_DIR)
+    """DEFAULT union+window form (no time_buckets): no cartesian/
+    nested-loop anything, and the whole join costs at most the key
+    shuffle plus input spreads."""
+    from pyspark.sql import functions as F
+
+    from hpctoolkit_dataframe_spark.operators.asof import asof_join
+    from hpctoolkit_dataframe_spark.queries import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts_us", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts_us")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts_us")
+    df = asof_join(purchases, views, on="user_id", left_ts="ts_us",
+                   right_cols=["view_id"])
     s = explain.join_strategies(df)
     assert s["cartesian"] == 0 and s["broadcast_nested_loop"] == 0
     assert s["sort_merge"] == 0  # it is not a join at all — one window
     assert explain.exchange_count(df) <= 2
+
+
+def test_asof_presplit_plan_shape(spark):
+    """events_asof_attribution runs the hot-key pre-split
+    (time_buckets=32, operators/asof.py:133): the carry-in injection
+    legitimately adds two small aggregations, so the pin is <=5
+    exchanges — still joinless (no cartesian/BNLJ/SMJ)."""
+    df = REGISTRY["events_asof_attribution"].fn(spark, SF_DIR)
+    s = explain.join_strategies(df)
+    assert s["cartesian"] == 0 and s["broadcast_nested_loop"] == 0
+    assert s["sort_merge"] == 0
+    assert explain.exchange_count(df) <= 5
 
 
 def test_q7_nation_filter_pushed_to_scan(spark):
