@@ -134,39 +134,38 @@ _GATE_ORDER = [
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
     "cct_hot_path", "q1_pricing_summary", "events_sessions",
     "duplicate_spans", "simhash64",
-    # r10-CHANGED entries: anything whose Spark or oracle source
-    # changed re-attests in the round it changed
-    "funnel_view_click_purchase",       # oracle rewritten to ASOF joins
-    "cct_ratio_of_parent_walkup",       # dead-bcast-branch skip at knob 0
-    "q21_waiting_suppliers",            # oracle: window aggs, not EXISTS
-    "copurchase_lift",                  # degenerate-basket cap, both sides
-    # r10-NEW entry (every round-new entry gates in its round)
-    "semdedup_cell_pressure",
-    # the full r9 rotation queue: ALL 11 remaining r6-latest entries —
-    # after this window no entry's latest green row predates r7
-    "priority_weighted_sample", "q11_important_parts",
-    "q12_delay_priority", "q16_supplier_counts",
-    "q20_dominant_suppliers",
-    "q2_min_cost_supplier", "scd2_customer_history",
-    "stickiness_dau_wau", "temperature_mixture_plan",
-    "triangle_count_dup_graph",
-    # oldest re-attestations: 27 of the 38 r7-latest entries
-    # (alphabetical; the other 11 head the r11 queue:
-    # media_frame_sample q15_top_supplier q18_large_orders
-    # q3_top_orders q4_order_priority q5_region_revenue
-    # q6_forecast_revenue q7_nation_volume q8_market_share
-    # q9_product_profit winnow_fingerprints)
-    "ab_test_purchase_value", "bpe_encode_stats", "bpe_train_merges",
-    "cct_flame_diff", "cct_flame_widths", "cct_hot_path_batch",
-    "cct_hot_regions", "cct_hottest_child_per_parent",
-    "cct_merge_profiles", "cct_nodes", "cct_prefix_subtree",
-    "cct_ratio_of_parent", "cct_ratio_of_total",
-    "cube_returnflag_status", "customer_spend_deciles",
-    "embedding_dup_clusters", "events_hourly", "events_json_props",
-    "events_trailing_10min", "events_zscore_outliers",
-    "hybrid_search_rrf", "ivf_ann", "ivf_ann_trained", "knn_cosine",
-    "lineitem_grouping_sets", "lsh_near_dup_pairs",
-    "media_fake_features",
+    # r11-CHANGED entries: anything whose Spark or oracle source
+    # changed re-attests in the round it changed.  purchase_view_windows
+    # catches up here — its r10 oracle rewrite (cumulative-count ASOF
+    # lookups) was omitted from the r10 block (ADVICE r10 #1);
+    # events_asof_attribution covers BOTH its r10 engine change
+    # (time_buckets=32 pre-split, same omission) and its r11 oracle
+    # rewrite (ASOF LEFT JOIN over tie-deduped views).
+    "events_asof_attribution",
+    "purchase_view_windows",
+    "semdedup_cell_pressure",           # integer-div chunk math (ADVICE r10 #2)
+    # the full r10 rotation queue: ALL 11 remaining r7-latest entries —
+    # after this window no entry's latest green row predates r8
+    "media_frame_sample", "q15_top_supplier", "q18_large_orders",
+    "q3_top_orders", "q4_order_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "winnow_fingerprints",
+    # oldest re-attestations: 28 of the 37 remaining r8-latest entries
+    # (alphabetical; the other 9 head the r12 queue:
+    # price_quantiles q10_returned_items q13_order_count_distribution
+    # q14_promo_revenue q17_small_quantity_revenue
+    # q19_disjunctive_revenue q22_idle_customers set_ops_customers
+    # top_customer_per_nation)
+    "bpe_token_stats", "cct_at_depth_3", "cct_depth_range_2_3",
+    "cct_diff_returnflag", "cct_sample_by_hash", "cct_stride_sample",
+    "cct_suffix_filter", "corpus_report", "customers_without_big_orders",
+    "decontaminate", "dedup_clusters", "dedup_exact",
+    "distinct_types_per_brand", "doc_chunks", "doc_stats",
+    "duplicate_span_stats", "embedding_centroids", "events_sliding",
+    "events_user_pivot", "incremental_dedup", "ivfpq_ann",
+    "keyword_search_topk", "kmeans_centroids", "lang_guess",
+    "lsh_verified_pairs", "minhash_lsh_pairs", "minhash_signatures",
+    "ngram_jaccard_pairs",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)
