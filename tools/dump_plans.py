@@ -90,6 +90,13 @@ SELECTION = {
         " callpath-hash shuffle with map-side partial aggregation —"
         " sum/min/max combines and the per-node profile count in the"
         " same aggregate."),
+    "events_asof_attribution": (
+        "As-of join with the hot-key pre-split (time_buckets=32): NO"
+        " join operator at all — union + (user, time-bucket) window"
+        " with per-bucket carry-in rows, so one bot user's timeline"
+        " sorts across 32 partitions instead of one.  The two small"
+        " carry-in aggregations are the documented premium; total"
+        " exchanges <= 5, zero cartesian/BNLJ/SMJ."),
 }
 
 

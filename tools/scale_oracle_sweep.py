@@ -162,10 +162,23 @@ def main(argv):
                 print(line, flush=True)
         for name in chunk:
             if name not in seen:
-                status[name] = {"status": "timeout" if timed_out
-                                else "no-output"}
+                # distinguish a NEIGHBOR eating the shared chunk budget
+                # from an entry that was actually mid-run when the
+                # chunk died (r10 lesson: five healthy entries were
+                # recorded as bare "timeout" because semdedup_prune
+                # exhausted their chunk — re-run such entries solo
+                # before believing anything about them)
+                kind = ("timeout" if timed_out and seen == set(chunk[:chunk.index(name)])
+                        else "not-run" if timed_out else "no-output")
+                status[name] = {"status": kind}
+                if kind == "not-run":
+                    status[name]["detail"] = (
+                        "chunk budget exhausted by an earlier entry — "
+                        "re-run solo before attributing")
                 print(f"MISS {name}: "
-                      + ("chunk timed out" if timed_out
+                      + (("chunk timed out mid-entry" if kind == "timeout"
+                          else "chunk budget exhausted (not-run)")
+                         if timed_out
                          else "no status line (chunk crashed?)"),
                       flush=True)
         write_out()  # checkpoint: a killed sweep loses <= one chunk
