@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -167,8 +168,19 @@ def main() -> None:
     }
     if errors:
         details["errors"] = errors
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_details.json"), "w") as f:
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+    # VERDICT r11 #2: bench_details.json is overwritten every run, so the
+    # full per-query map was recoverable only via git archaeology.  Also
+    # write a ROUND-STAMPED copy (round = 1 + highest existing BENCH_r*)
+    # that gets committed, making cross-round per-query diffs
+    # self-contained.  (The stdout line itself must stay <~2 KB — the
+    # driver keeps only a tail of stdout; VERDICT r5 #3.)
+    rounds = [int(m.group(1)) for fn in os.listdir(repo_dir)
+              if (m := re.match(r"BENCH_r(\d+)\.json$", fn))]
+    stamped = "bench_details_r%02d.json" % (max(rounds, default=0) + 1)
+    with open(os.path.join(repo_dir, stamped), "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     out = {
@@ -179,7 +191,7 @@ def main() -> None:
         "n_errors": len(errors),
         "max": max(timings.values()) if timings else 0.0,
         "queries": slowest,
-        "queries_full": "bench_details.json",
+        "queries_full": stamped,
         "load_pre_spark": [round(x, 2) for x in load_pre_spark],
         "load_during": ([round(min(ext_load), 2), round(max(ext_load), 2)]
                         if ext_load else []),

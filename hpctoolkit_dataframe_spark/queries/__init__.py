@@ -134,38 +134,33 @@ _GATE_ORDER = [
     "cct_xml_ingest", "cct_flat_profile", "cct_callers_view",
     "cct_hot_path", "q1_pricing_summary", "events_sessions",
     "duplicate_spans", "simhash64",
-    # r11-CHANGED entries: anything whose Spark or oracle source
-    # changed re-attests in the round it changed.  purchase_view_windows
-    # catches up here — its r10 oracle rewrite (cumulative-count ASOF
-    # lookups) was omitted from the r10 block (ADVICE r10 #1);
-    # events_asof_attribution covers BOTH its r10 engine change
-    # (time_buckets=32 pre-split, same omission) and its r11 oracle
-    # rewrite (ASOF LEFT JOIN over tie-deduped views).
-    "events_asof_attribution",
-    "purchase_view_windows",
-    "semdedup_cell_pressure",           # integer-div chunk math (ADVICE r10 #2)
-    # the full r10 rotation queue: ALL 11 remaining r7-latest entries —
-    # after this window no entry's latest green row predates r8
-    "media_frame_sample", "q15_top_supplier", "q18_large_orders",
-    "q3_top_orders", "q4_order_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "winnow_fingerprints",
-    # oldest re-attestations: 28 of the 37 remaining r8-latest entries
-    # (alphabetical; the other 9 head the r12 queue:
-    # price_quantiles q10_returned_items q13_order_count_distribution
-    # q14_promo_revenue q17_small_quantity_revenue
-    # q19_disjunctive_revenue q22_idle_customers set_ops_customers
-    # top_customer_per_nation)
-    "bpe_token_stats", "cct_at_depth_3", "cct_depth_range_2_3",
-    "cct_diff_returnflag", "cct_sample_by_hash", "cct_stride_sample",
-    "cct_suffix_filter", "corpus_report", "customers_without_big_orders",
-    "decontaminate", "dedup_clusters", "dedup_exact",
-    "distinct_types_per_brand", "doc_chunks", "doc_stats",
-    "duplicate_span_stats", "embedding_centroids", "events_sliding",
-    "events_user_pivot", "incremental_dedup", "ivfpq_ann",
-    "keyword_search_topk", "kmeans_centroids", "lang_guess",
-    "lsh_verified_pairs", "minhash_lsh_pairs", "minhash_signatures",
-    "ngram_jaccard_pairs",
+    # the full r11 rotation queue: ALL 9 remaining r8-latest entries —
+    # after this window no entry's latest green row predates r9
+    "price_quantiles", "q10_returned_items",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q22_idle_customers", "set_ops_customers",
+    "top_customer_per_nation",
+    # oldest re-attestations: 33 of the 40 remaining r9-latest entries
+    # (alphabetical; the other 7 head the r13 queue:
+    # source_token_totals split_leakage_report stratified_sample
+    # token_df_vocab top_terms_per_doc training_shard_manifest
+    # user_value_history).  semdedup_prune doubles as the r12-changed
+    # re-attestation slot if its skew-floor work (VERDICT r11 next #6)
+    # touches the query.
+    "bigram_lm_score", "bm25_topk", "canonical_dedup",
+    "cct_fragment_filter", "cms_heavy_hitters", "cohort_retention",
+    "corpus_without_dup_spans", "curation_funnel_report",
+    "dedup_keep_best", "dq_report", "dsir_importance_weights",
+    "duplicate_word_coverage", "er_part_pairs",
+    "event_sequence_matches", "exact_daily_uniques",
+    "exact_value_percentiles", "exact_weekly_uniques",
+    "gopher_quality_flags", "incremental_dedup_resume",
+    "leakage_safe_split", "mixture_plan", "pack_sequences",
+    "pagerank_dup_graph", "pii_redact_stats", "pmi_top_pairs",
+    "posting_lists", "pq_ann", "pq_codes", "quality_top_decile",
+    "repetition_ratio", "semantic_decontaminate", "semdedup_prune",
+    "simhash_near_dup_pairs",
 ]
 assert len(_GATE_ORDER) == 50, len(_GATE_ORDER)
 _missing = set(_GATE_ORDER) - set(REGISTRY)

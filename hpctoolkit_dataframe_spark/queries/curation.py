@@ -395,7 +395,34 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_module_by_value(__name__)  # kernel runs worker-side
     _, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
-    base = assigned.select("vec_id", "cell", "qe")
+    # r12 (VERDICT r11 next #6): collapse byte-identical qe groups per
+    # cell BEFORE the quadratic verify.  Exact-semantics argument: the
+    # threshold depends only on qe values, and the group rep carries
+    # the group's MIN vec_id, so (a) every non-rep member with a
+    # nonzero norm has a lower-id identical twin at cos=1 -> semdup=1
+    # (all-zero qe never clears the dot>0 gate -> 0, matching the
+    # kernel's cand mask); (b) for any probe i and group g, "some
+    # member of g with id<i clears the threshold" iff "the rep of g
+    # has id<i and clears it" (the dot is identical for every member,
+    # min id decides the existential) — so the reps-only GEMM computes
+    # the identical verdict set.  At the skew clones the giant cell IS
+    # ~27% byte-identical copies of one vector: this turns its
+    # O((n/CAP)^2) chunk-pair fan-out into one chunk (skew-100x Spark
+    # side 477.7s -> see PERF.md r12), and at 100 TB exact-dup
+    # populations are the dominant degenerate shape (web corpora).
+    # Uniform-scale premium: one extra (cell, qe) hash shuffle, partly
+    # paid back because the chunk fan-out below then shuffles reps
+    # only.
+    grp = Window.partitionBy("cell", "qe")
+    keyed = assigned.select(
+        "vec_id", "cell", "qe",
+        F.min("vec_id").over(grp).alias("__rep"),
+        F.exists("qe", lambda x: x != F.lit(0)).alias("__nz"))
+    ident_dups = (keyed.filter(F.col("vec_id") != F.col("__rep"))
+                  .select("vec_id", "cell",
+                          F.col("__nz").cast("int").alias("is_semdup")))
+    base = (keyed.filter(F.col("vec_id") == F.col("__rep"))
+            .select("vec_id", "cell", "qe"))
     wc = Window.partitionBy("cell").orderBy("vec_id")
     wall = wc.rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing)
@@ -432,7 +459,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emit exactly one verdict per row and pass through unchanged
     return (marked.groupBy("vec_id", "cell")
             .agg(F.max("is_semdup").cast("int").alias("is_semdup"))
-            .select("vec_id", "cell", "is_semdup"))
+            .select("vec_id", "cell", "is_semdup")
+            .unionByName(ident_dups))
 
 
 @register("semdedup_cell_pressure", sql=f"""

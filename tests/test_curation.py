@@ -328,23 +328,22 @@ def test_copurchase_lift_matches_python_counter(spark):
     assert keys == sorted(keys)
 
 
-def test_copurchase_basket_cap_neutral_at_uniform_scale(spark):
+def test_copurchase_basket_cap_neutral_at_uniform_scale(spark, monkeypatch):
     """BASKET_SIZE_CAP is a degenerate-basket exclusion, NOT a result
     knob at uniform scale: every legitimate basket is <= ~17 items, so
     cap-on and cap-off results must be identical at sf0.01 and sf0.1.
     Pinned so a testdata regen can never silently turn the cap into a
-    semantic change (VERDICT r10 wrong#4)."""
+    semantic change (VERDICT r10 wrong#4).  monkeypatch (not a manual
+    try/finally) so the 1<<40 cap can never leak into other tests
+    (ADVICE r11 #2)."""
     from hpctoolkit_dataframe_spark.queries import curation
 
     for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         capped = REGISTRY["copurchase_lift"].fn(spark, sf_dir).collect()
-        saved = curation.BASKET_SIZE_CAP
-        try:
-            curation.BASKET_SIZE_CAP = 1 << 40  # effectively off
+        with monkeypatch.context() as m:
+            m.setattr(curation, "BASKET_SIZE_CAP", 1 << 40)  # off
             uncapped = REGISTRY["copurchase_lift"].fn(
                 spark, sf_dir).collect()
-        finally:
-            curation.BASKET_SIZE_CAP = saved
         assert [tuple(r) for r in capped] == [tuple(r) for r in uncapped], \
             sf_dir
 

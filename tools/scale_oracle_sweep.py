@@ -160,6 +160,12 @@ def main(argv):
                     status[name]["spark_s"] = float(ts.group(1))
                     status[name]["duck_s"] = float(ts.group(2))
                 print(line, flush=True)
+        # the FIRST unseen entry in chunk order is the one that was
+        # actually mid-run when the budget expired; everything after it
+        # never started (ADVICE r11 #1: requiring the seen set to equal
+        # the exact chunk prefix mislabels the mid-run entry 'not-run'
+        # whenever an earlier entry crashed without a status line)
+        first_unseen = next((n for n in chunk if n not in seen), None)
         for name in chunk:
             if name not in seen:
                 # distinguish a NEIGHBOR eating the shared chunk budget
@@ -168,7 +174,7 @@ def main(argv):
                 # recorded as bare "timeout" because semdedup_prune
                 # exhausted their chunk — re-run such entries solo
                 # before believing anything about them)
-                kind = ("timeout" if timed_out and seen == set(chunk[:chunk.index(name)])
+                kind = ("timeout" if timed_out and name == first_unseen
                         else "not-run" if timed_out else "no-output")
                 status[name] = {"status": kind}
                 if kind == "not-run":
