@@ -606,7 +606,14 @@ def cct_hot_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       >= F.expr("(total + 9999) div 10000")))
            .select(F.col("c.id").alias("id"),
                    F.col("c.parent_id").alias("parent_id"),
-                   F.col("c.value").alias("value")))
+                   F.col("c.value").alias("value"))
+           # r12: three consumers (both sides of the region-edge
+           # self-join — where relation dedup does NOT share work,
+           # CLAUDE.md multi-branch rule — plus the final labeling
+           # join) re-ran the full CCT child|><|parent join; the hot
+           # set is bounded (>= 0.01%-of-root nodes), so materialize
+           # it once
+           .localCheckpoint(eager=True))
     hc = hot.alias("hc")
     hp = hot.alias("hp")
     edges = (hc.join(hp, F.col("hc.parent_id") == F.col("hp.id"))

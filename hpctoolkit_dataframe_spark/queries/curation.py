@@ -50,10 +50,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from . import REGISTRY, load_table, register
+from . import REGISTRY, load_table, register, session_key
 from .vectors import (
-    DIM, KMEANS_ITERS, _NORM2_SQL, _QINT_SQL, _dot, _kmeans_ctes, _lloyd,
-    _nonzero_embedding, _norm2, _qint, _quantized_corpus)
+    DIM, KMEANS_ITERS, _NORM2_SQL, _QINT_SQL, _dot, _kmeans_ctes,
+    _lloyd_trained, _nonzero_embedding, _norm2, _qint, _quantized_corpus)
 
 # ---------------------------------------------------------------------------
 # BM25 top-k ranking
@@ -394,7 +394,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .._pickle import register_module_by_value
 
     register_module_by_value(__name__)  # kernel runs worker-side
-    _, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
+    _, assigned = _lloyd_trained(spark, sf_dir)
     # r12 (VERDICT r11 next #6): collapse byte-identical qe groups per
     # cell BEFORE the quadratic verify.  Exact-semantics argument: the
     # threshold depends only on qe values, and the group rep carries
@@ -489,7 +489,7 @@ def semdedup_cell_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     a skewed corpus's worst cell BEFORE paying for the verify (the
     skew clone's byte-identical 30% lands in one cell; this is the
     query that says so in seconds)."""
-    _, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
+    _, assigned = _lloyd_trained(spark, sf_dir)
     # integer div end-to-end (repo scaled-BIGINT rule): the oracle's
     # `//` is exact, so a double round-trip here would diverge past 2^53
     ch = f"((members + {SEMDEDUP_CELL_CAP - 1}) div {SEMDEDUP_CELL_CAP})"
@@ -1274,11 +1274,26 @@ of the lang='en' target slice and the raw corpus model.  Positive
 score = doc looks more target-like than the corpus average; resampling
 keeps docs proportionally.  B=1024 buckets, add-1 smoothing.""")
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: memoized per (session, sf_dir) — curation_funnel_report
+    # re-ran the whole tokenize->bucket->model->score pipeline on top
+    # of this entry's own run (the scored table is the artifact a DSIR
+    # resampling pass persists)
+    key = (session_key(spark), sf_dir)
+    hit = _DSIR_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
     tb = dsir_token_buckets(docs).localCheckpoint(eager=True)
     w = dsir_weights_from_model(dsir_count_model(tb))
-    return dsir_score(tb, w)
+    out = dsir_score(tb, w).localCheckpoint(eager=True)
+    for k in [k for k in _DSIR_CACHE if k[0] == key[0]]:
+        del _DSIR_CACHE[k]
+    _DSIR_CACHE[key] = out
+    return out
+
+
+_DSIR_CACHE: dict = {}
 
 
 def dsir_token_buckets(docs: DataFrame) -> DataFrame:

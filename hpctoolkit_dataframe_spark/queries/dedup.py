@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..operators.graph import connected_components
-from . import REGISTRY, hash8_sql, load_table, register
+from . import REGISTRY, hash8_sql, load_table, register, session_key
+from .textops import lsh_pairs_materialized
 
 # the oracle reuses the full minhash->band->cap->self-join pipeline SQL
 # registered by textops so the two can never drift
@@ -63,7 +64,26 @@ O(log^2 n) rounds of hash joins on a shrinking edge set, and the final
 labeling is one left join + one window over documents — no step holds a
 component in memory or on the driver.""")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    return clusters_materialized(spark, sf_dir)
+
+
+_CLUSTERS_CACHE: dict = {}
+
+
+def clusters_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed cluster labeling, memoized per (session, sf_dir).
+
+    r12: leakage_safe_split, training_shard_manifest and corpus_report
+    each re-ran the full pairs->connected-components->label pipeline
+    (corpus_report paid it a third-hand time through the manifest).
+    The labeling is documents-cardinality (4 skinny columns) and the
+    CC step is the iterative part — exactly the materialized-view
+    shape build_cct already memoizes."""
+    key = (session_key(spark), sf_dir)
+    hit = _CLUSTERS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = lsh_pairs_materialized(spark, sf_dir)
     labels = connected_components(pairs)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     lab = (docs.join(labels, docs.doc_id == labels.node, "left")
@@ -71,11 +91,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.coalesce(labels.component, docs.doc_id)
                    .alias("cluster_id")))
     w = Window.partitionBy("cluster_id")
-    return lab.select(
+    out = lab.select(
         "doc_id", "cluster_id",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int")
-        .alias("is_canonical"))
+        .alias("is_canonical")).localCheckpoint(eager=True)
+    for k in [k for k in _CLUSTERS_CACHE if k[0] == key[0]]:
+        del _CLUSTERS_CACHE[k]
+    _CLUSTERS_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +181,7 @@ gate (verified = lev/max_len <= 0.3).  Emits the distance for every
 candidate rather than only survivors so precision of the LSH stage is
 directly measurable (SUM(verified)/COUNT(*)).""")
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    pairs = lsh_pairs_materialized(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("doc_a"),
                     F.col("text").alias("text_a"))
@@ -253,19 +277,34 @@ FP_STORE_TABLE = "incr_fp_store"
 FP_STORE_BUCKETS = 8
 
 
+_FPS_CACHE: dict = {}
+
+
 def fingerprint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, th, simhash, bucket) for every non-NULL-text document,
-    materialized once (the store build and every batch reuse it)."""
+    materialized once (the store build and every batch reuse it).
+
+    r12: memoized per (session, sf_dir) — incremental_dedup and
+    incremental_dedup_resume each re-ran the simhash fold +
+    checkpoint over the identical corpus."""
     from .textops import with_simhash64
 
+    key = (session_key(spark), sf_dir)
+    hit = _FPS_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
     doc_hash = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
         16, 10).cast("long")
-    return with_simhash64(docs).select(
+    out = with_simhash64(docs).select(
         "doc_id", F.md5("text").alias("th"), "simhash",
         (doc_hash % DELTA_MOD).alias("bucket")).localCheckpoint(eager=True)
+    for k in [k for k in _FPS_CACHE if k[0] == key[0]]:
+        del _FPS_CACHE[k]
+    _FPS_CACHE[key] = out
+    return out
 
 
 def write_fingerprint_store(fps: DataFrame, table: str = FP_STORE_TABLE,
@@ -469,7 +508,7 @@ One-row audit of near-dup leakage across the train/eval hash split:
 how many LSH candidate pairs cross the boundary (leaked eval content)
 vs sit inside each side.""")
 def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    pairs = lsh_pairs_materialized(spark, sf_dir)
     doc_hash = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
         16, 10).cast("long")
@@ -523,7 +562,7 @@ r0 AS (SELECT n, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
 SELECT deg.n AS doc_id, deg.deg, r{PR_ITERS}.r AS rank_e12
 FROM deg JOIN r{PR_ITERS} ON r{PR_ITERS}.n = deg.n""")
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    pairs = lsh_pairs_materialized(spark, sf_dir)
     e = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
          .union(pairs.select(F.col("doc_b").alias("s"),
                              F.col("doc_a").alias("d"))))
@@ -567,7 +606,7 @@ def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     via two hash joins (the standard distributed formulation; at scale
     the first join's fan-out is bounded by orienting each edge at its
     LOWER-degree endpoint — unnecessary at fixture degrees)."""
-    pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    pairs = lsh_pairs_materialized(spark, sf_dir)
     e = (pairs.select(F.least("doc_a", "doc_b").alias("a"),
                       F.greatest("doc_a", "doc_b").alias("b"))
          .distinct().localCheckpoint(eager=True))

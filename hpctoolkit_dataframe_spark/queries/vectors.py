@@ -437,15 +437,33 @@ c{k} AS (SELECT cell, list(m ORDER BY i) AS ce FROM p{k} GROUP BY cell)""")
     return ",\n".join(parts)
 
 
+_CORPUS_CACHE: dict = {}
+
+
 def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed (vec_id, qe, n2) corpus — the training loop and the
-    probe/candidate branches all reuse one materialization."""
+    probe/candidate branches all reuse one materialization.
+
+    r12: memoized per (session, sf_dir) — nine registry entries
+    (kmeans/ivf/pq/ivfpq/semdedup families) each re-quantized and
+    re-checkpointed the identical corpus; one materialization per
+    session is the deployment shape (guide §5: reuse + recompute cost).
+    Most-recent-per-session eviction like the span-hits cache so
+    fixture-cycling tests don't pin every dir's checkpoint blocks."""
+    key = (session_key(spark), sf_dir)
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
         _norm2(F.col("embedding")).alias("n2"))
-    return emb.repartition(
+    out = emb.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     ).localCheckpoint(eager=True)
+    for k in [k for k in _CORPUS_CACHE if k[0] == key[0]]:
+        del _CORPUS_CACHE[k]
+    _CORPUS_CACHE[key] = out
+    return out
 
 
 def _lloyd(emb: DataFrame, iters: int = KMEANS_ITERS,
@@ -488,6 +506,33 @@ def _lloyd(emb: DataFrame, iters: int = KMEANS_ITERS,
     return cents, assigned
 
 
+_LLOYD_CACHE: dict = {}
+
+
+def _lloyd_trained(spark: SparkSession,
+                   sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Memoized default-args Lloyd run over the quantized corpus, per
+    (session, sf_dir) — the trained coarse codebook + final assignment
+    that five registry entries (kmeans_centroids, ivf_ann_trained,
+    ivfpq_ann, semdedup_prune, semdedup_cell_pressure) each re-trained
+    from scratch (KMEANS_ITERS broadcast-join+window+re-estimate rounds
+    apiece).  Training is the materialized index a deployment persists
+    (same argument as _pq_train); memoizing it removes the repeated
+    iteration rounds without changing a single output row.  ``cents``
+    is checkpointed too (N_CELLS rows) so consumers don't re-run the
+    two re-estimate aggregations per action."""
+    key = (session_key(spark), sf_dir)
+    hit = _LLOYD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cents, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
+    cents = cents.localCheckpoint(eager=True)
+    for k in [k for k in _LLOYD_CACHE if k[0] == key[0]]:
+        del _LLOYD_CACHE[k]
+    _LLOYD_CACHE[key] = (cents, assigned)
+    return cents, assigned
+
+
 @register("kmeans_centroids", sql=f"""
 WITH {_kmeans_ctes()},
 fin AS (
@@ -502,7 +547,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration Lloyd's training; outputs per-cell membership
     count, the final assignment cost (exact integer inertia), and the
     re-estimated centroid (quantized ints, '/'-joined)."""
-    cents, assigned = _lloyd(_quantized_corpus(spark, sf_dir))
+    cents, assigned = _lloyd_trained(spark, sf_dir)
     fin = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("d").cast("long").alias("inertia"))
@@ -523,7 +568,7 @@ def ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-{N_CELLS} corpus vectors: the real trained-ANN pipeline —
     train (fixed deterministic iterations), assign, probe."""
     emb = _quantized_corpus(spark, sf_dir)
-    cents, _ = _lloyd(emb)
+    cents, _ = _lloyd_trained(spark, sf_dir)
     return _ivf_probe(emb, cents)
 
 
@@ -866,7 +911,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     emb = _quantized_corpus(spark, sf_dir)
-    coarse_cents, coarse_assigned = _lloyd(emb)
+    coarse_cents, coarse_assigned = _lloyd_trained(spark, sf_dir)
     _, pq_cents, pq_assigned = _pq_train(spark, sf_dir)
     codes = pq_assigned.groupBy("vec_id").agg(
         *[F.max(F.when(F.col("m") == m, F.col("cell"))).alias(f"k{m}")
@@ -1047,7 +1092,7 @@ def recall_curve(spark: SparkSession, sf_dir: str, variant: str = "ivf",
             emb, cent = _ivf_flat_index(spark, sf_dir)
         else:
             emb = _quantized_corpus(spark, sf_dir)
-            cent, _ = _lloyd(emb)
+            cent, _ = _lloyd_trained(spark, sf_dir)
         ann = lambda p: _ivf_probe(emb, cent, n_probe=p, top_k=k)  # noqa: E731
     elif variant == "ivfpq":
         ann = lambda p: _ivfpq_topk(spark, sf_dir, n_probe=p, top_k=k)  # noqa: E731
