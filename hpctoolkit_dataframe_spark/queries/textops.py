@@ -703,10 +703,15 @@ def simhash_banded_pairs(
     width = 64 // n_bands
     mask = (1 << width) - 1
     # materialize the fold once: both self-join sides and the cap
-    # branch would otherwise re-run it (CLAUDE.md multi-branch rule)
-    fp = simhash64(spark, sf_dir) \
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id") \
-        .localCheckpoint(eager=True)
+    # branch would otherwise re-run it (CLAUDE.md multi-branch rule).
+    # r12: the fold now comes from the memoized fingerprint_split
+    # (same docs filter, same with_simhash64 fold, already spread +
+    # checkpointed) so the incremental-dedup family and this query
+    # share ONE fold per session instead of re-hashing the corpus.
+    # Lazy import: dedup imports this module at load time.
+    from .dedup import fingerprint_split
+
+    fp = fingerprint_split(spark, sf_dir).select("doc_id", "simhash")
     bands = fp.select(
         "doc_id", "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(n_bands)]))
