@@ -128,12 +128,14 @@ def main() -> None:
             clusters_materialized, fingerprint_split)
         from hpctoolkit_dataframe_spark.queries.textops import (
             lsh_pairs_materialized)
-        from hpctoolkit_dataframe_spark.queries.vectors import _lloyd_trained
+        from hpctoolkit_dataframe_spark.queries.vectors import (
+            _lloyd_trained, vec_pairs_materialized)
 
         return (("lsh_pairs_build", lsh_pairs_materialized),
                 ("dedup_clusters_build", clusters_materialized),
                 ("lloyd_build", _lloyd_trained),
-                ("fingerprint_split_build", fingerprint_split))
+                ("fingerprint_split_build", fingerprint_split),
+                ("vec_pairs_build", vec_pairs_materialized))
 
     for bname, builder in _r12_builds():
         t0 = time.time()

@@ -135,7 +135,9 @@ Connected components over the hyperplane-LSH cosine near-dup pair
 graph: every vector that near-duplicates another, labeled with its
 component minimum.""")
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = REGISTRY["lsh_near_dup_pairs"].fn(spark, sf_dir)
+    from .vectors import vec_pairs_materialized
+
+    pairs = vec_pairs_materialized(spark, sf_dir)
     labels = connected_components(pairs.select("vec_a", "vec_b"))
     return labels.select(F.col("node").alias("vec_id"),
                          F.col("component").alias("cluster_id"))

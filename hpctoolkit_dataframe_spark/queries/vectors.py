@@ -393,6 +393,28 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VEC_PAIRS_CACHE: dict = {}
+
+
+def vec_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed hyperplane-LSH cosine near-dup pairs, memoized per
+    (session, sf_dir) — the vector twin of textops'
+    lsh_pairs_materialized.  embedding_dup_clusters re-ran the
+    cap+self-join+cosine tail (with its 64-lane interpreted dot per
+    candidate) on top of the memoized bucket table; the registry entry
+    keeps the un-memoized plan so the cap-below-self-join pin stays
+    testable."""
+    key = (session_key(spark), sf_dir)
+    hit = _VEC_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = lsh_near_dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    for k in [k for k in _VEC_PAIRS_CACHE if k[0] == key[0]]:
+        del _VEC_PAIRS_CACHE[k]
+    _VEC_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # Lloyd's k-means training (fixed iterations, deterministic): assign
 # each vector to its nearest centroid by exact integer L2, re-estimate
