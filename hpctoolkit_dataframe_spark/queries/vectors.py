@@ -218,33 +218,25 @@ def _ivf_probe(emb: DataFrame, cent: DataFrame,
     n2 > 0: a zero-norm vector has no defined cosine, and under ANSI
     mode a single one THROWS DIVIDE_BY_ZERO and kills the whole job
     (the r7 adversarial-embeddings probe finding) — the cosine family
-    excludes them from both the query and candidate sets."""
+    excludes them from both the query and candidate sets.
+
+    r12: both the full-corpus cell assignment and the per-query probe
+    ranking are map-only projections over the driver-collected bounded
+    codebook (_nearest_cell/_ranked_cells) — the former crossJoin +
+    row_number windows (two Exchange+Sort passes, one over the whole
+    rows x cells explosion) are gone; every assignment is
+    bit-identical."""
     from pyspark.sql import Window
 
     emb = emb.filter(F.col("n2") > 0)
+    book = _codebook_rows(cent)
 
-    l2 = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("__d").asc(), F.col("cell").asc())
-    cells = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("__d", l2)
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "qe", "n2", "cell")
-    )
-    probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__d", l2)
-        .withColumn("prk", F.row_number().over(w_assign))
-        .filter(F.col("prk") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("qe").alias("qqe"), F.col("n2").alias("qn2"), "cell")
-    )
+    cells = _nearest_cell(emb, book, with_d=False).select(
+        "vec_id", "qe", "n2", "cell")
+    probes = _ranked_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES), book, n_probe
+    ).select(F.col("vec_id").alias("query_id"),
+             F.col("qe").alias("qqe"), F.col("n2").alias("qn2"), "cell")
     cand = (
         probes.join(cells.withColumnRenamed("cell", "vcell"),
                     (F.col("vcell") == F.col("cell"))
@@ -416,6 +408,108 @@ def vec_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Map-only nearest-cell assignment (r12, guide §2.4).  Every
+# assignment/probe in the kmeans/IVF/PQ family used to be a broadcast
+# join against the centroid table plus a row_number window — an
+# Exchange + Sort over the (rows x cells) candidate explosion PER PASS
+# (and per training iteration).  The codebook is always bounded
+# (N_CELLS=8 coarse cells / M_SUB x K_PQ = 32 PQ cells — the same
+# bounded-driver-structure class as the BPE merge table), so the argmin
+# can be a single projection: distances to every centroid literal, then
+# the lexicographic min of (dk, cell) structs.  dk = coalesce(d, -1)
+# replicates the window's `d ASC NULLS FIRST, cell ASC` exactly (d >= 0
+# when defined; NULL d sorted first by the old window and by dk=-1
+# here — verified struct-ordering twin before the rewrite).  The
+# arithmetic inside is byte-for-byte the former join lambda, so every
+# output row is bit-identical; only the plan shape changes (no
+# Exchange, no Sort, no per-iteration checkpoint).
+# ---------------------------------------------------------------------------
+def _codebook_rows(cent: DataFrame) -> list[tuple]:
+    """Driver-collect a BOUNDED (cell, ce) codebook, sorted by cell for
+    deterministic literal order."""
+    rows = cent.select("cell", "ce").collect()
+    return sorted(((r[0], list(r[1]) if r[1] is not None else None)
+                   for r in rows), key=lambda t: t[0])
+
+
+def _book_sql(book) -> tuple[str, str]:
+    """SQL literals for a codebook: (array-of-centroid-arrays, array of
+    cell ids), both in book order.  One SQL string per assignment pass
+    instead of ~1.5k Column-API py4j round trips (measured 2.7-3.2 s of
+    pure driver time per pass), and a ~16x smaller Catalyst tree (the
+    lambda bodies appear once under transform/zip_with, not once per
+    cell)."""
+    def arr(ce):
+        if ce is None:
+            return "CAST(NULL AS ARRAY<BIGINT>)"
+        return "array(" + ",".join(
+            "CAST(NULL AS BIGINT)" if v is None else f"{v}L" for v in ce
+        ) + ")"
+    cents = "array(" + ",".join(arr(ce) for _cell, ce in book) + ")"
+    cells = "array(" + ",".join(f"{cell}L" for cell, _ce in book) + ")"
+    return cents, cells
+
+
+def _darr_sql(qe_sql: str, book) -> str:
+    """Distances to every codebook centroid — byte-for-byte the former
+    broadcast-join lambda's arithmetic, one aggregate per cell."""
+    cents, _ = _book_sql(book)
+    return (f"transform({cents}, c -> aggregate(zip_with({qe_sql}, c, "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v))")
+
+
+def _structs_sql(darr_sql: str, book) -> str:
+    """array<struct<dk,cell,d>> ordered exactly like the former window
+    (d ASC NULLS FIRST, cell ASC): dk = coalesce(d, -1)."""
+    _, cells = _book_sql(book)
+    return (f"zip_with({darr_sql}, {cells}, (d, c) -> "
+            "named_struct('dk', coalesce(d, -1L), 'cell', c, 'd', d))")
+
+
+def _nearest_cell(emb: DataFrame, book, with_d: bool = True) -> DataFrame:
+    """emb's columns + (cell, d): each row's nearest codebook cell as a
+    map-only projection — no join, no window, no exchange.
+
+    The best struct is routed through a single-element explode: a
+    downstream equi-join on ``cell`` infers ``isnotnull(cell)`` and
+    predicate pushdown SUBSTITUTES the alias, which would re-evaluate
+    the whole interpreted 2x-cells argmin inside a Filter node below
+    the projection (the r8 aliased-lambda trap, CLAUDE.md) — a
+    Generate is a substitution barrier, so the argmin runs exactly
+    once per row."""
+    if not book:
+        cols = [F.col(c) for c in emb.columns] + [
+            F.lit(None).cast("long").alias("cell")]
+        if with_d:
+            cols.append(F.lit(None).cast("long").alias("d"))
+        return emb.filter(F.lit(False)).select(*cols)
+    tmp = (emb.withColumn("__darr", F.expr(_darr_sql("qe", book)))
+           .withColumn("__s", F.explode(F.expr(
+               f"array(array_min({_structs_sql('`__darr`', book)}))"))))
+    cols = [F.col(c) for c in emb.columns] + [
+        F.col("__s")["cell"].alias("cell")]
+    if with_d:
+        cols.append(F.col("__s")["d"].alias("d"))
+    return tmp.select(*cols)
+
+
+def _ranked_cells(emb: DataFrame, book, n_best: int) -> DataFrame:
+    """emb's columns + cell, one row per (input row, nearest cell rank
+    1..n_best) — the probe-width twin of _nearest_cell (replaces
+    crossJoin + window + prk <= n filter with sorted-slice + explode)."""
+    if not book:
+        return emb.filter(F.lit(False)).select(
+            *[F.col(c) for c in emb.columns],
+            F.lit(None).cast("long").alias("cell"))
+    tmp = (emb.withColumn("__darr", F.expr(_darr_sql("qe", book)))
+           .withColumn("__s", F.explode(F.expr(
+               f"slice(array_sort({_structs_sql('`__darr`', book)}), "
+               f"1, {n_best})"))))
+    return tmp.select(*[F.col(c) for c in emb.columns],
+                      F.col("__s")["cell"].alias("cell"))
+
+
+# ---------------------------------------------------------------------------
 # Lloyd's k-means training (fixed iterations, deterministic): assign
 # each vector to its nearest centroid by exact integer L2, re-estimate
 # each centroid as ROUND(SUM(component)::DOUBLE / COUNT) — quantized
@@ -492,39 +586,49 @@ def _lloyd(emb: DataFrame, iters: int = KMEANS_ITERS,
            n_cells: int = N_CELLS) -> tuple[DataFrame, DataFrame]:
     """``iters`` Lloyd's steps over the checkpointed quantized corpus;
     returns (final centroids (cell, ce), last assignment
-    (vec_id, qe, cell, d)) — the oracle's c{K} and s{K}.  Works on any
-    (vec_id, qe) frame and codebook size — the PQ trainer runs it per
-    subspace with ``n_cells=K_PQ``."""
-    from pyspark.sql import Window
+    (vec_id, qe, cell, d)) — the oracle's c{K} and s{K}.
 
-    l2 = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d").asc(), F.col("cell").asc())
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
+    r12 shape (guide §2.4): each iteration is ONE map-only assignment
+    projection feeding a 512-group aggregation whose result (the next
+    codebook, n_cells x DIM ints — bounded) is collected to the driver
+    and re-embedded as literals; the former per-iteration broadcast
+    join + row_number window (Exchange + Sort over the rows x cells
+    explosion) and per-iteration localCheckpoint are gone.  The
+    re-estimate expression is verbatim the old one, so every centroid
+    and assignment row is bit-identical."""
+    spark = emb.sparkSession
+    book = _codebook_rows(
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("qe").alias("ce")))
+    if iters == 0:
+        cents = emb.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
+        return cents, None
     assigned = None
     for _ in range(iters):
-        assigned = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("d", l2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "qe", "cell", "d"))
-        # the assignment feeds both the re-estimate and (on the last
-        # step) the caller's aggregates; materialize so the broadcast-
-        # join pass runs once per iteration, not once per branch
-        assigned = assigned.localCheckpoint(eager=True)
-        cents = (
+        # ONE job per iteration: the re-estimate collect materializes
+        # the LAZY checkpoint's blocks as it scans (the argmin runs
+        # once; consumers of the returned assignment read the blocks)
+        assigned = (_nearest_cell(emb, book)
+                    .select("vec_id", "qe", "cell", "d")
+                    .localCheckpoint(eager=False))
+        rows = (
             assigned.select("cell", F.posexplode("qe").alias("i", "v"))
             .groupBy("cell", "i")
             .agg(F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 0)
-                 .cast("long").alias("m"))
-            .groupBy("cell")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))),
-                lambda x: x["m"]).alias("ce")))
+                 .cast("long").alias("mv"))
+            .collect())
+        bycell: dict = {}
+        for r in rows:
+            bycell.setdefault(r["cell"], {})[r["i"]] = r["mv"]
+        book = sorted(
+            ((cell, [pos[i] for i in sorted(pos)])
+             for cell, pos in bycell.items()), key=lambda t: t[0])
+    # like the old loop, the returned assignment is against the
+    # PENULTIMATE codebook (the last iteration's argmin ran before its
+    # re-estimate) and is materialized for the multi-consumer entries
+    cents = spark.createDataFrame(
+        [(cell, ce) for cell, ce in book], "cell long, ce array<long>")
     return cents, assigned
 
 
@@ -693,53 +797,90 @@ b{m}c{k} AS (SELECT cell, list(m ORDER BY i) AS ce FROM b{m}p{k}
 _PQ_CACHE: dict = {}
 
 
+def _pq_assigned(emb: DataFrame, books: list[list[tuple]]) -> DataFrame:
+    """(m, vec_id, qe, cell, d): every vector's nearest codebook cell
+    in every subspace, as ONE map-only projection + explode — no join,
+    no window.  ``books[m]`` is subspace m's bounded codebook; a
+    subspace with an empty codebook emits no rows (the old join-on-m
+    drop semantics)."""
+    tmp = emb
+    branches = []
+    for m in range(M_SUB):
+        if not books[m]:
+            continue
+        qm = f"slice(qe, {m * SUBDIM + 1}, {SUBDIM})"
+        tmp = tmp.withColumn(f"__d{m}", F.expr(_darr_sql(qm, books[m])))
+        branches.append(
+            f"named_struct('m', {m}, 'qe', {qm}, 'best', "
+            f"array_min({_structs_sql(f'`__d{m}`', books[m])}))")
+    if not branches:
+        return emb.filter(F.lit(False)).select(
+            F.lit(None).cast("int").alias("m"), "vec_id",
+            F.lit(None).cast("array<long>").alias("qe"),
+            F.lit(None).cast("long").alias("cell"),
+            F.lit(None).cast("long").alias("d"))
+    tmp = tmp.withColumn(
+        "__s", F.explode(F.expr("array(" + ",".join(branches) + ")")))
+    return tmp.select(
+        F.col("__s")["m"].alias("m"), "vec_id",
+        F.col("__s")["qe"].alias("qe"),
+        F.col("__s")["best"]["cell"].alias("cell"),
+        F.col("__s")["best"]["d"].alias("d"))
+
+
 def _pq_train(spark: SparkSession, sf_dir: str):
-    """All M_SUB codebooks trained in ONE Lloyd pipeline keyed by
-    (subspace, vec_id) — identical per-subspace semantics (same seeds,
-    same (d, cell) tie-break) at 1/M_SUB the scheduler cost of training
-    each subspace separately (measured 10.7 s -> ~4 s at sf0.1).
+    """All M_SUB codebooks trained in ONE Lloyd pipeline — identical
+    per-subspace semantics (same seeds, same (d, cell) tie-break).
     Memoized per (session, sf_dir) like build_cct: training is the
     materialized index a deployment persists; pq_codes and pq_ann both
     read it.  Returns (emb, cents (m, cell, ce),
-    assigned (m, vec_id, cell, d))."""
-    from pyspark.sql import Window
+    assigned (m, vec_id, cell, d)).
 
+    r12 shape (guide §2.4, same rewrite as _lloyd): per iteration one
+    map-only assignment + one bounded (m, cell, i) aggregation
+    collected to the driver (M_SUB x K_PQ x SUBDIM = 512 ints) —
+    replaces the per-iteration broadcast join + row_number window
+    (Exchange + Sort over the 4x-exploded corpus) + localCheckpoint.
+    Re-estimate arithmetic verbatim, outputs bit-identical."""
     cache_key = (session_key(spark), sf_dir)
     hit = _PQ_CACHE.get(cache_key)
     if hit is not None:
         return hit
     emb = _quantized_corpus(spark, sf_dir)
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(F.array(*[
-            F.slice("qe", m * SUBDIM + 1, SUBDIM) for m in range(M_SUB)
-        ])).alias("m", "qe"))
-    l2 = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
-    w = Window.partitionBy("m", "vec_id").orderBy(
-        F.col("d").asc(), F.col("cell").asc())
-    cents = sub.filter(F.col("vec_id") < K_PQ).select(
-        "m", F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
+    seed = sorted(emb.filter(F.col("vec_id") < K_PQ)
+                  .select("vec_id", "qe").collect(),
+                  key=lambda r: r["vec_id"])
+    books: list[list[tuple]] = []
+    for m in range(M_SUB):
+        bm = []
+        for r in seed:
+            qe = r["qe"]
+            ce = (None if qe is None
+                  else list(qe[m * SUBDIM:(m + 1) * SUBDIM]))
+            bm.append((int(r["vec_id"]), ce))
+        books.append(bm)
     assigned = None
     for _ in range(KMEANS_ITERS):
-        assigned = (
-            sub.join(F.broadcast(cents), "m")
-            .withColumn("d", l2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("m", "vec_id", "qe", "cell", "d")
-            .localCheckpoint(eager=True))
-        cents = (
+        # ONE job per iteration: lazy checkpoint materialized by the
+        # re-estimate collect (same shape as _lloyd)
+        assigned = _pq_assigned(emb, books).localCheckpoint(eager=False)
+        rows = (
             assigned.select("m", "cell", F.posexplode("qe").alias("i", "v"))
             .groupBy("m", "cell", "i")
             .agg(F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 0)
                  .cast("long").alias("c"))
-            .groupBy("m", "cell")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "c"))),
-                lambda x: x["c"]).alias("ce")))
-    cents = cents.localCheckpoint(eager=True)  # M_SUB x K_PQ rows
+            .collect())
+        bykey: dict = {}
+        for r in rows:
+            bykey.setdefault((r["m"], r["cell"]), {})[r["i"]] = r["c"]
+        books = [
+            sorted(((cell, [pos[i] for i in sorted(pos)])
+                    for (m2, cell), pos in bykey.items() if m2 == m),
+                   key=lambda t: t[0])
+            for m in range(M_SUB)]
+    cents = spark.createDataFrame(
+        [(m, cell, ce) for m in range(M_SUB) for cell, ce in books[m]],
+        "m int, cell long, ce array<long>")
     _PQ_CACHE[cache_key] = (emb, cents, assigned)
     return emb, cents, assigned
 
@@ -941,15 +1082,11 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str,
     l2 = F.aggregate(
         F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
-    w_probe = Window.partitionBy("vec_id").orderBy(
-        F.col("__d").asc(), F.col("cell").asc())
-    probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(coarse_cents))
-        .withColumn("__d", l2)
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), "cell"))
+    # r12: probe ranking as a map-only sorted-slice over the collected
+    # coarse codebook (was crossJoin + row_number window)
+    probes = _ranked_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES), _codebook_rows(coarse_cents),
+        n_probe).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         probes.join(coarse_assigned.select("vec_id", "cell"), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -997,19 +1134,12 @@ VEC_STORE_BUCKETS = 8
 def assign_to_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, qe, n2, cell): nearest-centroid assignment by exact
     integer L2 with the (d, cell) tie-break — the same rule the trainer
-    and the oracle use.  ``cents`` is N_CELLS rows — always broadcast."""
-    from pyspark.sql import Window
-
-    l2 = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__d").asc(), F.col("cell").asc())
-    return (emb.crossJoin(F.broadcast(cents))
-            .withColumn("__d", l2)
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") == 1)
-            .select("vec_id", "qe", "n2", "cell"))
+    and the oracle use.  ``cents`` is N_CELLS rows — driver-collected
+    and embedded as literals (r12): the per-batch assignment is a
+    map-only projection with no Exchange, the right shape for a
+    streaming ingest pass at scale."""
+    return _nearest_cell(emb, _codebook_rows(cents), with_d=False).select(
+        "vec_id", "qe", "n2", "cell")
 
 
 def write_vector_store(assigned: DataFrame,
@@ -1057,18 +1187,13 @@ def probe_cells(queries_emb: DataFrame, cents: DataFrame,
     queries_emb = queries_emb.filter(F.col("n2") > 0)
     cells = cells.filter(F.col("n2") > 0)
 
-    l2 = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__d").asc(), F.col("cell").asc())
-    probes = (queries_emb.crossJoin(F.broadcast(cents))
-              .withColumn("__d", l2)
-              .withColumn("prk", F.row_number().over(w))
-              .filter(F.col("prk") <= N_PROBE)
-              .select(F.col("vec_id").alias("query_id"),
-                      F.col("qe").alias("qqe"),
-                      F.col("n2").alias("qn2"), "cell"))
+    # r12: probe ranking as a map-only sorted-slice over the collected
+    # bounded codebook (was crossJoin + row_number window)
+    probes = _ranked_cells(
+        queries_emb, _codebook_rows(cents), N_PROBE
+    ).select(F.col("vec_id").alias("query_id"),
+             F.col("qe").alias("qqe"),
+             F.col("n2").alias("qn2"), "cell")
     cand = probes.join(cells.withColumnRenamed("cell", "vcell"),
                        (F.col("vcell") == F.col("cell"))
                        & (F.col("vec_id") != F.col("query_id")))
