@@ -382,7 +382,16 @@ def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_before, n_after, ctext): every document with its
     foreign duplicated spans excised (keep-first-owner policy) — the
     reusable stage behind corpus_without_dup_spans and the curation
-    pipeline tool.  ``ctext`` is '' for a fully-removed doc."""
+    pipeline tool.  ``ctext`` is '' for a fully-removed doc.
+
+    r12 (guide §2.2 shuffle fewer bytes): the word explode, the
+    (doc_id, idx) anti-join and the collect_list rebuild run ONLY for
+    docs that actually contain a foreign duplicated span — every other
+    doc's output is a pure projection (n_after = n_before, ctext = its
+    own words re-joined).  The former shape exploded and shuffled the
+    ENTIRE corpus word-by-word twice to rebuild mostly-unchanged text;
+    now that cost is proportional to the duplicated-span volume, not
+    the corpus."""
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())
     _, pos = _dup_hits(spark, sf_dir)
@@ -394,17 +403,25 @@ def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("doc_id") != F.col("owner")))
                .select("doc_id", "pos"))
     w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    # tiny (one row per foreign-dup island); checkpointed because
+    # three consumers reference it (removed, the touched-doc semi-join
+    # and, through them, both sides of the rebuild) and relation dedup
+    # would re-run the pos->own->foreign window per reference
     spans = (foreign
              .withColumn("grp", F.col("pos") - F.row_number().over(w_isl))
              .groupBy("doc_id", "grp")
              .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + SPAN_K - 1).alias("e")))
+                  (F.max("pos") + SPAN_K - 1).alias("e"))
+             .localCheckpoint(eager=True))
     removed = (spans
                .select("doc_id", F.explode(
                    F.sequence(F.col("s"), F.col("e"))).alias("idx"))
                .distinct())
+    touched = spans.select("doc_id").distinct()
     ws = F.split(F.col("text"), r"\s+")
-    words = docs.select(
+    # rebuild path — touched docs only (explode + anti-join + regroup)
+    tdocs = docs.join(touched, "doc_id", "left_semi")
+    words = tdocs.select(
         "doc_id", F.posexplode(ws).alias("idx0", "word")
     ).select("doc_id", (F.col("idx0") + 1).cast("long").alias("idx"),
              "word")
@@ -416,9 +433,24 @@ def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.array_sort(F.collect_list(
                                 F.struct("idx", "word"))),
                             lambda x: x["word"]), " ").alias("ctext")))
-    base = docs.select("doc_id", F.size(ws).cast("long").alias("n_before"))
-    return (base.join(cleaned, "doc_id", "left")
-            .select("doc_id", "n_before",
-                    F.coalesce("n_after", F.lit(0)).cast("long")
-                    .alias("n_after"),
-                    F.coalesce("ctext", F.lit("")).alias("ctext")))
+    tbase = tdocs.select("doc_id",
+                         F.size(ws).cast("long").alias("n_before"))
+    rebuilt = (tbase.join(cleaned, "doc_id", "left")
+               .select("doc_id", "n_before",
+                       F.coalesce("n_after", F.lit(0)).cast("long")
+                       .alias("n_after"),
+                       F.coalesce("ctext", F.lit("")).alias("ctext")))
+    # untouched docs: nothing was removed, so the rebuild is the
+    # identity on the word sequence (same split, same ' ' join —
+    # byte-identical to the explode/regroup round trip, empty-token
+    # edge cases included).  The anti-join broadcasts the slim touched
+    # key set, so this branch never shuffles the corpus text (a
+    # delta-outer-join formulation was tried first and SMJ-shuffled
+    # the full text at the dup-heavy 10x clone where 90% of docs are
+    # touched).
+    untouched = (docs.join(touched, "doc_id", "left_anti")
+                 .select("doc_id",
+                         F.size(ws).cast("long").alias("n_before"),
+                         F.size(ws).cast("long").alias("n_after"),
+                         F.array_join(ws, " ").alias("ctext")))
+    return rebuilt.unionByName(untouched)
