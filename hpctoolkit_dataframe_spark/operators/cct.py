@@ -933,16 +933,21 @@ def hot_paths(
     semantics, reference hpctoolkit_dataframe.py:403-428) with no
     per-profile driver loop.
 
-    Plan: materialize the rank-1 child per parent once (one window),
-    then descend level-by-level: the frontier starts at the roots and
-    each step joins it to the rank-1 edges of the next depth, keeping
-    children with value >= threshold.  The loop runs max-tree-depth
-    times over a checkpointed slim edge table; each step shuffles only
-    the frontier (<= one row per profile).  Output: the union of chain
-    rows (full input columns).
+    Plan (r12): materialize the qualifying rank-1 edges once (one
+    window; a node qualifies iff it is its parent's hottest child AND
+    clears the threshold — a SMALL set, bounded by how many nodes can
+    hold >= threshold of the root), then decide chain membership in
+    ONE pass: a node is on its profile's chain iff EVERY element of
+    its callpath is a qualifying edge (induction on the greedy
+    descent: depth-1 nodes descend from the root iff they qualify;
+    a deeper node is reached iff its parent was reached and it
+    qualifies).  The former shape descended level-by-level with an
+    eager localCheckpoint + isEmpty driver round trip per depth —
+    ~2 jobs x tree depth of pure scheduling over frontiers of <= one
+    row per profile; this is a fixed 3-stage plan at any depth.
+    Output: the chain rows (full input columns), unchanged.
     """
     pc = list(partition_cols)
-    sc = df.sparkSession.sparkContext
     slim = df.select(
         *pc, F.col("id").alias("__id"),
         F.col(callpath_col).alias("__path"),
@@ -953,36 +958,35 @@ def hot_paths(
     w = Window.partitionBy(*pc, parent.alias("__parent")).orderBy(
         F.col("__v").desc(), F.col("__id").asc())
     edges = (
-        slim.filter(F.col("__depth") > 0)
-        .withColumn("__parent", parent)
+        slim.filter((F.col("__depth") > 0)
+                    & (F.col("__depth") <= max_depth))
         .withColumn("__rk", F.row_number().over(w))
         .filter((F.col("__rk") == 1) & (F.col("__v") >= threshold))
-        .select(*pc, "__id", "__parent", "__depth")
+        .select(*pc, "__id", "__path", "__depth")
     )
-    edges = edges.repartition(sc.defaultParallelism).localCheckpoint(
-        eager=True)
+    # small (see above) and referenced by BOTH sides of the ancestor
+    # self-join below — relation dedup does not share work across
+    # self-joins (CLAUDE.md), so materialize once
+    edges = edges.localCheckpoint(eager=True)
 
-    roots = slim.filter(F.col("__depth") == 0).select(
-        *pc, "__id", "__depth").localCheckpoint(eager=True)
-    frontier = roots
-    chains = [roots]
-    for depth in range(1, max_depth + 1):
-        step = frontier.select(
-            *[F.col(c).alias(f"__f_{c}") for c in pc],
-            F.col("__id").alias("__pid"))
-        level = edges.filter(F.col("__depth") == depth)
-        cond = [F.col(f"__f_{c}") == F.col(c) for c in pc] + [
-            F.col("__parent") == F.col("__pid")]
-        nxt = step.join(level, cond, "inner").select(*pc, "__id", "__depth")
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        chains.append(nxt)
-        frontier = nxt
-    all_chain = chains[0]
-    for c in chains[1:]:
-        all_chain = all_chain.unionAll(c)
-    keys = all_chain.select(*pc, F.col("__id").alias("id"))
+    # ancestor check: explode each candidate's path (<= depth rows per
+    # qualifying node) and count how many path elements qualify; the
+    # node is on the chain iff all of them do.  Path ids are unique
+    # (tree path) and __id is unique per profile, so the join adds no
+    # multiplicity.
+    anc = edges.select(*pc, "__id", "__depth",
+                       F.explode("__path").alias("__anc"))
+    sids = edges.select(*pc, F.col("__id").alias("__anc"))
+    on_chain = (
+        anc.join(sids, [*pc, "__anc"], "inner")
+        .groupBy(*pc, "__id", "__depth")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == F.col("__depth"))
+        .select(*pc, "__id")
+    )
+    roots = slim.filter(F.col("__depth") == 0).select(*pc, "__id")
+    keys = roots.unionAll(on_chain).select(
+        *pc, F.col("__id").alias("id"))
     return df.join(keys, on=[*pc, "id"], how="left_semi")
 
 
