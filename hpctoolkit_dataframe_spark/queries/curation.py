@@ -1093,6 +1093,11 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (b.withColumn("__bsz", F.count(F.lit(1)).over(wb))
          .filter(F.col("__bsz") <= BASKET_SIZE_CAP)
          .drop("__bsz"))
+    # four consumers (n, item counts, both self-join sides) would each
+    # re-run the distinct + basket-size window — and relation dedup
+    # does not share work across the self-join (CLAUDE.md multi-branch
+    # rule); materialize the slim basket table once
+    b = b.localCheckpoint(eager=True)
     n = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
     ic = (b.groupBy("l_partkey")
           .agg(F.count(F.lit(1)).cast("long").alias("c")))
