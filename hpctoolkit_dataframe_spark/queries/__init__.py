@@ -61,6 +61,15 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def evict_dead_sessions(cache: dict, skey: str) -> None:
+    """Drop memo entries whose (session, ...) key belongs to another —
+    necessarily stopped — SparkContext: one live session per process,
+    and a dead session's entries pin localCheckpoint handles forever in
+    a long-lived process (ADVICE r12).  Called on every memo insert."""
+    for k in [k for k in cache if k[0] != skey]:
+        del cache[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                spread: bool = False) -> DataFrame:
     """Read one testdata parquet table.

@@ -277,7 +277,7 @@ fixture-build time (tools/make_bpe_fixture.py), keyed by corpus
 size — train + encode are iterative, but their output is exact and
 deterministic, so it hash-gates like any other query.""")
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from . import session_key
+    from . import evict_dead_sessions, session_key
 
     key = (session_key(spark), sf_dir)
     merges = _ENCODE_CACHE.get(key)
@@ -286,6 +286,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = (wc.orderBy(F.col("c").desc(), F.col("w"))
                .limit(VOCAB_CAP).collect())
         merges = train_bpe([(r["w"], r["c"]) for r in top])
+        evict_dead_sessions(_ENCODE_CACHE, key[0])
         _ENCODE_CACHE[key] = merges
     docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull())

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import cct as ops
-from . import hash8_sql, load_table, register, session_key
+from . import (evict_dead_sessions, hash8_sql, load_table, register,
+               session_key)
 
 REGION_OFF = 1
 NATION_OFF = 10
@@ -103,6 +104,7 @@ def build_cct(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = build_cct_plan(spark, sf_dir)
     out = out.repartition(
         _cct_checkpoint_partitions(spark, sf_dir)).localCheckpoint(eager=True)
+    evict_dead_sessions(_CCT_CACHE, key[0])
     _CCT_CACHE[key] = out
     return out
 

@@ -50,9 +50,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from . import REGISTRY, load_table, register, session_key
+from . import (REGISTRY, evict_dead_sessions, load_table, register,
+               session_key)
 from .vectors import (
-    DIM, KMEANS_ITERS, _NORM2_SQL, _QINT_SQL, _dot, _kmeans_ctes,
+    DIM, KMEANS_ITERS, _NORM2_SQL, _QINT_SQL, _kmeans_ctes,
     _lloyd_trained, _nonzero_embedding, _norm2, _qint, _quantized_corpus)
 
 # ---------------------------------------------------------------------------
@@ -235,15 +236,19 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nonzero_embedding(F.col("embedding"))).select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
         _norm2(F.col("embedding")).alias("n2"))
-    qv = emb.filter(F.col("vec_id") == _HYBRID_QVEC).select(
-        F.col("qe").alias("q_qe"), F.col("n2").alias("qn2"))
-    cos = (_dot(F.col("q_qe"), F.col("qe")).cast("double")
-           / (F.sqrt(F.col("qn2").cast("double"))
-              * F.sqrt(F.col("n2").cast("double"))))
+    # r13 (guide §4.2, with knn_cosine): the broadcast query-vector
+    # join + interpreted 64-lane dot per corpus row becomes one
+    # mapInPandas int64 GEMM against the driver-collected single-row
+    # query matrix, pre-pruned per batch to the leg's top-K under the
+    # same total order (cos DESC, vec_id ASC) the TakeOrdered applies —
+    # identical surviving rows, bit-identical cos.
+    from ._veckernel import knn_pair_scores
+
+    qrows = (emb.filter(F.col("vec_id") == _HYBRID_QVEC)
+             .select("vec_id", "qe", "n2").collect())
     wd = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    drank = (F.broadcast(qv)
-             .join(emb, F.col("vec_id") != _HYBRID_QVEC)
-             .select("vec_id", cos.alias("cos"))
+    drank = (knn_pair_scores(emb, qrows, DIM, HYBRID_LEG_K)
+             .select(F.col("neighbor_id").alias("vec_id"), "cos")
              .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
              .limit(HYBRID_LEG_K)
              .withColumn("r_dense", F.row_number().over(wd).cast("long"))
@@ -1294,6 +1299,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dsir_score(tb, w).localCheckpoint(eager=True)
     for k in [k for k in _DSIR_CACHE if k[0] == key[0]]:
         del _DSIR_CACHE[k]
+    evict_dead_sessions(_DSIR_CACHE, key[0])
     _DSIR_CACHE[key] = out
     return out
 

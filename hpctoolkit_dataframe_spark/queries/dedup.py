@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..operators.graph import connected_components
-from . import REGISTRY, hash8_sql, load_table, register, session_key
+from . import (REGISTRY, evict_dead_sessions, hash8_sql, load_table,
+               register, session_key)
 from .textops import lsh_pairs_materialized
 
 # the oracle reuses the full minhash->band->cap->self-join pipeline SQL
@@ -98,6 +99,7 @@ def clusters_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_canonical")).localCheckpoint(eager=True)
     for k in [k for k in _CLUSTERS_CACHE if k[0] == key[0]]:
         del _CLUSTERS_CACHE[k]
+    evict_dead_sessions(_CLUSTERS_CACHE, key[0])
     _CLUSTERS_CACHE[key] = out
     return out
 
@@ -305,6 +307,7 @@ def fingerprint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (doc_hash % DELTA_MOD).alias("bucket")).localCheckpoint(eager=True)
     for k in [k for k in _FPS_CACHE if k[0] == key[0]]:
         del _FPS_CACHE[k]
+    evict_dead_sessions(_FPS_CACHE, key[0])
     _FPS_CACHE[key] = out
     return out
 

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from . import hash8_sql, load_table, register, session_key
+from . import (evict_dead_sessions, hash8_sql, load_table, register,
+               session_key)
 
 SPAN_K = 8  # words per window; spans shorter than this are invisible
 
@@ -77,6 +78,7 @@ def _dup_hits(spark: SparkSession,
     sess = cache_key[0]
     for k in [k for k in _HITS_CACHE if k[0] == sess]:
         del _HITS_CACHE[k]
+    evict_dead_sessions(_HITS_CACHE, cache_key[0])
     _HITS_CACHE[cache_key] = (hits, pos)
     return hits, pos
 

@@ -25,7 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from . import hash8_sql, load_table, register, session_key
+from . import (evict_dead_sessions, hash8_sql, load_table, register,
+               session_key)
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
 N_HASHES = 8
@@ -276,6 +277,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize: the whole shingle->minhash->band pipeline would
         # otherwise run once per self-join side
         keys = keys.localCheckpoint(eager=True)
+        evict_dead_sessions(_KEYS_CACHE, cache_key[0])
         _KEYS_CACHE[cache_key] = keys
     # Exclude hot band keys BEFORE the self-join (same failure class as
     # the shingle DF cap one layer down): degenerate content collapses
@@ -324,6 +326,7 @@ def lsh_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     for k in [k for k in _PAIRS_CACHE if k[0] == key[0]]:
         del _PAIRS_CACHE[k]
+    evict_dead_sessions(_PAIRS_CACHE, key[0])
     _PAIRS_CACHE[key] = pairs
     return pairs
 

@@ -25,7 +25,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import load_table, register, session_key
+from . import evict_dead_sessions, load_table, register, session_key
 
 QUANT = 10_000
 N_QUERIES = 5
@@ -131,26 +131,35 @@ def _exact_topk(spark: SparkSession, sf_dir: str,
                 k: int = TOP_K) -> DataFrame:
     """Brute-force exact cosine top-k — the ground truth every ANN
     variant's recall is measured against (tests/test_vectors.py recall
-    curves)."""
+    curves).
+
+    r13 (guide §4.2, VERDICT r12 #1): the broadcast-nested-loop join of
+    the 5 query vectors against the corpus plus the interpreted 64-lane
+    ``aggregate`` dot per pair is now ONE mapInPandas int64 GEMM over
+    the corpus against the driver-collected bounded query matrix
+    (N_QUERIES rows by construction), emitting only (query_id,
+    neighbor_id, cos) — each batch additionally pre-pruned to the
+    query's top-k under the final window's exact (cos DESC, neighbor
+    ASC) order, which is a sound reduction because that order is total.
+    dot stays exact int64 and cos the identical IEEE expression, so
+    every surviving row is bit-identical (the semantic_decontaminate
+    precedent)."""
+    from ._veckernel import knn_pair_scores
+
     emb = load_table(spark, sf_dir, "embeddings").filter(
         _nonzero_embedding(F.col("embedding"))).select(
         "vec_id", _qint(F.col("embedding")).alias("qe"),
         _norm2(F.col("embedding")).alias("n2"))
     # zero-norm vectors have no cosine (ANSI DIVIDE_BY_ZERO otherwise —
     # adversarial-embeddings probe); WHERE n2 > 0 in the SQL
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe"),
-        F.col("n2").alias("q_n2"))
-    pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("query_id"))
-    cos = (_dot(F.col("q_qe"), F.col("qe")).cast("double")
-           / (F.sqrt(F.col("q_n2").cast("double"))
-              * F.sqrt(F.col("n2").cast("double"))))
+    qrows = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "qe", "n2").collect())
+    pairs = knn_pair_scores(emb, qrows, DIM, k)
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                     cos.alias("cos"))
+        pairs
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", "cos")
@@ -220,36 +229,36 @@ def _ivf_probe(emb: DataFrame, cent: DataFrame,
     (the r7 adversarial-embeddings probe finding) — the cosine family
     excludes them from both the query and candidate sets.
 
-    r12: both the full-corpus cell assignment and the per-query probe
-    ranking are map-only projections over the driver-collected bounded
-    codebook (_nearest_cell/_ranked_cells) — the former crossJoin +
-    row_number windows (two Exchange+Sort passes, one over the whole
-    rows x cells explosion) are gone; every assignment is
-    bit-identical."""
+    r13 (guide §2.4 + §4.2, VERDICT r12 #1): assignment + probe + score
+    fused into ONE mapInPandas pass — each corpus row is assigned to
+    its nearest cell by the exact int64 argmin and scored (int64 GEMM)
+    against the bounded set of queries probing that cell; the per-cell
+    equi-join and the interpreted per-candidate 64-lane dot disappear,
+    and each batch pre-prunes to the query's top-k under the final
+    window's total order (sound: at most k-1 rows order before a
+    surviving row anywhere).  The query probe ranking (N_QUERIES
+    bounded rows) moves driver-side with the identical (dk, cell)
+    rule.  dot/cos arithmetic is bit-for-bit the r12 expression."""
     from pyspark.sql import Window
+
+    from ._veckernel import _ranked_exact, ivf_candidate_scores
 
     emb = emb.filter(F.col("n2") > 0)
     book = _codebook_rows(cent)
 
-    cells = _nearest_cell(emb, book, with_d=False).select(
-        "vec_id", "qe", "n2", "cell")
-    probes = _ranked_cells(
-        emb.filter(F.col("vec_id") < N_QUERIES), book, n_probe
-    ).select(F.col("vec_id").alias("query_id"),
-             F.col("qe").alias("qqe"), F.col("n2").alias("qn2"), "cell")
-    cand = (
-        probes.join(cells.withColumnRenamed("cell", "vcell"),
-                    (F.col("vcell") == F.col("cell"))
-                    & (F.col("vec_id") != F.col("query_id")))
-    )
-    cos = (_dot(F.col("qqe"), F.col("qe")).cast("double")
-           / (F.sqrt(F.col("qn2").cast("double"))
-              * F.sqrt(F.col("n2").cast("double"))))
+    qrows = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "qe", "n2").collect())
+    probe_rows = [
+        (int(r[0]), r[1], r[2],
+         _ranked_exact(None if r[1] is None else list(r[1]),
+                       book, n_probe))
+        for r in qrows]
+    cand = ivf_candidate_scores(emb, book, _book_dim(book), probe_rows,
+                                top_k)
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    cos.alias("cos"))
+        cand
         .withColumn("rk", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rk") <= top_k)
         .select("query_id", "neighbor_id", "rk", "cos")
@@ -355,6 +364,7 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
             .withColumn("bucket", bucket.cast("long"))
             .localCheckpoint(eager=True))
+        evict_dead_sessions(_BUCKETED_CACHE, cache_key[0])
         _BUCKETED_CACHE[cache_key] = bucketed
     # Exclude hot buckets BEFORE the self-join: degenerate embeddings
     # (zeros, duplicates) collapse into one bucket, and a 10^6-member
@@ -403,26 +413,22 @@ def vec_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_near_dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
     for k in [k for k in _VEC_PAIRS_CACHE if k[0] == key[0]]:
         del _VEC_PAIRS_CACHE[k]
+    evict_dead_sessions(_VEC_PAIRS_CACHE, key[0])
     _VEC_PAIRS_CACHE[key] = pairs
     return pairs
 
 
 # ---------------------------------------------------------------------------
-# Map-only nearest-cell assignment (r12, guide §2.4).  Every
-# assignment/probe in the kmeans/IVF/PQ family used to be a broadcast
-# join against the centroid table plus a row_number window — an
-# Exchange + Sort over the (rows x cells) candidate explosion PER PASS
-# (and per training iteration).  The codebook is always bounded
-# (N_CELLS=8 coarse cells / M_SUB x K_PQ = 32 PQ cells — the same
-# bounded-driver-structure class as the BPE merge table), so the argmin
-# can be a single projection: distances to every centroid literal, then
-# the lexicographic min of (dk, cell) structs.  dk = coalesce(d, -1)
-# replicates the window's `d ASC NULLS FIRST, cell ASC` exactly (d >= 0
-# when defined; NULL d sorted first by the old window and by dk=-1
-# here — verified struct-ordering twin before the rewrite).  The
-# arithmetic inside is byte-for-byte the former join lambda, so every
-# output row is bit-identical; only the plan shape changes (no
-# Exchange, no Sort, no per-iteration checkpoint).
+# Nearest-cell assignment (r12: map-only projection over the bounded
+# driver-collected codebook — no join, no window, no exchange; r13:
+# the interpreted transform/zip_with/aggregate argmin (512 interpreted
+# element ops per row — the measured 8-core CPU floor, VERDICT r12 #1)
+# becomes ONE Arrow int64 kernel per pass (_veckernel): numpy computes
+# the identical exact distances, the identical (coalesce(d,-1), cell)
+# argmin, with exact Python fallbacks for degenerate rows.  The UDF is
+# non-deterministic so alias pushdown cannot re-evaluate it below a
+# Filter (guide §4.4) — replacing the r12 explode substitution
+# barrier.
 # ---------------------------------------------------------------------------
 def _codebook_rows(cent: DataFrame) -> list[tuple]:
     """Driver-collect a BOUNDED (cell, ce) codebook, sorted by cell for
@@ -432,60 +438,29 @@ def _codebook_rows(cent: DataFrame) -> list[tuple]:
                    for r in rows), key=lambda t: t[0])
 
 
-def _book_sql(book) -> tuple[str, str]:
-    """SQL literals for a codebook: (array-of-centroid-arrays, array of
-    cell ids), both in book order.  One SQL string per assignment pass
-    instead of ~1.5k Column-API py4j round trips (measured 2.7-3.2 s of
-    pure driver time per pass), and a ~16x smaller Catalyst tree (the
-    lambda bodies appear once under transform/zip_with, not once per
-    cell)."""
-    def arr(ce):
-        if ce is None:
-            return "CAST(NULL AS ARRAY<BIGINT>)"
-        return "array(" + ",".join(
-            "CAST(NULL AS BIGINT)" if v is None else f"{v}L" for v in ce
-        ) + ")"
-    cents = "array(" + ",".join(arr(ce) for _cell, ce in book) + ")"
-    cells = "array(" + ",".join(f"{cell}L" for cell, _ce in book) + ")"
-    return cents, cells
-
-
-def _darr_sql(qe_sql: str, book) -> str:
-    """Distances to every codebook centroid — byte-for-byte the former
-    broadcast-join lambda's arithmetic, one aggregate per cell."""
-    cents, _ = _book_sql(book)
-    return (f"transform({cents}, c -> aggregate(zip_with({qe_sql}, c, "
-            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v))")
-
-
-def _structs_sql(darr_sql: str, book) -> str:
-    """array<struct<dk,cell,d>> ordered exactly like the former window
-    (d ASC NULLS FIRST, cell ASC): dk = coalesce(d, -1)."""
-    _, cells = _book_sql(book)
-    return (f"zip_with({darr_sql}, {cells}, (d, c) -> "
-            "named_struct('dk', coalesce(d, -1L), 'cell', c, 'd', d))")
+def _book_dim(book, default: int = DIM) -> int:
+    """Dominant centroid width — the kernels' vectorized-path width
+    (rows/centroids of any other width take the exact fallback)."""
+    for _cell, ce in book:
+        if ce is not None and not any(v is None for v in ce):
+            return len(ce)
+    return default
 
 
 def _nearest_cell(emb: DataFrame, book, with_d: bool = True) -> DataFrame:
-    """emb's columns + (cell, d): each row's nearest codebook cell as a
-    map-only projection — no join, no window, no exchange.
-
-    The best struct is routed through a single-element explode: a
-    downstream equi-join on ``cell`` infers ``isnotnull(cell)`` and
-    predicate pushdown SUBSTITUTES the alias, which would re-evaluate
-    the whole interpreted 2x-cells argmin inside a Filter node below
-    the projection (the r8 aliased-lambda trap, CLAUDE.md) — a
-    Generate is a substitution barrier, so the argmin runs exactly
-    once per row."""
+    """emb's columns + (cell, d): each row's nearest codebook cell as
+    one Arrow int64 kernel projection (bit-identical argmin; see
+    _veckernel.nearest_cell_udf)."""
     if not book:
         cols = [F.col(c) for c in emb.columns] + [
             F.lit(None).cast("long").alias("cell")]
         if with_d:
             cols.append(F.lit(None).cast("long").alias("d"))
         return emb.filter(F.lit(False)).select(*cols)
-    tmp = (emb.withColumn("__darr", F.expr(_darr_sql("qe", book)))
-           .withColumn("__s", F.explode(F.expr(
-               f"array(array_min({_structs_sql('`__darr`', book)}))"))))
+    from ._veckernel import nearest_cell_udf
+
+    udf = nearest_cell_udf(book, _book_dim(book))
+    tmp = emb.withColumn("__s", udf(F.col("qe")))
     cols = [F.col(c) for c in emb.columns] + [
         F.col("__s")["cell"].alias("cell")]
     if with_d:
@@ -495,18 +470,18 @@ def _nearest_cell(emb: DataFrame, book, with_d: bool = True) -> DataFrame:
 
 def _ranked_cells(emb: DataFrame, book, n_best: int) -> DataFrame:
     """emb's columns + cell, one row per (input row, nearest cell rank
-    1..n_best) — the probe-width twin of _nearest_cell (replaces
-    crossJoin + window + prk <= n filter with sorted-slice + explode)."""
+    1..n_best) — the probe-width twin of _nearest_cell (Arrow kernel
+    emitting the first-n_best cells in (dk, cell) order + explode)."""
     if not book:
         return emb.filter(F.lit(False)).select(
             *[F.col(c) for c in emb.columns],
             F.lit(None).cast("long").alias("cell"))
-    tmp = (emb.withColumn("__darr", F.expr(_darr_sql("qe", book)))
-           .withColumn("__s", F.explode(F.expr(
-               f"slice(array_sort({_structs_sql('`__darr`', book)}), "
-               f"1, {n_best})"))))
+    from ._veckernel import ranked_cells_udf
+
+    udf = ranked_cells_udf(book, _book_dim(book), n_best)
+    tmp = emb.withColumn("__c", F.explode(udf(F.col("qe"))))
     return tmp.select(*[F.col(c) for c in emb.columns],
-                      F.col("__s")["cell"].alias("cell"))
+                      F.col("__c").alias("cell"))
 
 
 # ---------------------------------------------------------------------------
@@ -578,6 +553,7 @@ def _quantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     for k in [k for k in _CORPUS_CACHE if k[0] == key[0]]:
         del _CORPUS_CACHE[k]
+    evict_dead_sessions(_CORPUS_CACHE, key[0])
     _CORPUS_CACHE[key] = out
     return out
 
@@ -597,13 +573,16 @@ def _lloyd(emb: DataFrame, iters: int = KMEANS_ITERS,
     re-estimate expression is verbatim the old one, so every centroid
     and assignment row is bit-identical."""
     spark = emb.sparkSession
-    book = _codebook_rows(
-        emb.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("qe").alias("ce")))
     if iters == 0:
+        # before the seed collect: the iters == 0 path discards the
+        # collected book, so collecting first paid a wasted Spark job
+        # (ADVICE r12)
         cents = emb.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cell"), F.col("qe").alias("ce"))
         return cents, None
+    book = _codebook_rows(
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("qe").alias("ce")))
     assigned = None
     for _ in range(iters):
         # ONE job per iteration: the re-estimate collect materializes
@@ -655,6 +634,7 @@ def _lloyd_trained(spark: SparkSession,
     cents = cents.localCheckpoint(eager=True)
     for k in [k for k in _LLOYD_CACHE if k[0] == key[0]]:
         del _LLOYD_CACHE[k]
+    evict_dead_sessions(_LLOYD_CACHE, key[0])
     _LLOYD_CACHE[key] = (cents, assigned)
     return cents, assigned
 
@@ -799,33 +779,27 @@ _PQ_CACHE: dict = {}
 
 def _pq_assigned(emb: DataFrame, books: list[list[tuple]]) -> DataFrame:
     """(m, vec_id, qe, cell, d): every vector's nearest codebook cell
-    in every subspace, as ONE map-only projection + explode — no join,
-    no window.  ``books[m]`` is subspace m's bounded codebook; a
+    in every subspace — ONE Arrow int64 kernel crossing for all M_SUB
+    books (r13; was M_SUB interpreted argmin columns) + explode.  The
+    emitted ``qe`` is the m-th slice, computed JVM-side after the
+    explode.  ``books[m]`` is subspace m's bounded codebook; a
     subspace with an empty codebook emits no rows (the old join-on-m
     drop semantics)."""
-    tmp = emb
-    branches = []
-    for m in range(M_SUB):
-        if not books[m]:
-            continue
-        qm = f"slice(qe, {m * SUBDIM + 1}, {SUBDIM})"
-        tmp = tmp.withColumn(f"__d{m}", F.expr(_darr_sql(qm, books[m])))
-        branches.append(
-            f"named_struct('m', {m}, 'qe', {qm}, 'best', "
-            f"array_min({_structs_sql(f'`__d{m}`', books[m])}))")
-    if not branches:
+    if not any(books[m] for m in range(M_SUB)):
         return emb.filter(F.lit(False)).select(
             F.lit(None).cast("int").alias("m"), "vec_id",
             F.lit(None).cast("array<long>").alias("qe"),
             F.lit(None).cast("long").alias("cell"),
             F.lit(None).cast("long").alias("d"))
-    tmp = tmp.withColumn(
-        "__s", F.explode(F.expr("array(" + ",".join(branches) + ")")))
+    from ._veckernel import pq_assign_udf
+
+    udf = pq_assign_udf(books, SUBDIM)
+    tmp = emb.withColumn("__s", F.explode(udf(F.col("qe"))))
     return tmp.select(
         F.col("__s")["m"].alias("m"), "vec_id",
-        F.col("__s")["qe"].alias("qe"),
-        F.col("__s")["best"]["cell"].alias("cell"),
-        F.col("__s")["best"]["d"].alias("d"))
+        F.expr(f"slice(qe, `__s`.m * {SUBDIM} + 1, {SUBDIM})").alias("qe"),
+        F.col("__s")["cell"].alias("cell"),
+        F.col("__s")["d"].alias("d"))
 
 
 def _pq_train(spark: SparkSession, sf_dir: str):
@@ -881,6 +855,7 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     cents = spark.createDataFrame(
         [(m, cell, ce) for m in range(M_SUB) for cell, ce in books[m]],
         "m int, cell long, ce array<long>")
+    evict_dead_sessions(_PQ_CACHE, cache_key[0])
     _PQ_CACHE[cache_key] = (emb, cents, assigned)
     return emb, cents, assigned
 

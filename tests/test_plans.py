@@ -142,10 +142,33 @@ def test_simhash_near_dup_cap_below_self_join(spark):
 
 
 def test_headline_queries_no_python_udfs(spark):
+    # knn_cosine left this list in r13: its pair scoring is now the
+    # sanctioned Arrow int64 GEMM kernel (see
+    # test_vector_kernel_plan_shape); embedding_centroids keeps a
+    # pure-JVM vector-family representative here.
     for name in ("q1_pricing_summary", "doc_stats", "minhash_signatures",
-                 "repetition_ratio", "knn_cosine", "events_sessions"):
+                 "repetition_ratio", "embedding_centroids",
+                 "events_sessions"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         assert explain.python_udf_count(df) == 0, name
+
+
+def test_vector_kernel_plan_shape(spark):
+    """r13 vector kernels (VERDICT r12 #1): knn_cosine and the IVF
+    probes run exactly ONE Arrow-batched Python stage (the exact-int64
+    GEMM kernel) and zero row-at-a-time UDFs; knn's former
+    BroadcastNestedLoopJoin over the query vectors is gone — the
+    kernel scores against the driver-collected bounded query matrix,
+    so the only remaining exchange is the final top-k window's."""
+    for name in ("knn_cosine", "ivf_ann"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = explain.executed_plan(df)
+        assert plan.count("MapInPandas") == 1, name
+        assert plan.count("BatchEvalPython") == 0, name
+        joins = explain.join_strategies(df)
+        assert joins["broadcast_nested_loop"] == 0, name
+        assert joins["cartesian"] == 0, name
+        assert explain.exchange_count(df) <= 1, name
 
 
 def test_asof_join_plan_shape(spark):

@@ -42,6 +42,15 @@ ARROW_OK = {
                                    # (SPARK_GRAFT_WALKUP_BCAST_...):
                                    # 2 mapInPandas stages when enabled;
                                    # default explode plan has none
+    # r13 exact-int64 vector kernels (_veckernel, VERDICT r12 #1): the
+    # interpreted transform/zip_with/aggregate distance lambdas became
+    # numpy int64 GEMM/argmin stages — bit-identical arithmetic,
+    # oracle-pinned.  (kmeans_centroids / pq_codes / pq_ann consume the
+    # memoized builds, so their census plans are checkpoint scans.)
+    "knn_cosine",        # mapInPandas GEMM vs broadcast query matrix
+    "ivf_ann", "ivf_ann_trained",  # fused assign+probe+score pass
+    "ivfpq_ann",         # ArrowEvalPython ranked-cells probe
+    "hybrid_search_rrf",  # dense leg = the knn_cosine GEMM kernel
 }
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin:

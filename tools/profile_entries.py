@@ -4,8 +4,11 @@ entries standalone (noop sink, same methodology as bench.py) and dump
 each one's ``explain('formatted')`` to plans/<round>/<name>_<tag>.txt.
 
 Usage:
-    python tools/profile_entries.py --tag=before [--sf=/root/testdata/sf0.1]
-        [--reps=3] [--plans-dir=plans/r12] name [name ...]
+    python tools/profile_entries.py --tag=before --plans-dir=plans/rNN
+        [--sf=/root/testdata/sf0.1] [--reps=3] name [name ...]
+
+``--plans-dir`` is required (ADVICE r12: a round-numbered default
+silently wrote next round's plans into the old directory).
 
 Prints one line per entry: name, every sample, median — plus the
 loadavg around the run so quiet/loaded adjudication stays mechanical
@@ -28,7 +31,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     tag = "before"
     reps = 3
-    plans_dir = "plans/r12"
+    plans_dir = None
     names: list[str] = []
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
@@ -41,11 +44,12 @@ def main() -> None:
             plans_dir = a.split("=", 1)[1]
         else:
             names.append(a)
+    assert plans_dir, "--plans-dir=plans/rNN is required (ADVICE r12)"
     unknown = [n for n in names if n not in REGISTRY]
     assert not unknown, f"unknown entries: {unknown}"
     os.makedirs(plans_dir, exist_ok=True)
 
-    spark = get_spark("profile-r12")
+    spark = get_spark("profile")
     spark.sparkContext.setLogLevel("ERROR")
     # same warm-up as bench.py: JVM, parquet footers, Python workers
     REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir).count()
