@@ -387,6 +387,44 @@ def pq_assign_udf(books, subdim):
     ).asNondeterministic()
 
 
+def hyperplane_bucket_udf(planes):
+    """pandas UDF qe -> bigint: the 8-plane LSH bucket — per plane k,
+    (1 << k) iff dot(qe, plane_k) >= 0 else 0 (a NULL dot — NULL/ragged
+    qe — contributes 0, exactly the former ``when(dot >= 0, …)
+    .otherwise(0)``); summed.  One int64 GEMM against the bounded ±1
+    plane matrix replaces N_PLANES interpreted 64-lane aggregate
+    folds per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    register_module_by_value(__name__)
+    dim = len(planes[0])
+    weights = [1 << k for k in range(len(planes))]
+
+    def bucket(qe: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as _pd
+
+        p_mat = np.array(planes, dtype=np.int64)
+        w = np.array(weights, dtype=np.int64)
+        vals = qe.to_numpy()
+        out = np.zeros(len(vals), dtype=np.int64)
+        fast_idx, mat, slow_idx = _split_batch(vals, dim)
+        if len(fast_idx):
+            signs = (mat @ p_mat.T) >= 0
+            out[fast_idx] = signs @ w
+        for i in slow_idx:
+            row = _row_list(vals[i])
+            b = 0
+            for k, plane in enumerate(planes):
+                d = _dot_exact(row, list(plane))
+                if d is not None and d >= 0:
+                    b += 1 << k
+            out[i] = b
+        return _pd.Series(out)
+
+    return pandas_udf(bucket, "bigint").asNondeterministic()
+
+
 # ---------------------------------------------------------------------------
 # frame-level kernels (mapInPandas against a bounded broadcast matrix)
 # ---------------------------------------------------------------------------

@@ -347,16 +347,17 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (session_key(spark), sf_dir)
     bucketed = _BUCKETED_CACHE.get(cache_key)
     if bucketed is None:
+        from ._veckernel import hyperplane_bucket_udf
+
         emb = load_table(spark, sf_dir, "embeddings").filter(
             _nonzero_embedding(F.col("embedding"))).select(
             "vec_id", _qint(F.col("embedding")).alias("qe"),
             _norm2(F.col("embedding")).alias("n2"))
         # zero-norm: no cosine (ANSI div-by-zero)
-        bucket = None
-        for k, plane in enumerate(PLANES):
-            lits = F.array(*[F.lit(s).cast("long") for s in plane])
-            sign = F.when(_dot(F.col("qe"), lits) >= 0, 1 << k).otherwise(0)
-            bucket = sign if bucket is None else bucket + sign
+        # r13: the 8 interpreted 64-lane plane dots per row became one
+        # Arrow int64 GEMM (same sign/NULL semantics — _veckernel);
+        # runs inside the checkpoint, so the query plan is unchanged
+        bucket = hyperplane_bucket_udf(PLANES)(F.col("qe"))
         # spread the single input split, then materialize: quantization
         # + 8 plane dots per vector would otherwise run once PER
         # SELF-JOIN SIDE

@@ -103,6 +103,24 @@ def test_pq_assign_matches_reference(spark):
             assert qe_g == sl, (vid, m)
 
 
+def test_hyperplane_bucket_matches_reference(spark):
+    """bucket = sum over planes of (1<<k iff dot >= 0 else 0); a NULL
+    dot (NULL/ragged row, NULL element) contributes 0 — the former
+    when(dot >= 0, …).otherwise(0) semantics."""
+    planes = [[1, -1, 1, -1], [-1, -1, 1, 1]]
+    rows = [(0, [5, 1, 1, 1]),        # d0=6>=0, d1=-4<0  -> 1
+            (1, [-5, -1, -1, -1]),    # d0=-6<0, d1=4>=0  -> 2
+            (2, [0, 0, 0, 0]),        # both 0 >= 0       -> 3
+            (3, None),                # NULL row          -> 0
+            (4, [1, None, 1, 1]),     # NULL element      -> 0
+            (5, [1, 2]),              # ragged            -> 0
+            (6, [BIG, 0, 0, 0])]      # big -> exact path -> 1
+    got = {r["vec_id"]: r["b"] for r in _emb(spark, rows).select(
+        "vec_id",
+        K.hyperplane_bucket_udf(planes)(F.col("qe")).alias("b")).collect()}
+    assert got == {0: 1, 1: 2, 2: 3, 3: 0, 4: 0, 5: 0, 6: 1}
+
+
 def test_knn_pair_scores_matches_bruteforce(spark):
     """The GEMM + per-batch top-k pruning yields EXACTLY the rows the
     former broadcast-join + interpreted dot fed the window, after the
