@@ -537,6 +537,8 @@ def with_ratio_of_parent(
     carry_cols: Sequence[str] | None = None,
     collect_threshold: int = 0,
     monotone: bool = False,
+    depth_id_join: bool = False,
+    root_id: int = -1,
 ) -> DataFrame:
     """value / nearest-ancestor-value, with the reference's walk-up rule.
 
@@ -546,6 +548,22 @@ def with_ratio_of_parent(
     the full input frame is skipped entirely (one fewer shuffle of the
     wide rows; use for slim analytical outputs, including base_column in
     carry_cols if its original-typed value is wanted).
+
+    ``depth_id_join`` (r13, guide §2.3 shuffle fewer bytes): resolve
+    each ancestor by the BIGINT pair (depth, id) instead of the
+    (path-hash, full prefix array) equality.  Caller-asserted
+    preconditions, which hold for any rollup-built tree here by
+    construction: ``id`` is unique per (partition, depth); for every
+    row, size(callpath) == depth and callpath[j] (1-indexed) is the id
+    of its depth-j ancestor; the partition's root row has an empty
+    callpath and id == ``root_id``.  Same inner join, same qualifying
+    filter, same deepest-stopper aggregate — only the join KEY changes,
+    so each exploded row carries 2 longs instead of a prefix array
+    (~2.6x fewer shuffle bytes at sf0.1) and the hash probe compares
+    ints instead of arrays.  The oracle side has used exactly this
+    (depth, id) rewrite since r9 (_WALKUP_SQL's anc CTE); value
+    equality of the two Spark paths is pinned in tests/test_cct_ops.py
+    and the entry hash-gates against the full walk-up SQL.
 
     Reference semantics (hpctoolkit_dataframe.py:360-384): starting at the
     parent, walk up the callpath until an ancestor's value >= own value;
@@ -731,39 +749,78 @@ def with_ratio_of_parent(
     # Only (partition, id, value, ancestor-path) travel through the
     # explode+shuffle — the wide columns join back at the very end.
     carry = list(carry_cols) if carry_cols is not None else None
-    child = df.select(
-        *pc, "id", *(carry or ()),
-        F.col(base_column).cast("double").alias("__cv"),
-        F.when(
-            F.size(callpath_col) == 0,
-            F.array(F.col(callpath_col)),
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(callpath_col) - 1),
-                lambda i: F.slice(F.col(callpath_col), 1, i),
-            )
-        ).alias("__anc_paths"),
-    )
-    exploded = child.select(
-        *pc, "id", *(carry or ()), "__cv",
-        F.explode("__anc_paths").alias("__anc_path")
-    ).withColumn("__anc_key", cp.path_key("__anc_path"))
+    if depth_id_join:
+        # the depth-i ancestor is addressed by the BIGINT pair
+        # (i, callpath[i]) — no prefix arrays or path hashes cross the
+        # exchange.  greatest(d-1, 0) makes the root (d=0) explode to
+        # exactly its own depth 0 like the array path's empty prefix.
+        exploded = df.select(
+            *pc, "id", *(carry or ()),
+            F.col(base_column).cast("double").alias("__cv"),
+            F.col(callpath_col).alias("__cp"),
+            F.explode(F.sequence(
+                F.lit(0), F.greatest(F.size(callpath_col) - 1, F.lit(0))
+            )).alias("__anc_depth"),
+        ).select(
+            *pc, "id", *(carry or ()), "__cv", "__anc_depth",
+            F.when(F.col("__anc_depth") == 0,
+                   F.lit(root_id).cast("long"))
+            .otherwise(F.try_element_at(
+                "__cp", F.col("__anc_depth").cast("int")))
+            .alias("__anc_id"),
+        )
+        nodes_di = df.select(
+            *[F.col(c).alias(f"__n_{c}") for c in pc],
+            F.size(callpath_col).alias("__n_depth"),
+            F.col("id").alias("__n_id"),
+            F.col(base_column).alias("__value"),
+        )
+        joined = exploded.join(
+            _maybe_shuffle_hash(nodes_di, df),
+            on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
+            + [F.col("__anc_depth") == F.col("__n_depth"),
+               F.col("__anc_id") == F.col("__n_id")],
+            how="inner",
+        ).select(
+            *[exploded[c] for c in (*pc, "id", *(carry or ()), "__cv",
+                                    "__anc_depth")],
+            F.col("__value").alias("__anc_value"),
+        )
+    else:
+        child = df.select(
+            *pc, "id", *(carry or ()),
+            F.col(base_column).cast("double").alias("__cv"),
+            F.when(
+                F.size(callpath_col) == 0,
+                F.array(F.col(callpath_col)),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(callpath_col) - 1),
+                    lambda i: F.slice(F.col(callpath_col), 1, i),
+                )
+            ).alias("__anc_paths"),
+        )
+        exploded = child.select(
+            *pc, "id", *(carry or ()), "__cv",
+            F.explode("__anc_paths").alias("__anc_path")
+        ).withColumn("__anc_key", cp.path_key("__anc_path"))
 
-    joined = exploded.join(
-        # shuffle-hash, not sort-merge: the exploded side is |df| x depth
-        # rows and sorting it dominates the join cost; the node side
-        # (the build side) is |df| slim rows — hashing it is cheap WHEN
-        # it fits (_shj_build_row_cap guards the 30x + low-mem OOMs)
-        _maybe_shuffle_hash(nodes, df),
-        on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
-        + [F.col("__anc_key") == F.col("__path_key"),
-           F.col("__anc_path") == F.col("__path")],
-        how="inner",
-    ).select(
-        *[exploded[c] for c in (*pc, "id", *(carry or ()), "__cv")],
-        F.size("__anc_path").alias("__anc_depth"),
-        F.col("__value").alias("__anc_value"),
-    )
+        joined = exploded.join(
+            # shuffle-hash, not sort-merge: the exploded side is |df| x
+            # depth rows and sorting it dominates the join cost; the node
+            # side (the build side) is |df| slim rows — hashing it is
+            # cheap WHEN it fits (_shj_build_row_cap guards the 30x +
+            # low-mem OOMs)
+            _maybe_shuffle_hash(nodes, df),
+            on=[F.col(c) == F.col(f"__n_{c}") for c in pc]
+            + [F.col("__anc_key") == F.col("__path_key"),
+               F.col("__anc_path") == F.col("__path")],
+            how="inner",
+        ).select(
+            *[exploded[c] for c in (*pc, "id", *(carry or ()), "__cv")],
+            F.size("__anc_path").alias("__anc_depth"),
+            F.col("__value").alias("__anc_value"),
+        )
 
     # an ancestor stops the walk when NOT (base < value): base >= value,
     # base NULL (the reference's NaN: `NaN < x` is False, ratio NaN), or

@@ -196,3 +196,47 @@ def test_monotone_hint_equals_walkup_explode(spark):
     a = {r["id"]: (r["depth"], r["r"]) for r in fast.collect()}
     b = {r["id"]: (r["depth"], r["r"]) for r in slow.collect()}
     assert a == b
+
+
+def test_depth_id_join_equals_walkup_explode(spark, tree):
+    """The r13 (depth, id) ancestor addressing must reproduce the
+    prefix-array join bit-for-bit — on the non-monotone sf0.001 CCT
+    (real tree, avg-leaf metric) AND on the synthetic per-profile tree
+    including the skip-smaller-ancestor and NULL-ancestor branches."""
+    from hpctoolkit_dataframe_spark.queries.cct_tpch import build_cct
+
+    df = build_cct(spark, "/root/testdata/sf0.001").withColumn(
+        "avg_leaf", F.col("value").cast("double") / F.col("leaves"))
+    di = cct.with_ratio_of_parent(
+        df, "avg_leaf", "r", carry_cols=("depth",), persist_input=False,
+        depth_id_join=True)
+    arr = cct.with_ratio_of_parent(
+        df, "avg_leaf", "r", carry_cols=("depth",), persist_input=False)
+    a = {r["id"]: (r["depth"], r["r"]) for r in di.collect()}
+    b = {r["id"]: (r["depth"], r["r"]) for r in arr.collect()}
+    assert a == b and len(a) > 100
+    # per-profile isolation + carry=None join-back shape, both paths
+    p_d = cct.with_ratio_of_parent(
+        tree, "value", "r", partition_cols=["profile_id"],
+        depth_id_join=True).collect()
+    p_a = cct.with_ratio_of_parent(
+        tree, "value", "r", partition_cols=["profile_id"]).collect()
+    key = lambda rows: sorted((r["profile_id"], r["id"], r["r"])
+                              for r in rows)
+    assert key(p_d) == key(p_a)
+    # NULL-metric ancestor stops the walk identically in both paths
+    rows = [
+        ("p1", -1, [], 10.0),
+        ("p1", 1, [1], None),
+        ("p1", 2, [1, 2], 5.0),
+        ("p1", 3, [1, 2, 3], 4.0),
+    ]
+    ndf = spark.createDataFrame(
+        rows, "profile_id string, id long, callpath array<long>, value double")
+    out = {r["id"]: r["r"] for r in cct.with_ratio_of_parent(
+        ndf, "value", "r", partition_cols=["profile_id"],
+        depth_id_join=True).collect()}
+    assert out[-1] == 1.0
+    assert out[1] is None
+    assert out[2] is None
+    assert out[3] == pytest.approx(0.8)
