@@ -361,19 +361,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     doc_sh = docs.select(
         "doc_id", F.explode(_shingles(_tokens())).alias("sh"))
-    # feeds four branches (sizes, rarity filter, both join sides) — cut
+    # feeds three branches (sizes, hot-key filter, pair groups) — cut
     # lineage so tokenize+shingle+explode runs once
     doc_sh = doc_sh.localCheckpoint(eager=True)
     sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = (doc_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= SHINGLE_DF_CAP).select("sh"))
     # Prune hot shingles BEFORE the self-join: one shingle with DF=10^6
     # would otherwise emit ~10^12 intermediate pairs that the rarity cap
-    # only deletes afterwards.  DuckDB's optimizer reorders the oracle's
-    # late join itself; Spark without CBO will not, so the semi-join must
-    # be explicit (VERDICT r1 #1).  Plan shape asserted in
+    # only deletes afterwards (VERDICT r1 #1).  r13 (guide §2.5 "handle
+    # the hot keys, not the cold ones"): the prune is an ANTI-join
+    # against the provably-SMALL hot key set (df > CAP, at most
+    # |doc_sh|/CAP keys) instead of the former semi-join against the
+    # rare majority — identical result (rare = not-hot), par at sf0.1
+    # and the 10x skew clone, but the broadcast side stays bounded at
+    # any corpus size where the rare set cannot.  A grouped
+    # collect_list + in-row pair-generation rewrite (removing the
+    # self-join outright) was prototyped and REFUTED: par at sf0.1,
+    # 4.9-6.2 s vs 4.0-4.4 s at the 10x skew clone — per-pair
+    # transform lambdas run interpreted (CLAUDE.md) and the pair join
+    # is codegen; see OPTIMIZATION_r13.md.  Plan shape asserted in
     # tests/test_plans.py::test_ngram_jaccard_prunes_before_selfjoin.
-    pruned = doc_sh.join(rare, "sh", "left_semi")
+    hot = (doc_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > SHINGLE_DF_CAP).select("sh"))
+    pruned = doc_sh.join(F.broadcast(hot), "sh", "left_anti")
     a = pruned.alias("a")
     b = pruned.alias("b")
     cand = (

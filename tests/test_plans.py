@@ -62,21 +62,23 @@ def test_filters_stay_jvm_side(spark):
 
 
 def test_ngram_jaccard_prunes_before_selfjoin(spark):
-    """The rarity cap must be applied BELOW the shingle self-join (as a
-    semi-join on each input), otherwise one hot shingle with DF=10^6
-    emits ~10^12 pairs before the cap deletes them (VERDICT r1 #1)."""
+    """The hot-shingle cap must be applied BELOW the shingle self-join
+    (r13: an ANTI-join against the small hot set — df > CAP — instead
+    of a semi-join against the rare majority; same pruning, bounded
+    broadcast side), otherwise one hot shingle with DF=10^6 emits
+    ~10^12 pairs before the cap deletes them (VERDICT r1 #1)."""
     import re
 
     df = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF_DIR)
     plan = explain.executed_plan(df)
-    semi = plan.find("LeftSemi")
-    assert semi != -1, "rarity cap is not a semi-join"
+    anti = plan.find("LeftAnti")
+    assert anti != -1, "hot-shingle cap is not an anti-join"
     # tree toString prints parents before children: the pair-generating
     # self-join (its doc_id < doc_id condition) must appear ABOVE the
-    # semi-join, i.e. the semi-join is in its subtree
+    # anti-join, i.e. the anti-join is in its subtree
     m = re.search(r"doc_id#\d+L? < doc_id#\d+", plan)
     assert m is not None
-    assert m.start() < semi
+    assert m.start() < anti
 
 
 def test_minhash_lsh_prunes_before_selfjoin(spark):
