@@ -830,11 +830,21 @@ def with_ratio_of_parent(
         | F.col("__anc_value").isNull()
         | (F.col("__anc_depth") == 0)
     )
-    # deepest qualifying ancestor wins (nearest in the walk-up order);
-    # struct-max instead of max_by so a NULL __anc_value at the deepest
-    # stopper propagates (max_by would skip it for a shallower non-null)
-    deepest = F.max(F.struct(F.col("__anc_depth").alias("d"),
-                             F.col("__anc_value").alias("v")))["v"]
+    # deepest qualifying ancestor wins (nearest in the walk-up order).
+    # r13: max_by, not max(struct) — a struct aggregation buffer is not
+    # hash-aggregable, so max(struct) planned as SortAggregate and
+    # SORTED the full exploded join output twice (partial + final); it
+    # was the measured wall at the 10x clone (explode+join 4.4 s ->
+    # +agg 16.5 s) and the reason the entry would not core-scale.
+    # max_by keeps a (primitive, primitive) buffer -> whole-stage-
+    # codegen HashAggregate.  Equivalence to the old struct-max: each
+    # group's qualifying rows have DISTINCT __anc_depth (one row per
+    # prefix length), so there are no ordering ties for max_by to
+    # resolve nondeterministically, and Spark 4's max_by returns the
+    # value AT the max ordering even when that value is NULL (the
+    # NULL-at-deepest-stopper case; pinned with struct-max side by side
+    # in tests/test_cct_ops.py::test_deepest_aggregate_maxby_semantics).
+    deepest = F.max_by(F.col("__anc_value"), F.col("__anc_depth"))
     ratio = F.try_divide(F.col("__cv"), F.col("__base").cast("double"))
     if carry is not None:
         # slim path: group keys carry the output columns, no join-back

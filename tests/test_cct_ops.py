@@ -240,3 +240,26 @@ def test_depth_id_join_equals_walkup_explode(spark, tree):
     assert out[1] is None
     assert out[2] is None
     assert out[3] == pytest.approx(0.8)
+
+
+def test_deepest_aggregate_maxby_semantics(spark):
+    """r13: the walk-up's deepest-stopper aggregate moved from
+    max(struct(d, v)) (SortAggregate — not hash-aggregable) to
+    max_by(v, d) (codegen HashAggregate).  Pin the equivalence on the
+    exact edge the old comment feared: a NULL value at the DEEPEST
+    ordering must come back NULL, not a shallower non-null."""
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None),
+         (2, 0, 5.0), (2, 2, 7.0),
+         (3, 1, None), (3, 0, None)],
+        "g int, d int, v double")
+    struct_max = {r["g"]: r["v"] for r in df.groupBy("g").agg(
+        F.max(F.struct(F.col("d").alias("d"), F.col("v").alias("v")))["v"]
+        .alias("v")).collect()}
+    maxby = {r["g"]: r["v"] for r in df.groupBy("g").agg(
+        F.max_by("v", "d").alias("v")).collect()}
+    assert struct_max == maxby == {1: None, 2: 7.0, 3: None}
+    # and the planned exec really is hash-based (the point of the change)
+    plan = df.groupBy("g").agg(F.max_by("v", "d"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
