@@ -419,7 +419,14 @@ def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", F.explode(
                    F.sequence(F.col("s"), F.col("e"))).alias("idx"))
                .distinct())
-    touched = spans.select("doc_id").distinct()
+    # r13 (VERDICT r12 #6): three consumers (rebuild semi-join,
+    # untouched anti-join, and tbase through tdocs) each re-ran the
+    # distinct + its Exchange over the spans checkpoint — checkpoint the
+    # tiny key set once so the plan drops two duplicated aggregate
+    # subtrees (26 -> 22 Exchanges) and both branch broadcasts build
+    # from the same scan
+    touched = (spans.select("doc_id").distinct()
+               .localCheckpoint(eager=True))
     ws = F.split(F.col("text"), r"\s+")
     # rebuild path — touched docs only (explode + anti-join + regroup)
     tdocs = docs.join(touched, "doc_id", "left_semi")
