@@ -1111,14 +1111,20 @@ def merge_profiles(
     (from the MetricTable's combine formulas, which the reference parses
     but never uses, hpctoolkit_dataframe.py:69-70 — it is strictly
     single-profile).  Nodes are identified by their callpath; location
-    columns are invariant per callpath so ``any_value`` carries them.
-    One shuffle on the callpath hash; aggregation is partial map-side.
+    columns are invariant per callpath, so they ride as EXTRA GROUP
+    KEYS (r13): an ``any_value``/``first`` aggregate holds a var-width
+    buffer for string columns, which is not hash-aggregable and forced
+    the whole merge into a SortAggregate — sorting every profile row by
+    callpath twice (partial + final).  As group keys they cost nothing
+    (same groups under the invariance contract) and the merge plans as
+    a codegen HashAggregate; determinism improves too (no arbitrary
+    pick).  One shuffle on the callpath hash; aggregation is partial
+    map-side.
     """
     aggs = []
     for metric, kind in metric_combines.items():
         fn = {"sum": F.sum, "min": F.min, "max": F.max}[kind]
         aggs.append(fn(F.col(f"`{metric}`")).alias(metric))
-    for c in location_cols:
-        aggs.append(F.any_value(F.col(f"`{c}`")).alias(c))
     aggs.append(F.count(F.lit(1)).alias("n_profiles"))
-    return df.groupBy(callpath_col).agg(*aggs)
+    return df.groupBy(callpath_col,
+                      *[F.col(f"`{c}`") for c in location_cols]).agg(*aggs)
